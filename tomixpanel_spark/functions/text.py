@@ -1,0 +1,103 @@
+"""Text-analysis column functions for the training-data-pipeline extensions.
+
+All pure Catalyst expressions (split / transform / aggregate / higher-order
+functions) — no Python in the hot path, so these run inside whole-stage
+codegen and scale linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic English stopword list for the language-ID heuristic and
+# quality scoring. Kept deliberately small + pinned: the oracle SQL mirrors
+# it verbatim.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; drops empty tokens from repeated spaces."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish sub-word split: word pieces, numbers, and punctuation runs.
+
+    A regex approximation of byte-pair tokenizer pre-splitting (word /
+    number / punctuation boundaries), good enough for token-count budgeting.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(c, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+        lambda t: (t != "") & (t != " "),
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram word shingles ('w1 w2 w3' strings) of a document.
+
+    Built with sequence+transform over the token array (no explode needed at
+    the call site; callers explode when they want shingle rows).
+    """
+    toks = tokens(text)
+    # positions 0 .. size-n (inclusive); empty array when doc shorter than n.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def stopword_count(text: Column | str) -> Column:
+    """Number of tokens that are pinned stopwords."""
+    return F.size(F.filter(tokens(text), lambda t: F.lower(t).isin(*STOPWORDS)))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: lengths and ratios, all double-typed.
+
+    Ratios are computed in double with explicit casts so the DuckDB oracle
+    (same formula) is bit-comparable.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    n_stop = stopword_count(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return {
+        "n_tokens": n_tok.cast("bigint"),
+        "n_chars": n_chars.cast("bigint"),
+        "avg_token_len": (
+            (n_chars - n_tok + 1).cast("double") / n_tok.cast("double")
+        ),
+        "stopword_ratio": n_stop.cast("double") / n_tok.cast("double"),
+        "punct_ratio": n_punct.cast("double") / n_chars.cast("double"),
+    }
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Heuristic language ID: stopword-hit ratio over the pinned list.
+
+    >= 2 stopword hits in the first 40 tokens => 'en', else 'unknown'.
+    (The fixture corpus is synthetic; the point is the operator shape —
+    a deterministic n-gram/stopword heuristic that the oracle can mirror.)
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    head = F.slice(tokens(c), 1, 40)
+    hits = F.size(F.filter(head, lambda t: F.lower(t).isin(*STOPWORDS)))
+    return F.when(hits >= 2, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of case/whitespace-normalized text.
+
+    Rolling-hash-equivalent canonical fingerprint used by exact dedup;
+    whitespace runs collapse to single spaces, case-folded, trimmed.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))

