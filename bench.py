@@ -1,0 +1,63 @@
+"""Benchmark harness: run the registered queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
+"sf"}.
+
+Each query is forced with a full collect (the driver's comparison does the
+same), so timings include result materialization, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tomixpanel_spark.operators import registry  # noqa: E402
+from tomixpanel_spark.session import ensure_semantics, session_builder  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = (
+        session_builder("tomixpanel_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_semantics(spark)
+
+    reg = registry()
+    # warm the JVM/session so query 1 doesn't pay session startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(reg):
+        t0 = time.perf_counter()
+        rows = reg[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        del rows
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

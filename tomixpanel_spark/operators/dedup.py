@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tomixpanel_spark.functions.text import fingerprint, shingles
+from tomixpanel_spark.functions.text import fingerprint, tokens
 from tomixpanel_spark.operators.base import QuerySpec, table
 
 N_MINHASH = 8
@@ -46,9 +46,44 @@ _SQL_SHINGLE_ROWS = f"""
 """
 
 
+def _parallelism(spark: SparkSession) -> int:
+    return spark.sparkContext.defaultParallelism
+
+
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + distinct-3-gram array, built in STAGED projections.
+
+    Two scale-critical choices:
+      * ``repartition(defaultParallelism, doc_id)`` before the heavy
+        per-row work — document tables are small in bytes but heavy in
+        CPU, and AQE's byte-based coalescing would otherwise collapse
+        them onto one task (observed 10-80x slowdowns at sf0.1).
+      * tokens and shingle arrays are materialized as named columns in
+        separate projections; inlining the token expression into every
+        lambda reference makes Catalyst re-evaluate split() per shingle.
+    """
+    docs = table(spark, sf_dir, "documents").repartition(_parallelism(spark), "doc_id")
+    d1 = docs.select("doc_id", tokens("text").alias("toks"))
+    # zip_with over shifted slices: each lambda argument is an ARRAY-level
+    # reference, so even when CollapseProject inlines ``toks`` the split()
+    # is evaluated a constant number of times per row — unlike an
+    # element_at(toks, i) formulation, which re-evaluates it per element.
+    n = F.size("toks")
+    s1 = F.slice("toks", 1, F.greatest(n - 2, F.lit(0)))
+    s2 = F.slice("toks", 2, F.greatest(n - 2, F.lit(0)))
+    s3 = F.slice("toks", 3, F.greatest(n - 2, F.lit(0)))
+    sh = F.array_distinct(
+        F.zip_with(
+            F.zip_with(s1, s2, lambda x, y: F.concat(x, F.lit(" "), y)),
+            s3,
+            lambda xy, z: F.concat(xy, F.lit(" "), z),
+        )
+    )
+    return d1.select("doc_id", sh.alias("sh_arr")).filter(F.size("sh_arr") > 0)
+
+
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.explode(shingles("text", 3)).alias("sh"))
+    return _shingle_arrays(spark, sf_dir).select("doc_id", F.explode("sh_arr").alias("sh"))
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,25 +107,47 @@ FROM documents GROUP BY 1
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-gram shingle Jaccard >= 0.8.
 
-    Candidates come from the shingle self-join (docs sharing >= 1 shingle),
-    so cost is sum over shingles of df^2 — sub-quadratic on real corpora —
-    rather than |docs|^2.
+    Candidate generation is ONE pass over shingle rows: group by shingle,
+    collect the (doc_id, set_size) postings list, and emit intra-list pairs
+    with a nested array transform — cost is sum over shingles of df^2
+    (sub-quadratic on real corpora), with no self-join and a single
+    evaluation of the shingle arrays. Doc set-sizes ride along in the
+    postings structs, so no extra join to attach them. At 100 TB add a
+    document-frequency cap (drop postings lists longer than df_cap) to
+    bound hot-shingle blowup — standard near-dup practice.
     """
-    sh = _shingle_rows(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+    sa = _shingle_arrays(spark, sf_dir)
+    rows = sa.select(
+        "doc_id", F.size("sh_arr").alias("n"), F.explode("sh_arr").alias("sh")
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    grouped = (
+        rows.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice("ds", i + 2, F.size("ds")),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            y["doc_id"].alias("doc_b"),
+                            x["n"].alias("n_a"),
+                            y["n"].alias("n_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    common = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("common")
+    )
     return (
-        common.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.col("common").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
@@ -114,19 +171,25 @@ WHERE CAST(common AS DOUBLE) / CAST(na.n + nb.n - common AS DOUBLE) >= {JACCARD_
 """
 
 
-def _minhash_agg(sh: DataFrame) -> DataFrame:
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature WITHOUT explode/shuffle: the shingle set
+    stays an array column and each minhash is array_min(transform(...)) —
+    a pure narrow projection over the staged shingle arrays,
+    embarrassingly parallel at any scale. (The oracle computes the same
+    mins via unnest+GROUP BY; identical values, different physical plan.)"""
+    cols = [
+        F.array_min(
+            F.transform("sh_arr", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return _shingle_arrays(spark, sf_dir).select("doc_id", *cols)
 
 
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature: 8 independent min-of-seeded-md5 values.
-    One explode + one hash aggregate; signature is ~8x32 bytes per doc
-    regardless of doc size."""
-    return _minhash_agg(_shingle_rows(spark, sf_dir))
+    """Per-doc MinHash signature: 8 independent min-of-seeded-md5 values,
+    computed as a narrow array fold (no explode, no shuffle)."""
+    return _minhash_sig_df(spark, sf_dir)
 
 
 _MINHASH_MINS = ",\n  ".join(
@@ -143,7 +206,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs agreeing on a full band (4 consecutive
     minhashes). The band hash is the join key — sub-quadratic candidate
     generation; downstream a Jaccard verify pass would confirm."""
-    sig = _minhash_agg(_shingle_rows(spark, sf_dir))
+    sig = _minhash_sig_df(spark, sf_dir)
     per_band = N_MINHASH // N_BANDS
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh{b * per_band + k}") for k in range(per_band)]))
@@ -190,7 +253,9 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over token occurrences: per-bit +/-1 vote weighted by
     term frequency, sign -> bit. One explode + one aggregate with 32
     conditional sums — all codegen'd, shuffle carries 32 longs per doc."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").repartition(
+        _parallelism(spark), "doc_id"
+    )
     toks = docs.select(
         "doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token")
     )

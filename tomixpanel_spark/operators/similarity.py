@@ -2,30 +2,42 @@
 
 Operators:
   * ``cosine_topk`` — brute-force cosine top-k: the correctness baseline.
-    Queries are broadcast; candidates stream partition-parallel, so the
-    scan scales linearly with executors and never shuffles the corpus —
-    only the per-query top-k rows move (window over q_id).
   * ``cosine_topk_partitioned`` — IVF-style pruned search: restrict the
     scan to the query's coarse partition (the ``label`` column plays the
-    centroid-assignment role). At 100 TB this is the scale path: cluster
-    assignment turns top-k from full-scan into per-cell scan; pair it with
-    partitioned parquet layout for partition pruning at the source.
-  * ``embedding_neardup`` — all pairs above a cosine threshold (embedding
-    near-duplicate detection).
+    centroid-assignment role). At 100 TB this is the scale path: cell
+    assignment turns top-k from full-scan into per-cell scan.
+  * ``embedding_neardup`` — all pairs above a cosine threshold.
 
-Float parity: similarity is emitted as ``sim_e6`` (similarity * 1e6 rounded
-to BIGINT). Rounded-integer output makes the DuckDB comparison robust to
-last-ULP differences in float summation order, and ranking happens on the
+Execution strategy (the 100 TB shape):
+  * Vectors are L2-normalized ONCE in a narrow projection (JVM higher-order
+    fold), so similarity reduces to a dot product.
+  * The pair scan runs as an Arrow-batched ``mapInPandas`` stage: the small
+    side (queries / corpus block) is a numpy matrix captured in the closure
+    (broadcast-equivalent), and each candidate batch computes one BLAS
+    matmul — thousands of dot products per syscall instead of one
+    expression-tree fold per pair. Candidates stream partition-parallel;
+    nothing shuffles except the emitted (pair, sim) rows.
+  * Each batch emits only its LOCAL top-k (for top-k) or above-threshold
+    pairs (for near-dup), so the final window/distinct shuffle carries
+    k*batches rows, not |corpus| x |queries|.
+
+Float parity: similarity is emitted as ``sim_e6`` (sim * 1e6 rounded to
+BIGINT). numpy's pairwise summation differs from DuckDB's sequential fold
+by ~1 ulp; integer-rounding at 1e-6 absorbs it, and ranking happens on the
 rounded value + id tiebreak so ranks are identical across engines.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tomixpanel_spark.functions.vectors import cosine_similarity
 from tomixpanel_spark.operators.base import QuerySpec, table
+from tomixpanel_spark.session import ship_package
 
 N_QUERIES = 10
 TOP_K = 5
@@ -37,22 +49,79 @@ _SQL_SIM = (
 )
 
 
-def _sim_e6(a, b):
-    return F.round(cosine_similarity(a, b) * 1_000_000).cast("bigint")
+def _unit(df: DataFrame, id_name: str, label: bool = False) -> DataFrame:
+    """Narrow projection: id + L2-normalized double vector (one JVM fold)."""
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    cols = [F.col("vec_id").alias(id_name), F.transform(v, lambda x: x / F.sqrt(dot)).alias("unit")]
+    if label:
+        cols.append(F.col("label"))
+    return df.select(*cols)
+
+
+def _collect_matrix(df: DataFrame, id_name: str):
+    """Small side -> (ids, numpy matrix) captured in the UDF closure."""
+    import numpy as np
+
+    rows = df.collect()
+    ids = np.array([r[id_name] for r in rows], dtype="int64")
+    mat = np.array([r["unit"] for r in rows], dtype="float64")
+    return ids, mat
+
+
+def _scored_pairs(
+    cand: DataFrame, q_ids, q_mat, local_k: int | None, threshold_e6: int | None,
+    q_labels=None,
+) -> DataFrame:
+    """mapInPandas stage: candidate batches x query matrix -> sim_e6 rows."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c = np.array(list(pdf["unit"]), dtype="float64")  # (B, d)
+            sims = c @ q_mat.T  # (B, Q) one BLAS call per batch
+            e6 = np.rint(sims * 1_000_000).astype("int64")
+            n_ids = pdf["neighbor_id"].to_numpy()
+            out = []
+            for qi in range(len(q_ids)):
+                col = e6[:, qi]
+                mask = n_ids != q_ids[qi]
+                if q_labels is not None:
+                    mask &= pdf["label"].to_numpy() == q_labels[qi]
+                if threshold_e6 is not None:
+                    mask &= col >= threshold_e6
+                idx = np.nonzero(mask)[0]
+                if local_k is not None and len(idx) > local_k:
+                    # local top-k per batch: only k rows survive to shuffle
+                    order = np.lexsort((n_ids[idx], -col[idx]))
+                    idx = idx[order[:local_k]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(len(idx), q_ids[qi], dtype="int64"),
+                            "neighbor_id": n_ids[idx],
+                            "sim_e6": col[idx],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"q_id": [], "neighbor_id": [], "sim_e6": []}
+            )
+
+    ship_package(cand.sparkSession)
+    return cand.mapInPandas(batches, schema="q_id long, neighbor_id long, sim_e6 long")
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k neighbors for the first N_QUERIES vectors."""
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    q_ids, q_mat = _collect_matrix(
+        _unit(emb.filter(F.col("vec_id") < N_QUERIES), "q_id"), "q_id"
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", _sim_e6("q_emb", "n_emb").alias("sim_e6"))
-    )
+    cand = _unit(emb, "neighbor_id")
+    scored = _scored_pairs(cand, q_ids, q_mat, local_k=TOP_K, threshold_e6=None)
     w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -75,21 +144,16 @@ WHERE rank <= {TOP_K}
 
 def cosine_topk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style pruned top-k: only candidates in the query's coarse cell
-    (label) are scanned — the 100 TB path (cell assignment = kmeans/LSH in
-    production; here the fixture's label column)."""
+    (label) are scored — per-cell scan instead of full scan."""
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("q_emb"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("label"), F.col("embedding").alias("n_emb")
-    )
-    scored = (
-        c.join(F.broadcast(q), (F.col("label") == F.col("q_label")) & (F.col("neighbor_id") != F.col("q_id")))
-        .select("q_id", "neighbor_id", _sim_e6("q_emb", "n_emb").alias("sim_e6"))
-    )
+    qdf = _unit(emb.filter(F.col("vec_id") < N_QUERIES), "q_id", label=True).collect()
+    import numpy as np
+
+    q_ids = np.array([r["q_id"] for r in qdf], dtype="int64")
+    q_mat = np.array([r["unit"] for r in qdf], dtype="float64")
+    q_labels = np.array([r["label"] for r in qdf])
+    cand = _unit(emb, "neighbor_id", label=True)
+    scored = _scored_pairs(cand, q_ids, q_mat, local_k=3, threshold_e6=None, q_labels=q_labels)
     w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -114,18 +178,33 @@ WHERE rank <= 3
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= 0.40).
 
-    Brute pair scan here; the scale path reuses the partitioned variant
-    (only intra-cell pairs) or LSH bucketing from the dedup module.
+    The corpus matrix rides in the closure (local-mode broadcast); each
+    candidate batch does one matmul and emits only above-threshold pairs.
+    At 100 TB the corpus no longer fits a broadcast — the scale path is the
+    partitioned variant (intra-cell pairs) or MinHash-LSH bucketing from
+    the dedup module feeding this verifier pairwise.
     """
+    import numpy as np
+
     emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", _sim_e6("a_emb", "b_emb").alias("sim_e6"))
-        .filter(F.col("sim_e6") >= NEARDUP_E6)
-    )
+    ids, mat = _collect_matrix(_unit(emb, "vec_id"), "vec_id")
+    cand = _unit(emb, "vec_a")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c = np.array(list(pdf["unit"]), dtype="float64")
+            a_ids = pdf["vec_a"].to_numpy()
+            e6 = np.rint((c @ mat.T) * 1_000_000).astype("int64")
+            hit = (e6 >= NEARDUP_E6) & (a_ids[:, None] < ids[None, :])
+            ai, bj = np.nonzero(hit)
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ai], "vec_b": ids[bj], "sim_e6": e6[ai, bj]}
+            )
+
+    ship_package(spark)
+    return cand.mapInPandas(batches, schema="vec_a long, vec_b long, sim_e6 long")
 
 
 _EMBEDDING_NEARDUP_SQL = f"""
