@@ -1,0 +1,287 @@
+"""Golden-behavior tests for the vendor transforms (FIXTURES.md F1-F4):
+the source-specific semantics that aren't ANSI-SQL-expressible end-to-end
+(SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.fixtures import (
+    amp_event_rows,
+    csv_text,
+    ga_session_rows,
+    mp_engage_page,
+    mp_export_lines,
+)
+from tomixpanel_spark.schemas import AMP_EVENT_SCHEMA, GA_SESSION_SCHEMA
+from tomixpanel_spark.session import ensure_semantics
+
+
+def _amp_df(spark, rows=None):
+    ensure_semantics(spark)
+    return spark.createDataFrame(rows or amp_event_rows(), AMP_EVENT_SCHEMA)
+
+
+class TestAmplitude:
+    def test_events_identity_and_time(self, spark):
+        from tomixpanel_spark.transforms.amplitude import amp_events
+
+        rows = amp_event_rows()
+        out = {r["insert_id"]: r for r in amp_events(_amp_df(spark, rows)).collect()}
+        assert len(out) == len(rows)
+        by_src = {r["$insert_id"]: r for r in rows if r["$insert_id"]}
+        for ins, src in by_src.items():
+            got = out[ins]
+            expect_id = src["user_id"] or src["device_id"] or str(src["amplitude_id"])
+            assert got["distinct_id"] == expect_id
+            assert got["event"] == src["event_type"]
+            # dayjs.utc(event_time).valueOf() parity
+            import datetime as dt
+
+            t = dt.datetime.strptime(
+                src["event_time"], "%Y-%m-%d %H:%M:%S.%f"
+            ).replace(tzinfo=dt.timezone.utc)
+            assert got["time_ms"] == int(t.timestamp() * 1000)
+
+    def test_props_precedence_spread_order(self, spark):
+        """user_properties beat groups beat event_properties; reserved beat
+        all custom; pair table last (amplitudeToMixpanel.js:138,148-157)."""
+        from tomixpanel_spark.transforms.amplitude import amp_events
+
+        rows = amp_event_rows()
+        out = amp_events(_amp_df(spark, rows)).collect()
+        for got, src in zip(out, rows):
+            props = got["props"]
+            if src["user_properties"]:
+                assert props["plan"] == "user-plan"  # user beats event_properties
+            else:
+                assert props["plan"] == src["event_properties"]["plan"]
+            if src["os_name"]:
+                assert props["$os"] == src["os_name"]
+                assert props["$browser"] == src["os_name"]
+            assert props["$source"] == "amplitudeToMixpanel (by AK)"
+            # leftover amp scalar rides along at lowest precedence
+            assert props["amplitude_id"] == str(src["amplitude_id"])
+
+    def test_insert_id_kept_or_derived_deterministically(self, spark):
+        from tomixpanel_spark.transforms.amplitude import amp_events
+
+        rows = amp_event_rows()
+        a = amp_events(_amp_df(spark, rows)).collect()
+        b = amp_events(_amp_df(spark, rows)).collect()
+        assert [r["insert_id"] for r in a] == [r["insert_id"] for r in b]
+        kept = [r for r, s in zip(a, rows) if s["$insert_id"]]
+        assert all(r["insert_id"].startswith("src-insert-") for r in kept)
+
+    def test_profiles_only_nonempty_user_props(self, spark):
+        from tomixpanel_spark.transforms.amplitude import amp_profiles
+
+        rows = amp_event_rows()
+        got = amp_profiles(_amp_df(spark, rows), token="tok").collect()
+        assert len(got) == sum(1 for r in rows if r["user_properties"])
+        for p in got:
+            assert p["token"] == "tok"
+            assert p["set"]["tier"] == "gold"
+
+    def test_merges_deduped_pairs(self, spark):
+        from tomixpanel_spark.transforms.amplitude import amp_merges
+
+        rows = amp_event_rows()
+        got = amp_merges(_amp_df(spark, rows), run_time_ms=123).collect()
+        expect = {
+            (r["user_id"], r["device_id"])
+            for r in rows
+            if r["user_id"] and r["device_id"]
+        }
+        assert {(r["id_a"], r["id_b"]) for r in got} == expect
+        assert len(got) == len(expect)  # deduped (reference :271)
+        assert all(r["time_ms"] == 123 for r in got)
+
+
+class TestGA:
+    def _df(self, spark):
+        ensure_semantics(spark)
+        return spark.createDataFrame(ga_session_rows(), GA_SESSION_SCHEMA)
+
+    def test_session_boundaries_and_hit_times(self, spark):
+        from tomixpanel_spark.transforms.ga import ga_events
+
+        out = ga_events(self._df(spark)).collect()
+        rows = ga_session_rows()
+        assert sum(1 for r in out if r["event"] == "session begins") == len(rows)
+        assert sum(1 for r in out if r["event"] == "session ends") == len(rows)
+        n_hits = sum(len(s["hits"]) for s in rows)
+        assert len(out) == 2 * len(rows) + n_hits
+        by_user = {}
+        for r in out:
+            by_user.setdefault(r["distinct_id"], []).append(r)
+        s0 = rows[0]
+        start = int(s0["visitStartTime"]) * 1000
+        mine = [
+            r
+            for r in out
+            if r["time_ms"] in range(start, start + 10_000)
+        ]
+        begins = [r for r in mine if r["event"] == "session begins"][0]
+        ends = [r for r in mine if r["event"] == "session ends"][0]
+        assert begins["time_ms"] == start
+        # single hit at offset 0 -> bumped to +1000; ends at last hit +1000
+        assert ends["time_ms"] == start + 2000
+
+    def test_event_name_resolution_chain(self, spark):
+        from tomixpanel_spark.transforms.ga import ga_events
+
+        out = ga_events(self._df(spark)).collect()
+        names = {r["event"] for r in out}
+        # h==0 hits have no eventInfo -> hit.type; 'na'/'' actions -> category
+        assert "PAGE" in names
+        assert "ecommerce" in names
+        assert "add to cart" in names
+
+    def test_custom_dimensions_naming_and_na_skip(self, spark):
+        from tomixpanel_spark.transforms.ga import ga_events
+
+        out = ga_events(self._df(spark)).collect()
+        hits = [r for r in out if r["event"] not in ("session begins", "session ends")]
+        some = [r for r in hits if "dimension #4 (" + r["event"] + ")" in r["props"]]
+        assert some, "expected dimension #4 keys"
+        for r in hits:
+            for k, v in r["props"].items():
+                if k.startswith("dimension #"):
+                    assert v not in ("na", "")
+
+    def test_default_props_and_profile_hoist(self, spark):
+        from tomixpanel_spark.transforms.ga import ga_events, ga_profiles
+
+        ev = ga_events(self._df(spark)).collect()
+        for r in ev:
+            assert r["props"]["$browser"] == "Chrome"
+            assert r["props"]["mp_country_code"] == "United States"
+            assert r["props"]["UTM Channel"] == "Organic Search"
+            # screenResolution overwrites browserSize on the same mp key
+            assert r["props"]["screen size"] == "1920x1080"
+        prof = ga_profiles(self._df(spark), token="t").collect()
+        rows = ga_session_rows()
+        for p, s in zip(prof, rows):
+            if s["geoNetwork"]["latitude"] and s["geoNetwork"]["longitude"]:
+                assert p["latitude"] == "37.77" and p["longitude"] == "-122.41"
+            else:
+                assert p["latitude"] is None
+
+    def test_move_to_present_true_max_anchor(self, spark):
+        from tomixpanel_spark.transforms.ga import FOUR_DAYS_MS, ga_events
+
+        anchor = 1_800_000_000_000
+        out = ga_events(self._df(spark), move_to_present=True, anchor_now_ms=anchor)
+        mx = out.agg(F.max("time_ms")).collect()[0][0]
+        assert mx == anchor - FOUR_DAYS_MS
+
+    def test_insert_id_unique_per_event(self, spark):
+        from tomixpanel_spark.transforms.ga import ga_events
+
+        out = ga_events(self._df(spark))
+        assert out.count() == out.select("insert_id").distinct().count()
+
+
+class TestCsv:
+    def _df(self, spark, tmp_path, **kw):
+        from tomixpanel_spark.sources.csv import read_csv_all_strings
+
+        p = tmp_path / "events.csv"
+        p.write_text(csv_text(**kw))
+        return read_csv_all_strings(spark, str(p))
+
+    def test_time_heuristic_all_formats_equal(self, spark, tmp_path):
+        from tomixpanel_spark.transforms.csv import CsvMapping, csv_events
+
+        m = CsvMapping("action", "guid", "time", "insert_id", ["favoriteColor"])
+        out = csv_events(self._df(spark, tmp_path), m).collect()
+        # rows 0..2 use s/ms/datetime forms of adjacent instants
+        assert out[0]["time_ms"] == 1_600_000_000 * 1000
+        assert out[1]["time_ms"] == 1_600_000_001 * 1000
+        # row 2: "2020-09-13 12:02:20" UTC parsed as datetime string
+        assert out[2]["time_ms"] == 1_599_998_540 * 1000
+
+    def test_ignore_cols_and_tags(self, spark, tmp_path):
+        from tomixpanel_spark.transforms.csv import CsvMapping, csv_events
+
+        m = CsvMapping(
+            "action", "guid", "time", "insert_id", ["favoriteColor"], import_tag="batch-9"
+        )
+        out = csv_events(self._df(spark, tmp_path), m).collect()
+        for r in out:
+            assert "favoriteColor" not in r["props"]
+            assert r["props"]["$source"] == "csvToMixpanel (by AK)"
+            assert r["props"]["import-tag"] == "batch-9"
+            assert r["props"]["plan"] in ("free", "pro")
+
+    def test_insert_id_fallback_when_blank(self, spark, tmp_path):
+        from tomixpanel_spark.transforms.csv import CsvMapping, csv_events
+
+        m = CsvMapping("action", "guid", "time", "insert_id")
+        out = csv_events(self._df(spark, tmp_path), m).collect()
+        for i, r in enumerate(out):
+            if i % 2 == 0:
+                assert r["insert_id"] == f"csv-ins-{i}"
+            else:
+                assert len(r["insert_id"]) == 32  # canonical md5
+
+    def test_profiles_keep_first(self, spark, tmp_path):
+        from tomixpanel_spark.transforms.csv import CsvMapping, csv_profiles
+
+        m = CsvMapping("action", "guid", "time", "insert_id", ["favoriteColor"], token="tk")
+        out = csv_profiles(self._df(spark, tmp_path), m).collect()
+        assert len(out) == 6  # guid_0..guid_5
+        first = {r["distinct_id"]: r for r in out}
+        # guid_0 first occurs at row 0 -> amount '0'
+        assert first["guid_0"]["set"]["amount"] == "0"
+        assert first["guid_1"]["set"]["amount"] == "10"
+
+
+class TestMixpanel:
+    def test_export_passthrough(self, spark, tmp_path):
+        from tomixpanel_spark.schemas import MP_EXPORT_SCHEMA
+        from tomixpanel_spark.sources.staging import read_json_auto, valid_records
+        from tomixpanel_spark.transforms.mixpanel import mp_export_events
+
+        p = tmp_path / "export.ndjson"
+        p.write_text(mp_export_lines())
+        raw = valid_records(read_json_auto(spark, str(p), MP_EXPORT_SCHEMA))
+        out = mp_export_events(raw).collect()
+        assert len(out) == 15
+        r = out[0]
+        assert r["time_ms"] == 1_600_000_000 * 1000
+        assert r["insert_id"] == "mp-ins-0"
+        assert r["props"]["genre"] == "jazz"
+        assert "distinct_id" not in r["props"]
+
+    def test_reverse_amplitude_shape(self, spark, tmp_path):
+        from tomixpanel_spark.schemas import MP_EXPORT_SCHEMA
+        from tomixpanel_spark.sources.staging import read_json_auto, valid_records
+        from tomixpanel_spark.transforms.mixpanel import mp_to_amplitude_events
+
+        p = tmp_path / "export.ndjson"
+        p.write_text(mp_export_lines())
+        raw = valid_records(read_json_auto(spark, str(p), MP_EXPORT_SCHEMA))
+        out = mp_to_amplitude_events(raw).collect()
+        r = out[0]
+        assert r["event_type"] == "app open"
+        assert r["time"] == 1_600_000_000_000  # s -> ms (sendOther.js:171)
+        assert r["event_properties"] == {"genre": "jazz"}
+
+    def test_engage_pages_to_profiles(self, spark):
+        from tomixpanel_spark.schemas import MP_ENGAGE_PAGE_SCHEMA
+        from tomixpanel_spark.transforms.mixpanel import mp_engage_profiles
+
+        pages = spark.createDataFrame(
+            [mp_engage_page(0, 10, 10), mp_engage_page(1, 10, 5)],
+            MP_ENGAGE_PAGE_SCHEMA,
+        )
+        out = mp_engage_profiles(pages, token="tok").collect()
+        assert len(out) == 15
+        assert all(p["ignore_time"] for p in out)
+        assert out[0]["set"]["plan"] == "pro"

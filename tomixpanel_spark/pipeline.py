@@ -1,0 +1,177 @@
+"""Config-driven pipeline API mirroring the reference CLI dispatch
+(index.js:69-91 switch on config.source.name; examples/configExample-*.json).
+
+A job config is the same shape a reference user writes:
+
+    {
+      "source": {"name": "csv" | "amplitude" | "ga" | "mixpanel",
+                  "options": {...}},
+      "destination": {"name": "mixpanel", "token": "...",
+                       "service_account": "...", "options": {...}}
+    }
+
+``build(spark, config)`` returns the PipelinePlan — the lazy canonical
+DataFrames (events / profiles / merges) — which is the engine's IR: no
+staged files between stages (SURVEY.md §1.3), just lineage. ``run`` wires
+the plan into the HTTP sinks and returns receipt summaries; sinks and
+source fetchers take injected transports, so nothing here touches the
+network implicitly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tomixpanel_spark.session import ensure_semantics
+from tomixpanel_spark.sinks.http import (
+    HttpSink,
+    HttpSinkConfig,
+    mp_event_record,
+    mp_merge_record,
+    mp_profile_record,
+    summarize_receipts,
+)
+
+MIXPANEL_IMPORT_URL = "https://api.mixpanel.com/import"
+MIXPANEL_ENGAGE_URL = "https://api.mixpanel.com/engage"
+
+
+@dataclass
+class PipelinePlan:
+    events: Optional[DataFrame] = None
+    profiles: Optional[DataFrame] = None
+    merges: Optional[DataFrame] = None
+
+
+def build(spark: SparkSession, config: dict) -> PipelinePlan:
+    """Source config -> lazy canonical plan (the transform stage)."""
+    ensure_semantics(spark)
+    src = config["source"]
+    name = src["name"]
+    opts = src.get("options", {})
+    token = config.get("destination", {}).get("token")
+
+    if name == "csv":
+        from tomixpanel_spark.sources.csv import read_csv_all_strings
+        from tomixpanel_spark.transforms.csv import CsvMapping, csv_events, csv_profiles
+
+        df = read_csv_all_strings(spark, opts["path"])
+        m = CsvMapping(
+            event_name_col=opts["event_name_col"],
+            distinct_id_col=opts["distinct_id_col"],
+            time_col=opts["time_col"],
+            insert_id_col=opts.get("insert_id_col"),
+            ignore_cols=opts.get("ignore_cols", []),
+            import_tag=opts.get("import_tag"),
+            token=token,
+        )
+        plan = PipelinePlan(events=csv_events(df, m))
+        if opts.get("create_profiles"):
+            plan.profiles = csv_profiles(df, m)
+        return plan
+
+    if name == "amplitude":
+        from tomixpanel_spark.sources.amplitude import AmplitudeSource
+        from tomixpanel_spark.sources.staging import valid_records
+        from tomixpanel_spark.transforms.amplitude import amplitude_to_mixpanel
+
+        source = AmplitudeSource(
+            api_key=opts.get("api_key", ""),
+            api_secret=opts.get("api_secret", ""),
+            start=opts.get("start", ""),
+            end=opts.get("end", ""),
+            staging_dir=opts.get("staging_dir", opts.get("path", "")),
+            http=opts.get("http"),
+        )
+        paths = opts.get("path") or source.fetch()
+        raw = valid_records(source.read(spark, paths))
+        out = amplitude_to_mixpanel(
+            raw, token=token, run_time_ms=opts.get("run_time_ms", 0)
+        )
+        return PipelinePlan(out.events, out.profiles, out.merges)
+
+    if name in ("ga", "ga360", "googleAnalytics"):
+        from tomixpanel_spark.sources.gcs import GcsGaSource
+        from tomixpanel_spark.sources.staging import valid_records
+        from tomixpanel_spark.transforms.ga import ga_events, ga_profiles
+
+        source = GcsGaSource(
+            bucket=opts.get("bucket", ""),
+            staging_dir=opts.get("staging_dir", opts.get("path_to_data", "")),
+            list_objects=opts.get("list_objects"),
+            download=opts.get("download"),
+        )
+        paths = opts.get("path_to_data") or source.fetch()
+        raw = valid_records(source.read(spark, paths))
+        return PipelinePlan(
+            events=ga_events(
+                raw,
+                move_to_present=bool(opts.get("move_data_to_present")),
+                anchor_now_ms=opts.get("anchor_now_ms"),
+            ),
+            profiles=ga_profiles(raw, token=token),
+        )
+
+    if name == "mixpanel":
+        from tomixpanel_spark.sources.mixpanel import MixpanelExportSource
+        from tomixpanel_spark.sources.staging import valid_records
+        from tomixpanel_spark.transforms.mixpanel import mp_export_events
+
+        source = MixpanelExportSource(
+            api_secret=opts.get("api_secret", ""),
+            from_date=opts.get("from_date", ""),
+            to_date=opts.get("to_date", ""),
+            staging_dir=opts.get("staging_dir", opts.get("path", "")),
+            where=opts.get("where"),
+            events=opts.get("events"),
+            http=opts.get("http"),
+        )
+        path = opts.get("path") or source.fetch()
+        raw = valid_records(source.read(spark, path))
+        return PipelinePlan(events=mp_export_events(raw))
+
+    raise ValueError(f"unknown source: {name!r}")
+
+
+def run(
+    spark: SparkSession,
+    config: dict,
+    transport=None,
+    concurrency: Optional[int] = None,
+) -> dict:
+    """build + load: send the plan through the Mixpanel sinks in the
+    reference's order (events, then profiles, then merges —
+    connectors/amplitudeETL.js:63-65). Returns per-stream receipt summaries."""
+    plan = build(spark, config)
+    dest = config.get("destination", {})
+    dopts = dest.get("options", {})
+    base = HttpSinkConfig(
+        url=dopts.get("import_url", MIXPANEL_IMPORT_URL),
+        headers=dopts.get("headers", {}),
+        max_records=dopts.get("recordsPerBatch", 2000),
+        gzip=dopts.get("gzip", True),
+        strict=dopts.get("strict", True),
+        min_interval_s=dopts.get("min_interval_s", 0.0),
+    )
+    summary = {}
+    if plan.events is not None:
+        sink = HttpSink(base, mp_event_record, transport)
+        summary["events"] = summarize_receipts(sink.send(plan.events, concurrency))
+    if plan.profiles is not None:
+        pcfg = HttpSinkConfig(
+            url=dopts.get("engage_url", MIXPANEL_ENGAGE_URL),
+            headers=dopts.get("headers", {}),
+            max_records=dopts.get("profilesPerBatch", 2000),
+            gzip=base.gzip,
+            strict=False,  # /engage has no strict param (K5)
+            min_interval_s=base.min_interval_s,
+        )
+        sink = HttpSink(pcfg, mp_profile_record, transport)
+        summary["profiles"] = summarize_receipts(sink.send(plan.profiles, concurrency))
+    if plan.merges is not None:
+        sink = HttpSink(base, mp_merge_record, transport)
+        summary["merges"] = summarize_receipts(sink.send(plan.merges, concurrency))
+    return summary

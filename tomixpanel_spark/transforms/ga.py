@@ -1,0 +1,288 @@
+"""GA360 BigQuery-export sessions -> Mixpanel events/profiles.
+
+Re-expresses reference transform/gaToMixpanel.js over typed session rows
+(schemas.GA_SESSION_SCHEMA):
+
+  * per session: a 'session begins' event at visitStartTime*1000 (:144-154),
+    one event per hits[] element at start+hit.time (0 offset bumped +1000ms,
+    :169-175), and a 'session ends' event at last-hit-time+1000 (:266-280;
+    sessions with no hits end at start+1000).
+  * event name resolution :181-195: eventAction unless 'na'/'' ->
+    eventCategory -> hit.type.
+  * default props (mapDefaults :303-386): device (11 pairs), location
+    (8 pairs), attribution (9 pairs), lat/long hoist, UTM Channel —
+    attached to every event and to the per-session profile (:101-127).
+  * custom dimensions/metrics/variables :228-239: '<prefix> #<index>
+    (<eventName>)' keys, skipping 'na'/'' values.
+  * $insert_id on every event (:283-287) — canonical md5 (pinned fields),
+    not JSON-stringify (see transforms.amplitude docstring).
+  * move-to-present (:290-298): offset = anchor - TRUE max time - 4 days.
+    The reference anchors on the last array element — a flagged bug we fix
+    (SURVEY.md §7); anchor passed in for determinism.
+
+Physical shape: session-level prep is one narrow projection; hits explode
+is the only row-multiplying operator; begins/ends are projections unioned
+by name. No shuffle at all unless move_to_present (one broadcast of a
+1-row aggregate). Nested-array work (custom dims) stays in higher-order
+functions — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tomixpanel_spark.functions.canonical import canonical_insert_id
+
+SOURCE_TAG = "ga360toMixpanel (by AK)"
+
+# reference gaToMixpanel.js:308-320
+GA_DEVICE_PAIRS = (
+    ("browser", "$browser"),
+    ("browserSize", "screen size"),
+    ("browserVersion", "$browser_version"),
+    ("deviceCategory", "device type"),
+    ("mobileDeviceInfo", "$device"),
+    ("mobileDeviceModel", "$model"),
+    ("operatingSystem", "$os"),
+    ("operatingSystemVersion", "$os_version"),
+    ("mobileDeviceBranding", "$brand"),
+    ("language", "language"),
+    ("screenResolution", "screen size"),
+)
+# reference gaToMixpanel.js:323-332
+GA_LOCATION_PAIRS = (
+    ("continent", "continent"),
+    ("subContinent", "sub continent"),
+    ("country", "mp_country_code"),
+    ("region", "$region"),
+    ("metro", "dma"),
+    ("city", "$city"),
+    ("latitude", "$latitude"),
+    ("longitude", "$longitude"),
+)
+# reference gaToMixpanel.js:335-345
+GA_ATTRIBUTION_PAIRS = (
+    ("adContent", "utm_content"),
+    ("campaign", "utm_campaign"),
+    ("campaignCode", "utm_term"),
+    ("isTrueDirect", "is true direct?"),
+    ("keyword", "utm_keyword"),
+    ("medium", "utm_medium"),
+    ("referralPath", "$referrer"),
+    ("source", "utm_source"),
+)
+
+FOUR_DAYS_MS = 345_600 * 1000  # reference gaToMixpanel.js:294
+
+
+def _truthy(c: Column) -> Column:
+    return c.isNotNull() & (c.cast("string") != "") & (c.cast("string") != "false")
+
+
+def _opt_entries(pairs: list[tuple[str, Column]]) -> Column:
+    entries = F.array(
+        *[
+            F.when(_truthy(v), F.struct(F.lit(k).alias("key"), v.cast("string").alias("value")))
+            for k, v in pairs
+        ]
+    )
+    return F.map_from_entries(F.filter(entries, lambda e: e.isNotNull()))
+
+
+def _uuid() -> Column:
+    """userId || fullVisitorId || visitorId || client_id || visitId || ''
+    (reference :111,135)."""
+    return F.coalesce(
+        *[
+            F.nullif(F.col(c), F.lit(""))
+            for c in ("userId", "fullVisitorId", "visitorId", "client_id", "visitId")
+        ],
+        F.lit(""),
+    )
+
+
+def _default_props() -> Column:
+    """mapDefaults(session): device + location + attribution pairs,
+    lat/long hoist handled at the profile level, UTM Channel."""
+    pairs = (
+        [(dst, F.col(f"device.{src}")) for src, dst in GA_DEVICE_PAIRS]
+        + [(dst, F.col(f"geoNetwork.{src}")) for src, dst in GA_LOCATION_PAIRS]
+        + [(dst, F.col(f"trafficSource.{src}")) for src, dst in GA_ATTRIBUTION_PAIRS]
+        + [("UTM Channel", F.col("channelGrouping"))]
+    )
+    return _opt_entries(pairs)
+
+
+def _session_base(df: DataFrame) -> DataFrame:
+    """Per-session narrow prep: identity, start time, default props,
+    summary JSON, hits array carried through."""
+    return df.select(
+        _uuid().alias("distinct_id"),
+        (F.col("visitStartTime").cast("bigint") * 1000).alias("start_ms"),
+        _default_props().alias("defaults"),
+        F.to_json("totals").alias("summary"),
+        F.col("hits"),
+    )
+
+
+def _boundary(base: DataFrame, name: str, time_ms: Column) -> DataFrame:
+    props = F.map_concat(
+        _opt_entries([("summary", F.col("summary")), ("$source", F.lit(SOURCE_TAG))]),
+        F.col("defaults"),
+    )
+    return base.select(
+        F.lit(name).alias("event"),
+        F.col("distinct_id"),
+        time_ms.alias("time_ms"),
+        props.alias("props"),
+    )
+
+
+def _last_hit_end_ms() -> Column:
+    """Running endTime after the hit loop == last array element's event
+    time (reference :178,266-280); sessions without hits end at start."""
+    last = F.element_at("hits", -1)
+    last_t = last["time"].cast("bigint")
+    return F.when(
+        F.size("hits") > 0,
+        F.col("start_ms") + F.when(last_t == 0, 1000).otherwise(last_t),
+    ).otherwise(F.col("start_ms"))
+
+
+def _hit_events(base: DataFrame) -> DataFrame:
+    h = base.select(
+        "distinct_id", "start_ms", "defaults", F.explode("hits").alias("hit")
+    )
+    hit = F.col("hit")
+    t = hit["time"].cast("bigint")
+    time_ms = F.col("start_ms") + F.when(t == 0, 1000).otherwise(t)
+
+    action = hit["eventInfo"]["eventAction"]
+    name = F.when(
+        hit["eventInfo"].isNotNull()
+        & action.isNotNull()
+        & (F.lower(action) != "na")
+        & (action != ""),
+        action,
+    ).when(
+        hit["eventInfo"].isNotNull(), hit["eventInfo"]["eventCategory"]
+    ).otherwise(hit["type"])
+
+    def custom(prefix: str, field: str) -> Column:
+        """'<prefix> #<index> (<eventName>)' keys, skipping na/'' values
+        (reference :228-239)."""
+        arr = F.coalesce(
+            hit[field], F.array().cast("array<struct<index:string,value:string>>")
+        )
+        return F.map_from_entries(
+            F.transform(
+                F.filter(
+                    arr,
+                    lambda d: d["value"].isNotNull()
+                    & (F.lower(d["value"]) != "na")
+                    & (d["value"] != ""),
+                ),
+                lambda d: F.struct(
+                    F.concat(
+                        F.lit(f"{prefix} #"), d["index"], F.lit(" ("), name, F.lit(")")
+                    ).alias("key"),
+                    d["value"].alias("value"),
+                ),
+            )
+        )
+
+    page = _opt_entries(
+        [
+            ("pagePath", hit["page"]["pagePath"]),
+            ("hostname", hit["page"]["hostname"]),
+            ("pageTitle", hit["page"]["pageTitle"]),
+        ]
+    )
+    event_info = _opt_entries(
+        [
+            ("eventCategory", hit["eventInfo"]["eventCategory"]),
+            ("eventAction", hit["eventInfo"]["eventAction"]),
+            ("eventLabel", hit["eventInfo"]["eventLabel"]),
+        ]
+    )
+    simple = _opt_entries(
+        [
+            ("$referrer", hit["referer"]),
+            ("isEntrance", hit["isEntrance"]),
+            ("isExit", hit["isExit"]),
+            ("isInteraction", hit["isInteraction"]),
+        ]
+    )
+    aliased = _opt_entries(
+        [
+            ("products", F.to_json(hit["product"])),
+            ("promotions", F.to_json(hit["promotion"])),
+        ]
+    )
+    flat_maps = [
+        F.coalesce(hit["transaction"], F.create_map().cast("map<string,string>")),
+        F.coalesce(hit["social"], F.create_map().cast("map<string,string>")),
+    ]
+    props = F.map_concat(
+        _opt_entries([("$source", F.lit(SOURCE_TAG))]),
+        F.col("defaults"),
+        simple,
+        aliased,
+        *flat_maps,
+        page,
+        event_info,
+        custom("variable", "customVariables"),
+        custom("dimension", "customDimensions"),
+        custom("metric", "customMetrics"),
+    )
+    return h.select(
+        name.alias("event"),
+        F.col("distinct_id"),
+        time_ms.alias("time_ms"),
+        props.alias("props"),
+    )
+
+
+def ga_events(df: DataFrame, move_to_present: bool = False, anchor_now_ms: int | None = None) -> DataFrame:
+    """Sessions -> full event stream (begins + hits + ends), $insert_id on
+    every row; optional move-to-present shift."""
+    base = _session_base(df)
+    begins = _boundary(base, "session begins", F.col("start_ms"))
+    ends = _boundary(base, "session ends", _last_hit_end_ms() + 1000)
+    events = begins.unionByName(_hit_events(base)).unionByName(ends)
+    events = events.withColumn(
+        "insert_id",
+        canonical_insert_id(
+            F.col("event"),
+            F.col("distinct_id"),
+            F.col("time_ms"),
+            F.md5(F.to_json(F.sort_array(F.map_entries("props")))),
+        ),
+    )
+    if move_to_present:
+        if anchor_now_ms is None:
+            raise ValueError("anchor_now_ms required for deterministic move_to_present")
+        mx = events.agg(F.max("time_ms").alias("max_ms"))
+        events = events.crossJoin(F.broadcast(mx)).withColumn(
+            "time_ms",
+            F.col("time_ms") + F.lit(anchor_now_ms) - F.col("max_ms") - F.lit(FOUR_DAYS_MS),
+        ).drop("max_ms")
+    return events.select("event", "distinct_id", "time_ms", "insert_id", "props")
+
+
+def ga_profiles(df: DataFrame, token: str | None = None) -> DataFrame:
+    """One $set profile per session (reference mapUserProfiles :101-127),
+    with the lat/long hoist when both are present."""
+    defaults = _default_props()
+    lat = F.col("geoNetwork.latitude")
+    lng = F.col("geoNetwork.longitude")
+    both = _truthy(lat) & _truthy(lng)
+    return df.select(
+        F.lit(token).cast("string").alias("token"),
+        _uuid().alias("distinct_id"),
+        F.lit(None).cast("string").alias("ip"),
+        defaults.alias("set"),
+        F.when(both, lat.cast("string")).alias("latitude"),
+        F.when(both, lng.cast("string")).alias("longitude"),
+    )
