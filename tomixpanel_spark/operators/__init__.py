@@ -3,12 +3,14 @@ SURVEY.md §2 plus the scale extensions (dedup / similarity / text /
 multimodal)."""
 
 from tomixpanel_spark.operators import (
+    analytics,
     dedup,
     events,
     multimodal,
     relational,
     similarity,
     textops,
+    transform_parity,
 )
 from tomixpanel_spark.operators.base import QuerySpec, collect_registry
 from tomixpanel_spark.sources import csv as csv_source
@@ -16,7 +18,15 @@ from tomixpanel_spark.sources import csv as csv_source
 
 def registry() -> dict[str, QuerySpec]:
     return collect_registry(
-        relational, events, textops, dedup, similarity, multimodal, csv_source
+        relational,
+        events,
+        textops,
+        dedup,
+        similarity,
+        multimodal,
+        csv_source,
+        analytics,
+        transform_parity,
     )
 
 

@@ -1,0 +1,124 @@
+"""Event-analytics operators over ``events`` — the query surface the
+reference feeds (it ships events to Mixpanel precisely so these questions
+can be asked). The engine answers them natively (SURVEY.md §2.6: the
+reference has no query layer; ours is Spark's own).
+
+All are classic one-or-two-shuffle shapes:
+  * sessionize — gap-based sessionization via window lag + running sum
+    (one shuffle on user_id, then narrow).
+  * funnel — ordered multi-step conversion via per-step min-time joins
+    (step tables are per-user aggregates; joins are small-keyed).
+  * retention — first-seen cohort x day-offset distinct users (two hash
+    aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tomixpanel_spark.operators.base import QuerySpec, table
+
+SESSION_GAP_S = 1800
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap from the
+    previous event exceeds 30 min. session_num is the running count of
+    session starts per user — the stateful operator the reference fakes
+    with 'session begins/ends' rows (M2), done relationally."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_seconds(F.col("ts")) - F.unix_seconds(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new).over(run).cast("bigint").alias("session_num"),
+    )
+
+
+_SESSIONIZE_SQL = f"""
+SELECT event_id, user_id,
+  CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > {SESSION_GAP_S} THEN 1 ELSE 0 END)
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
+FROM (
+  SELECT event_id, user_id, ts,
+         epoch(ts)::BIGINT - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT AS gap_s
+  FROM events)
+"""
+
+
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel view -> click -> purchase: users counted at
+    each stage, each later step strictly after the user's previous-step
+    time. Per-user step tables are tiny aggregates; at 100 TB the joins
+    hash on user_id and AQE broadcasts the shrinking step tables."""
+    ev = table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None, prev_col: str | None):
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias("t1"))
+        j = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_col))
+        return j.groupBy("user_id").agg(F.min("ts").alias(prev_col + "x"))
+
+    s1 = first_after("view", None, None)
+    s2 = first_after("click", s1, "t1").withColumnRenamed("t1x", "t2")
+    s3 = first_after("purchase", s2, "t2").withColumnRenamed("t2x", "t3")
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("1_view").alias("stage"), "n_users")
+        .unionByName(s2.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("2_click").alias("stage"), "n_users"))
+        .unionByName(s3.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("3_purchase").alias("stage"), "n_users"))
+    )
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM s1
+UNION ALL SELECT '2_click', COUNT(*) FROM s2
+UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
+"""
+
+
+def retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date; for each day
+    offset 0..7, distinct returning users."""
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    j = ev.join(first, "user_id").select(
+        "user_id",
+        F.col("cohort").cast("string").alias("cohort_date"),
+        F.datediff(F.to_date("ts"), F.col("cohort")).cast("bigint").alias("day_offset"),
+    )
+    return (
+        j.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_RETENTION_SQL = """
+WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1)
+SELECT CAST(cohort AS VARCHAR) AS cohort_date,
+       date_diff('day', cohort, CAST(ts AS DATE)) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first ON e.user_id = first.user_id
+WHERE date_diff('day', cohort, CAST(ts AS DATE)) <= 7
+GROUP BY 1, 2
+"""
+
+
+REGISTRY = {
+    "sessionize": QuerySpec(sessionize, _SESSIONIZE_SQL, "analytics"),
+    "funnel": QuerySpec(funnel, _FUNNEL_SQL, "analytics"),
+    "retention": QuerySpec(retention, _RETENTION_SQL, "analytics"),
+}
