@@ -1,0 +1,186 @@
+"""Reverse-ETL sinks, stateful streaming sessionization, learned-IVF ANN,
+and multimodal decoder injection."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.fixtures import mp_export_lines
+from tests.test_sinks_sources import StubServer
+
+
+class TestReverseEtl:
+    def _mp_df(self, spark, tmp_path):
+        from tomixpanel_spark.schemas import MP_EXPORT_SCHEMA
+        from tomixpanel_spark.sources.staging import read_json_auto, valid_records
+
+        p = tmp_path / "export.ndjson"
+        p.write_text(mp_export_lines(30))
+        return valid_records(read_json_auto(spark, str(p), MP_EXPORT_SCHEMA))
+
+    def test_amplitude_reverse_send(self, spark, tmp_path):
+        from tomixpanel_spark.sinks.reverse import send_reverse_amplitude
+        from tomixpanel_spark.transforms.mixpanel import (
+            mp_to_amplitude_events,
+            mp_to_amplitude_users,
+        )
+
+        raw = self._mp_df(spark, tmp_path)
+        events = mp_to_amplitude_events(raw)
+        users = mp_to_amplitude_users(
+            raw.select(F.col("properties")["distinct_id"].alias("distinct_id"))
+            .distinct()
+            .withColumn("set", F.create_map(F.lit("plan"), F.lit("pro")))
+        )
+        from tomixpanel_spark.sinks.reverse import amplitude_events_sink, amplitude_users_sink
+        from tomixpanel_spark.sinks.http import summarize_receipts
+
+        s = StubServer()
+        try:
+            ev_sink = amplitude_events_sink("KEY", url=s.url)
+            us_sink = amplitude_users_sink("KEY", url=s.url)
+            out = {
+                "events": summarize_receipts(ev_sink.send(events, 1)),
+                "users": summarize_receipts(us_sink.send(users, 1)),
+            }
+            assert out["events"]["imported"] == 30
+            assert out["users"]["imported"] == 4
+            ev_call = next(c for c in s.requests if c["records"][0].get("event_type"))
+            rec = ev_call["records"][0]
+            assert rec["api_key"] == "KEY"
+            assert rec["time"] % 1000 == 0  # s -> ms
+            assert "distinct_id" not in rec["event_properties"]
+        finally:
+            s.stop()
+
+    def test_woopra_shape(self, spark, tmp_path):
+        from tomixpanel_spark.sinks.http import summarize_receipts
+        from tomixpanel_spark.sinks.reverse import woopra_sink
+        from tomixpanel_spark.transforms.mixpanel import mp_to_woopra_events
+
+        raw = self._mp_df(spark, tmp_path)
+        s = StubServer()
+        try:
+            sink = woopra_sink("proj", s.url)
+            summary = summarize_receipts(sink.send(mp_to_woopra_events(raw, "proj"), 1))
+            assert summary["imported"] == 30
+            rec = s.requests[0]["records"][0]
+            assert rec["visitor"]["id"].startswith("mp_user_")
+            assert rec["actions"][0]["name"] in ("app open", "song play")
+            assert rec["actions"][0]["timestamp"] % 1000 == 0
+        finally:
+            s.stop()
+
+
+class TestStatefulSessionize:
+    def test_batch_semantics_match_relational_sessionize(self, spark, tmp_path):
+        from tomixpanel_spark.streaming.stateful import sessionize_with_state
+
+        rows = []
+        for u in range(3):
+            t = 1_600_000_000_000
+            for s in range(2):  # two sessions separated by 2h
+                for i in range(4):
+                    rows.append({"user_id": u, "time_ms": t + i * 60_000})
+                t += 2 * 3600 * 1000
+        in_dir = tmp_path / "one"
+        in_dir.mkdir()
+        (in_dir / "all.ndjson").write_text("\n".join(json.dumps(r) for r in rows))
+        stream = spark.readStream.schema("user_id long, time_ms long").json(str(in_dir))
+        out = []
+        q = (
+            sessionize_with_state(stream)
+            .writeStream.foreachBatch(lambda df, bid: out.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        closed = [r for r in out if r["closed"]]
+        open_ = [r for r in out if not r["closed"]]
+        assert len(closed) == 3  # first session of each user closed by gap
+        assert len(open_) == 3  # second session still open per user
+        for r in closed:
+            assert r["n_events"] == 4
+            assert r["session_end_ms"] - r["session_start_ms"] == 3 * 60_000
+        for r in open_:
+            assert r["session_num"] == 2
+
+    def test_streaming_microbatches_carry_state(self, spark, tmp_path):
+        """Two micro-batches: events for the same user land in separate
+        files; state must bridge them (same session continues)."""
+        from tomixpanel_spark.streaming.stateful import sessionize_with_state
+
+        in_dir = tmp_path / "ev"
+        in_dir.mkdir()
+        base = 1_600_000_000_000
+        (in_dir / "a.ndjson").write_text(
+            "\n".join(json.dumps({"user_id": 1, "time_ms": base + i * 1000}) for i in range(3))
+        )
+        (in_dir / "b.ndjson").write_text(
+            "\n".join(json.dumps({"user_id": 1, "time_ms": base + 60_000 + i * 1000}) for i in range(3))
+        )
+        stream = (
+            spark.readStream.schema("user_id long, time_ms long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = sessionize_with_state(stream)
+        collected = []
+        q = (
+            out.writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # both batches emit a live snapshot of session 1 (never rolled over)
+        assert collected, "no stateful output"
+        assert all(r["session_num"] == 1 for r in collected)
+        assert max(r["n_events"] for r in collected) == 6  # state bridged files
+
+
+class TestAnnIvf:
+    def test_ivf_close_to_brute_force(self, spark):
+        from tomixpanel_spark.operators.similarity import ann_ivf, cosine_topk
+
+        sf = "/root/testdata/sf0.001"
+        brute = {
+            (r["q_id"], r["neighbor_id"]) for r in cosine_topk(spark, sf).collect()
+        }
+        ivf = {(r["q_id"], r["neighbor_id"]) for r in ann_ivf(spark, sf).collect()}
+        # approximate: nprobe=2 of 16 cells should still recover a solid
+        # fraction of true neighbors, deterministically (fixed seed)
+        recall = len(brute & ivf) / len(brute)
+        assert recall >= 0.3, f"recall {recall}"
+        ivf2 = {(r["q_id"], r["neighbor_id"]) for r in ann_ivf(spark, sf).collect()}
+        assert ivf == ivf2  # deterministic
+
+
+class TestMultimodalDecode:
+    def test_decoder_injection_through_mapinpandas(self, spark):
+        """The decode stage is stubbed (no media libs) but the plumbing is
+        real: inject a deterministic fake decoder and check it runs inside
+        the Arrow batches."""
+        from tomixpanel_spark.operators.multimodal import decode_payload, extract_metadata
+
+        with pytest.raises(NotImplementedError):
+            decode_payload(b"\x89PNG....", "image/png")
+
+        df = spark.createDataFrame(
+            [(1, "image/png", bytearray(b"\x89PNG rest-of-bytes")),
+             (2, "audio/wav", bytearray(b"RIFF wav-bytes"))],
+            "item_id long, media_type string, payload binary",
+        )
+        meta = extract_metadata(df).collect()
+        by_id = {r["item_id"]: r for r in meta}
+        assert by_id[1]["sniffed"] == "image/png"
+        assert by_id[2]["sniffed"] == "audio/wav"
+        assert by_id[1]["n_bytes"] == len(b"\x89PNG rest-of-bytes")
+        import hashlib
+
+        assert by_id[2]["sha256"] == hashlib.sha256(b"RIFF wav-bytes").hexdigest()

@@ -214,10 +214,64 @@ WHERE {_SQL_SIM} >= {NEARDUP_E6}
 """
 
 
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with learned coarse centroids: KMeans (pyspark.ml, fixed
+    seed) partitions the corpus into cells; each query probes its nprobe=2
+    nearest cells and scores only those cells' vectors.
+
+    This is the production 100 TB shape (cluster once, write the lake
+    partitioned by cell, prune at scan time); `cosine_topk_partitioned`
+    demonstrated the same pruning with the fixture's label column — here
+    the cells are learned. Centroid training is not SQL-expressible, so
+    this query has no DuckDB oracle (driver records the rows-only check).
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table(spark, sf_dir, "embeddings")
+    vec = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=16, seed=42, featuresCol="features").fit(vec)
+    cells = model.transform(vec).select("vec_id", F.col("prediction").alias("cell"))
+    corpus = _unit(emb, "neighbor_id").join(cells.withColumnsRenamed({"vec_id": "neighbor_id"}), "neighbor_id")
+    corpus = corpus.select("neighbor_id", "unit", F.col("cell").alias("label"))
+
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    qrows = _unit(emb.filter(F.col("vec_id") < N_QUERIES), "q_id").collect()
+    q_ids, q_mats, q_cells = [], [], []
+    for r in qrows:
+        qv = np.array(r["unit"], dtype="float64")
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:2]:  # nprobe = 2
+            q_ids.append(r["q_id"])
+            q_mats.append(qv)
+            q_cells.append(int(cell))
+    scored = _scored_pairs(
+        corpus,
+        np.array(q_ids, dtype="int64"),
+        np.array(q_mats, dtype="float64"),
+        local_k=TOP_K,
+        threshold_e6=None,
+        q_labels=np.array(q_cells),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", "rank", "sim_e6")
+    )
+
+
 REGISTRY = {
     "cosine_topk": QuerySpec(cosine_topk, _COSINE_TOPK_SQL, "ext:similarity"),
     "cosine_topk_partitioned": QuerySpec(
         cosine_topk_partitioned, _COSINE_TOPK_PART_SQL, "ext:similarity"
     ),
     "embedding_neardup": QuerySpec(embedding_neardup, _EMBEDDING_NEARDUP_SQL, "ext:similarity"),
+    "ann_ivf": QuerySpec(ann_ivf, None, "ext:similarity scale path (no SQL oracle)"),
 }
