@@ -1,0 +1,102 @@
+"""Lake writers (partitioned/bucketed layout), salted join, CLI entry."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestLake:
+    def test_events_partitioned_by_date_prunes(self, spark, tmp_path):
+        from tomixpanel_spark.plans.audit import formatted_plan
+        from tomixpanel_spark.sinks.lake import write_events_partitioned
+
+        events = spark.range(200).select(
+            F.lit("ev").alias("event"),
+            F.col("id").cast("string").alias("distinct_id"),
+            (F.lit(1_600_000_000_000) + F.col("id") * 43_200_000).alias("time_ms"),
+            F.md5(F.col("id").cast("string")).alias("insert_id"),
+        )
+        out = str(tmp_path / "lake")
+        write_events_partitioned(events, out)
+        back = spark.read.parquet(out)
+        one_day = back.filter(F.col("event_date") == "2020-09-14")
+        assert one_day.count() == 2  # 2 events/day at 12h spacing
+        plan = formatted_plan(one_day)
+        assert "PartitionFilters" in plan  # pruning, not scan-then-filter
+
+    def test_salted_join_matches_plain_join(self, spark):
+        from tomixpanel_spark.functions.skew import salted_join
+
+        big = spark.range(10_000).select(
+            (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+        )  # 5 hot keys
+        small = spark.createDataFrame(
+            [(i, f"dim_{i}") for i in range(5)], "k long, name string"
+        )
+        plain = big.join(small, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        ).collect()[0]
+        salted = salted_join(big, small, "k", salts=8).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        ).collect()[0]
+        assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+
+class TestCli:
+    def _run(self, args):
+        return subprocess.run(
+            [sys.executable, "-m", "tomixpanel_spark", *args],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=300,
+        )
+
+    def test_no_config_prints_example(self):
+        r = self._run([])
+        assert r.returncode == 2
+        assert "example config" in r.stderr
+        assert "event_name_col" in r.stderr
+
+    def test_bad_json_config(self, tmp_path):
+        p = tmp_path / "bad.json"
+        p.write_text("{not json")
+        r = self._run([str(p)])
+        assert r.returncode == 2
+        assert "could not read config" in r.stderr
+
+    def test_dry_run_counts(self, tmp_path):
+        from tests.fixtures import csv_text
+
+        csv_path = tmp_path / "in.csv"
+        csv_path.write_text(csv_text())
+        cfg = tmp_path / "job.json"
+        cfg.write_text(
+            json.dumps(
+                {
+                    "source": {
+                        "name": "csv",
+                        "options": {
+                            "path": str(csv_path),
+                            "event_name_col": "action",
+                            "distinct_id_col": "guid",
+                            "time_col": "time",
+                            "insert_id_col": "insert_id",
+                            "create_profiles": True,
+                        },
+                    },
+                    "destination": {"name": "mixpanel", "token": "t"},
+                }
+            )
+        )
+        r = self._run(["--dry-run", str(cfg)])
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out == {"dry_run": True, "rows": {"events": 20, "profiles": 6}}

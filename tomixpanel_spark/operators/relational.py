@@ -224,6 +224,82 @@ GROUP BY n_name
 """
 
 
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set rollup over orders (subtotals + grand total) — part of
+    the free Catalyst query surface the reference lacks (SURVEY §2.6)."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+_ROLLUP_ORDERS_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts by status into columns (conditional aggregation —
+    identical physical shape to Catalyst's pivot rewrite, portable names)."""
+    o = table(spark, sf_dir, "orders")
+    def cnt(status):
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0)).cast(
+            "bigint"
+        )
+    return o.groupBy("o_orderpriority").agg(
+        cnt("O").alias("n_open"), cnt("F").alias("n_filled"), cnt("P").alias("n_partial")
+    )
+
+
+_PIVOT_STATUS_SQL = """
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total (window frame sum). DECIMAL inside
+    the frame keeps the running sum exact => deterministic under any
+    partitioning, bit-equal to the oracle."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+        (F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        )).cast("bigint").alias("order_seq"),
+    )
+
+
+_WINDOW_RUNNING_SQL = """
+SELECT o_orderkey, o_custkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+FROM orders
+"""
+
+
 REGISTRY = {
     "project_rename": QuerySpec(project_rename, _PROJECT_RENAME_SQL, "T1"),
     "project_drop": QuerySpec(project_drop, _PROJECT_DROP_SQL, "T2"),
@@ -232,4 +308,7 @@ REGISTRY = {
     "tpch_q1": QuerySpec(tpch_q1, _TPCH_Q1_SQL, "bench headline"),
     "tpch_q3": QuerySpec(tpch_q3, _TPCH_Q3_SQL, "bench headline"),
     "tpch_q5": QuerySpec(tpch_q5, _TPCH_Q5_SQL, "bench headline"),
+    "rollup_orders": QuerySpec(rollup_orders, _ROLLUP_ORDERS_SQL, "free surface"),
+    "pivot_status": QuerySpec(pivot_status, _PIVOT_STATUS_SQL, "free surface"),
+    "window_running": QuerySpec(window_running, _WINDOW_RUNNING_SQL, "free surface"),
 }

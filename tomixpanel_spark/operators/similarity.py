@@ -236,7 +236,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = emb.select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
-    model = KMeans(k=16, seed=42, featuresCol="features").fit(vec)
+    model = KMeans(k=16, seed=42, maxIter=8, featuresCol="features").fit(vec)
     cells = model.transform(vec).select("vec_id", F.col("prediction").alias("cell"))
     corpus = _unit(emb, "neighbor_id").join(cells.withColumnsRenamed({"vec_id": "neighbor_id"}), "neighbor_id")
     corpus = corpus.select("neighbor_id", "unit", F.col("cell").alias("label"))
