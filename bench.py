@@ -37,7 +37,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(reg):
         t0 = time.perf_counter()
-        rows = reg[name].fn(spark, sf_dir).collect()
+        df = reg[name].fn(spark, sf_dir)
+        try:
+            # Arrow-batched materialization (columnar driver transfer);
+            # results with Arrow-unsupported types fall back to collect().
+            rows = df.toPandas()
+        except Exception:
+            rows = df.collect()
         timings[name] = round(time.perf_counter() - t0, 4)
         del rows
 

@@ -117,8 +117,63 @@ GROUP BY 1, 2
 """
 
 
+
+
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type (p50/p95).
+
+    Uses Spark's exact ``percentile`` (sort-based), not approx sketches —
+    deterministic and oracle-comparable; emitted at 1e-6 integer scale to
+    absorb interpolation-arithmetic ULPs across engines. At 100 TB swap in
+    ``approx_percentile`` (fixed-size GK sketch, mergeable map-side) when
+    the exactness/cost trade flips.
+    """
+    ev = table(spark, sf_dir, "events")
+    def pe6(p):
+        return F.round(F.expr(f"percentile(value, {p})") * 1_000_000).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        pe6(0.5).alias("p50_e6"), pe6(0.95).alias("p95_e6")
+    )
+
+
+_VALUE_QUANTILES_SQL = """
+SELECT event_type,
+  CAST(round(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_e6,
+  CAST(round(quantile_cont(value, 0.95) * 1000000) AS BIGINT) AS p95_e6
+FROM events GROUP BY event_type
+"""
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations the reference lacks entirely (SURVEY §2.6): users who
+    clicked EXCEPT users who purchased, INTERSECT with error-reporters."""
+    # cutoff keeps the result non-degenerate (without it, every synthetic
+    # user eventually does every event type and the difference is empty)
+    ev = table(spark, sf_dir, "events").filter(F.col("ts") < "2024-01-02")
+    def users(t):
+        return ev.filter(F.col("event_type") == t).select("user_id")
+    clicked_not_bought = users("click").distinct().exceptAll(users("purchase").distinct())
+    also_errored = clicked_not_bought.intersect(users("error").distinct())
+    return also_errored.select("user_id")
+
+
+_SET_OPS_SQL = """
+SELECT user_id FROM (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-02'
+  EXCEPT ALL
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-02')
+INTERSECT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-02'
+"""
+
+
 REGISTRY = {
     "sessionize": QuerySpec(sessionize, _SESSIONIZE_SQL, "analytics"),
     "funnel": QuerySpec(funnel, _FUNNEL_SQL, "analytics"),
     "retention": QuerySpec(retention, _RETENTION_SQL, "analytics"),
+    "value_quantiles": QuerySpec(value_quantiles, _VALUE_QUANTILES_SQL, "analytics"),
+    "set_ops": QuerySpec(set_ops, _SET_OPS_SQL, "free surface"),
 }
