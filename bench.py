@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tomixpanel_spark.operators import registry  # noqa: E402
+from tomixpanel_spark.operators.base import table  # noqa: E402
 from tomixpanel_spark.session import ensure_semantics, session_builder  # noqa: E402
 
 
@@ -31,8 +32,20 @@ def main() -> None:
     ensure_semantics(spark)
 
     reg = registry()
-    # warm the JVM/session so query 1 doesn't pay session startup
+    # Warm the JVM before timing: the first queries in a fresh JVM pay JIT
+    # + codegen + Arrow init (measured ~2x on early queries). Exercise each
+    # engine family once at the smallest scale factor.
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm_sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_sf):
+        warm_sf = sf_dir
+    for t in ("events", "lineitem", "documents", "embeddings"):
+        table(spark, sf_dir, t).limit(1000).collect()
+    for warm_q in ("count_agg", "dedup_by_key", "tpch_q5", "cosine_topk", "word_freq", "amp_transform", "custom_dims", "minhash_signature"):
+        try:
+            reg[warm_q].fn(spark, warm_sf).toPandas()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in sorted(reg):

