@@ -157,7 +157,197 @@ FROM events
 """
 
 
+
+
+def _synth_ga_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> GA360-session-shaped rows: one session per (user_id, day),
+    hits = that day's events in (ts, event_id) order as nested structs.
+
+    Construction is SQL-mirrorable: every derived value is a deterministic
+    function of the events row set (offsets from the per-group min ts,
+    modular null patterns), so the oracle can re-derive the transform's
+    outputs without materializing the nested intermediate.
+    """
+    ev = table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
+    e = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.unix_millis("ts").alias("t_ms"),
+        "event_id",
+        "event_type",
+    )
+    grouped = e.groupBy("user_id", "day").agg(
+        F.min("t_ms").alias("start_ms"),
+        F.array_sort(
+            F.collect_list(F.struct("t_ms", "event_id", "event_type"))
+        ).alias("evs"),
+    )
+    hit = lambda x, i: F.struct(  # noqa: E731
+        (i + 1).cast("string").alias("hitNumber"),
+        (x["t_ms"] - F.col("start_ms")).cast("string").alias("time"),
+        F.lit(None).cast("string").alias("hour"),
+        F.lit(None).cast("string").alias("minute"),
+        F.lit(True).alias("isInteraction"),
+        (i == 0).alias("isEntrance"),
+        F.lit(None).cast("boolean").alias("isExit"),
+        F.lit(None).cast("string").alias("referer"),
+        F.lit("PAGE").alias("type"),
+        F.lit(None).cast("struct<pagePath:string,hostname:string,pageTitle:string>").alias("page"),
+        F.when(
+            x["event_id"] % 3 != 0,
+            F.struct(
+                F.lit("interaction").alias("eventCategory"),
+                F.when(x["event_id"] % 3 == 1, F.lit("na"))
+                .otherwise(x["event_type"])
+                .alias("eventAction"),
+                F.lit(None).cast("string").alias("eventLabel"),
+            ),
+        ).alias("eventInfo"),
+        F.lit(None).cast("array<map<string,string>>").alias("product"),
+        F.lit(None).cast("array<map<string,string>>").alias("promotion"),
+        F.lit(None).cast("map<string,string>").alias("transaction"),
+        F.lit(None).cast("map<string,string>").alias("social"),
+        F.array(
+            F.struct(
+                F.lit("7").alias("index"),
+                F.when(x["event_id"] % 4 == 0, F.lit("na"))
+                .otherwise(F.concat(F.lit("v"), (x["event_id"] % 9).cast("string")))
+                .alias("value"),
+            )
+        ).alias("customDimensions"),
+        F.lit(None).cast("array<struct<index:string,value:string>>").alias("customMetrics"),
+        F.lit(None).cast("array<struct<index:string,value:string>>").alias("customVariables"),
+    )
+    u = F.col("user_id")
+    return grouped.select(
+        F.lit("1").alias("visitNumber"),
+        F.concat(F.lit("visit_"), u.cast("string"), F.lit("_"), F.col("day").cast("string")).alias("visitId"),
+        F.expr("start_ms div 1000").cast("string").alias("visitStartTime"),
+        F.col("day").cast("string").alias("date"),
+        F.concat(F.lit("fv"), (u % 7).cast("string")).alias("fullVisitorId"),
+        F.when(u % 3 == 0, F.lit(None)).otherwise(F.concat(F.lit("gu"), u.cast("string"))).alias("userId"),
+        F.lit(None).cast("string").alias("visitorId"),
+        F.lit(None).cast("string").alias("client_id"),
+        F.lit("Organic Search").alias("channelGrouping"),
+        F.lit(None).cast("string").alias("socialEngagementType"),
+        F.struct(
+            F.lit("1").alias("visits"),
+            F.size("evs").cast("string").alias("hits"),
+            F.lit(None).cast("string").alias("pageviews"),
+            F.lit(None).cast("string").alias("timeOnSite"),
+        ).alias("totals"),
+        F.struct(
+            F.lit(None).cast("string").alias("campaign"),
+            F.lit("google").alias("source"),
+            F.lit("organic").alias("medium"),
+            F.when(u % 2 == 0, F.lit("shoes")).alias("keyword"),
+            F.lit(None).cast("string").alias("adContent"),
+            F.lit(None).cast("string").alias("campaignCode"),
+            F.lit(None).cast("string").alias("referralPath"),
+            F.lit(None).cast("boolean").alias("isTrueDirect"),
+            F.lit(None).cast("struct<criteriaParameters:string>").alias("adwordsClickInfo"),
+        ).alias("trafficSource"),
+        F.struct(
+            F.lit("Chrome").alias("browser"),
+            F.lit(None).cast("string").alias("browserSize"),
+            F.lit(None).cast("string").alias("browserVersion"),
+            F.lit("desktop").alias("deviceCategory"),
+            F.lit(None).cast("string").alias("mobileDeviceInfo"),
+            F.lit(None).cast("string").alias("mobileDeviceModel"),
+            F.lit("Macintosh").alias("operatingSystem"),
+            F.lit(None).cast("string").alias("operatingSystemVersion"),
+            F.lit(None).cast("string").alias("mobileDeviceBranding"),
+            F.lit("en-us").alias("language"),
+            F.lit(None).cast("string").alias("screenResolution"),
+            F.lit(False).alias("isMobile"),
+        ).alias("device"),
+        F.struct(
+            F.lit(None).cast("string").alias("continent"),
+            F.lit(None).cast("string").alias("subContinent"),
+            F.when(u % 4 != 0, F.lit("United States")).alias("country"),
+            F.lit(None).cast("string").alias("region"),
+            F.lit(None).cast("string").alias("metro"),
+            F.lit("San Francisco").alias("city"),
+            F.when(u % 3 == 0, F.lit("37.77")).alias("latitude"),
+            F.when(u % 3 == 0, F.lit("-122.41")).alias("longitude"),
+        ).alias("geoNetwork"),
+        F.lit(None).cast("array<struct<index:string,value:string>>").alias("customDimensions"),
+        F.transform(F.col("evs"), hit).alias("hits"),
+    )
+
+
+def ga_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real transforms.ga.ga_events over synthesized nested sessions —
+    oracle-checks the explode, boundary synthesis, 0-offset bump, naming
+    chain, default-prop tables, and custom-dimension naming end-to-end."""
+    from tomixpanel_spark.schemas import GA_SESSION_SCHEMA
+    from tomixpanel_spark.transforms.ga import ga_events
+
+    sessions = _synth_ga_sessions(spark, sf_dir)
+    sessions = sessions.select(*[F.col(f.name) for f in GA_SESSION_SCHEMA.fields])
+    out = ga_events(sessions)
+    p = F.col("props")
+    return out.select(
+        "event",
+        "distinct_id",
+        "time_ms",
+        F.element_at(p, "$browser").alias("browser"),
+        F.element_at(p, "utm_keyword").alias("keyword"),
+        F.element_at(p, "mp_country_code").alias("country_code"),
+        F.element_at(p, "UTM Channel").alias("utm_channel"),
+    )
+
+
+_GA_TRANSFORM_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, epoch_ms(ts) AS t_ms, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY epoch_ms(ts), event_id) AS seq
+  FROM events),
+g AS (
+  SELECT user_id, day, min(t_ms) AS min_ms,
+         CAST(CAST(floor(min(t_ms) / 1000) AS BIGINT) * 1000 AS BIGINT) AS start_ms,
+         max(t_ms) AS max_ms, COUNT(*) AS n
+  FROM e GROUP BY 1, 2),
+ids AS (
+  SELECT *, COALESCE(CASE WHEN user_id % 3 = 0 THEN NULL
+                          ELSE 'gu' || CAST(user_id AS VARCHAR) END,
+                     'fv' || CAST(user_id % 7 AS VARCHAR)) AS distinct_id
+  FROM g),
+hits AS (
+  SELECT ids.user_id, ids.day, ids.distinct_id, ids.start_ms,
+         e.t_ms - ids.min_ms AS off, e.event_id, e.event_type, e.seq
+  FROM e JOIN ids ON e.user_id = ids.user_id AND e.day = ids.day),
+hit_events AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 'PAGE'
+              WHEN event_id % 3 = 1 THEN 'interaction'
+              ELSE event_type END AS event,
+         distinct_id,
+         start_ms + (CASE WHEN off = 0 THEN 1000 ELSE off END) AS time_ms,
+         user_id
+  FROM hits),
+bounds AS (
+  SELECT 'session begins' AS event, distinct_id, start_ms AS time_ms, user_id FROM ids
+  UNION ALL
+  SELECT 'session ends', distinct_id,
+         start_ms + (CASE WHEN max_ms - min_ms = 0 THEN 1000 ELSE max_ms - min_ms END) + 1000,
+         user_id
+  FROM ids),
+allev AS (
+  SELECT * FROM hit_events UNION ALL SELECT * FROM bounds)
+SELECT event, distinct_id, time_ms,
+  'Chrome' AS browser,
+  CASE WHEN user_id % 2 = 0 THEN 'shoes' ELSE NULL END AS keyword,
+  CASE WHEN user_id % 4 <> 0 THEN 'United States' ELSE NULL END AS country_code,
+  'Organic Search' AS utm_channel
+FROM allev
+"""
+
+
 REGISTRY = {
     "amp_transform": QuerySpec(amp_transform, _AMP_TRANSFORM_SQL, "T4+T5+T6+T8 e2e"),
     "custom_dims": QuerySpec(custom_dims, _CUSTOM_DIMS_SQL, "T12"),
+    "ga_transform": QuerySpec(ga_transform, _GA_TRANSFORM_SQL, "M1+M2+T9+T5 e2e"),
 }
