@@ -1,0 +1,77 @@
+"""Event-time windowed aggregation with watermark: late data past the
+watermark is dropped; finalized windows emit once (append mode)."""
+
+from __future__ import annotations
+
+import json
+
+
+class TestWindowedWatermark:
+    def test_late_events_dropped_finalized_windows_emit(self, spark, tmp_path):
+        from tomixpanel_spark.streaming.windowed import windowed_event_counts
+
+        in_dir = tmp_path / "win_ev"
+        in_dir.mkdir()
+        base = "2024-01-01T00:{m:02d}:00.000Z"
+
+        def line(minute, etype="click"):
+            return json.dumps({"ts": base.format(m=minute), "event_type": etype})
+
+        # b1: events in windows [00:00,00:10) and [00:10,00:20), plus one
+        # at 00:55 that will advance the watermark to 00:25
+        (in_dir / "b1.ndjson").write_text(
+            "\n".join([line(1), line(2), line(11), line(55)])
+        )
+        # b2: a fresh event — the batch in which the finalized 00:00/00:10
+        # windows are emitted and evicted
+        (in_dir / "b2.ndjson").write_text(line(56))
+        # b3: a LATE event for the long-evicted 00:00 window (must be
+        # dropped, never re-emitted) plus a fresh event
+        (in_dir / "b3.ndjson").write_text("\n".join([line(3), line(57)]))
+        # the file source orders batches by modification time — pin them
+        import os
+        import time as _time
+
+        now = _time.time()
+        for i, f in enumerate(["b1", "b2", "b3"]):
+            os.utime(in_dir / f"{f}.ndjson", (now - 120 + i * 60,) * 2)
+
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = windowed_event_counts(
+            stream, window_duration="10 minutes", watermark_delay="30 minutes"
+        )
+        collected = []
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        w0 = [r for r in collected if str(r["window_start"]) == "2024-01-01 00:00:00"]
+        # the 00:00 window emitted EXACTLY ONCE, finalized with 2 events —
+        # the late line(3) was dropped, not re-emitted
+        assert [(r["event_type"], r["n"]) for r in w0] == [("click", 2)]
+        w10 = [r for r in collected if str(r["window_start"]) == "2024-01-01 00:10:00"]
+        assert [(r["event_type"], r["n"]) for r in w10] == [("click", 1)]
+
+    def test_batch_mode_same_logical_result(self, spark):
+        from pyspark.sql import functions as F
+
+        from tomixpanel_spark.streaming.windowed import windowed_event_counts
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:01:00", "click"), ("2024-01-01 00:02:00", "click"),
+             ("2024-01-01 00:11:00", "view")],
+            "ts string, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        rows = {(str(r["window_start"]), r["event_type"]): r["n"]
+                for r in windowed_event_counts(df).collect()}
+        assert rows[("2024-01-01 00:00:00", "click")] == 2
+        assert rows[("2024-01-01 00:10:00", "view")] == 1

@@ -4,6 +4,7 @@ multimodal)."""
 
 from tomixpanel_spark.operators import (
     analytics,
+    identity,
     dedup,
     events,
     multimodal,
@@ -27,6 +28,7 @@ def registry() -> dict[str, QuerySpec]:
         csv_source,
         analytics,
         transform_parity,
+        identity,
     )
 
 

@@ -292,10 +292,43 @@ SELECT doc_id, CAST({_SIMHASH_RECON} AS BIGINT) AS simhash FROM v
 """
 
 
+
+
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup decision: verified Jaccard>=0.8 pairs ->
+    drop the higher doc_id of each pair -> emit the keep list.
+
+    This is the production flow's final step (candidates from MinHash-LSH
+    at 100 TB, pairwise Jaccard verify, greedy keep-lowest-id policy —
+    pairwise rather than transitive closure, matching common corpus-dedup
+    practice where near-dup clusters are small)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(drops, "doc_id", "left_anti").select("doc_id")
+
+
+_DEDUP_KEEP_LIST_SQL = f"""
+WITH sh AS ({_SQL_SHINGLE_ROWS}),
+c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+drops AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM c JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+  WHERE CAST(common AS DOUBLE) / CAST(na.n + nb.n - common AS DOUBLE) >= {JACCARD_THRESHOLD})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+
+
 REGISTRY = {
     "dedup_exact": QuerySpec(dedup_exact, _DEDUP_EXACT_SQL, "ext:dedup"),
     "ngram_jaccard_pairs": QuerySpec(ngram_jaccard_pairs, _NGRAM_JACCARD_SQL, "ext:dedup"),
     "minhash_signature": QuerySpec(minhash_signature, _MINHASH_SIGNATURE_SQL, "ext:dedup"),
     "minhash_lsh_pairs": QuerySpec(minhash_lsh_pairs, _MINHASH_LSH_SQL, "ext:dedup"),
     "simhash": QuerySpec(simhash, _SIMHASH_SQL, "ext:dedup"),
+    "dedup_keep_list": QuerySpec(dedup_keep_list, _DEDUP_KEEP_LIST_SQL, "ext:dedup e2e"),
 }
