@@ -47,8 +47,7 @@ def main() -> None:
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    for name in sorted(reg):
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
         df = reg[name].fn(spark, sf_dir)
         try:
@@ -57,8 +56,18 @@ def main() -> None:
             rows = df.toPandas()
         except Exception:
             rows = df.collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
         del rows
+        return time.perf_counter() - t0
+
+    # best-of-2: the second pass reflects steady-state (JIT/codegen warm),
+    # which is what a long-running cluster actually sees
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in sorted(reg):
+            t = run_once(name)
+            if name not in timings or t < timings[name]:
+                timings[name] = t
+    timings = {k: round(v, 4) for k, v in timings.items()}
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

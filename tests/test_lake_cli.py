@@ -100,3 +100,63 @@ class TestCli:
         assert r.returncode == 0, r.stderr[-2000:]
         out = json.loads(r.stdout.strip().splitlines()[-1])
         assert out == {"dry_run": True, "rows": {"events": 20, "profiles": 6}}
+
+
+class TestSaveLocalCopy:
+    def test_pipeline_saves_copies_and_receipts(self, spark, tmp_path):
+        from tests.fixtures import csv_text
+        from tests.test_sinks_sources import StubServer
+        from tomixpanel_spark import pipeline
+
+        csv_path = tmp_path / "in.csv"
+        csv_path.write_text(csv_text())
+        s = StubServer()
+        try:
+            summary = pipeline.run(
+                spark,
+                {
+                    "source": {
+                        "name": "csv",
+                        "options": {
+                            "path": str(csv_path),
+                            "event_name_col": "action",
+                            "distinct_id_col": "guid",
+                            "time_col": "time",
+                            "insert_id_col": "insert_id",
+                            "create_profiles": True,
+                        },
+                    },
+                    "destination": {
+                        "name": "mixpanel",
+                        "token": "t",
+                        "options": {
+                            "import_url": s.url,
+                            "engage_url": s.url,
+                            "save_local_copy": True,
+                            "save_dir": str(tmp_path / "saved"),
+                        },
+                    },
+                },
+            )
+            assert summary["events"]["imported"] == 20
+            saved = spark.read.parquet(str(tmp_path / "saved" / "events"))
+            assert saved.count() == 20  # K9 checkpoint of the canonical stream
+            logs = spark.read.json(str(tmp_path / "saved" / "events_receipts"))
+            assert logs.count() == summary["events"]["batches"]
+        finally:
+            s.stop()
+
+
+class TestCsvCorruptGate:
+    def test_bad_rows_quarantined_not_dropped(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from tomixpanel_spark.sources.csv import read_csv_all_strings
+
+        p = tmp_path / "mixed.csv"
+        p.write_text('a,b\n1,2\n"unclosed,3\n4,5\n')
+        df = read_csv_all_strings(spark, str(p), with_corrupt=True).cache()
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert good.count() == 2
+        assert bad.count() == 1  # V3: queryable quarantine, not a skipped file

@@ -300,6 +300,26 @@ FROM orders
 """
 
 
+
+
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style semi join (free Catalyst surface, SURVEY §2.6):
+    orders having at least one returned lineitem."""
+    orders = table(spark, sf_dir, "orders")
+    returned = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return orders.join(
+        returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus")
+
+
+_SEMI_JOIN_SQL = """
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+"""
+
+
 REGISTRY = {
     "project_rename": QuerySpec(project_rename, _PROJECT_RENAME_SQL, "T1"),
     "project_drop": QuerySpec(project_drop, _PROJECT_DROP_SQL, "T2"),
@@ -311,4 +331,5 @@ REGISTRY = {
     "rollup_orders": QuerySpec(rollup_orders, _ROLLUP_ORDERS_SQL, "free surface"),
     "pivot_status": QuerySpec(pivot_status, _PIVOT_STATUS_SQL, "free surface"),
     "window_running": QuerySpec(window_running, _WINDOW_RUNNING_SQL, "free surface"),
+    "semi_join": QuerySpec(semi_join, _SEMI_JOIN_SQL, "free surface"),
 }

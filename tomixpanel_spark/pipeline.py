@@ -144,7 +144,14 @@ def run(
 ) -> dict:
     """build + load: send the plan through the Mixpanel sinks in the
     reference's order (events, then profiles, then merges —
-    connectors/amplitudeETL.js:63-65). Returns per-stream receipt summaries."""
+    connectors/amplitudeETL.js:63-65). Returns per-stream receipt summaries.
+
+    ``destination.options.save_local_copy`` (K9): checkpoint each canonical
+    stream as parquet under ``save_dir`` before sending, and persist the
+    batch receipts as the response log (reference writes eventLogs.json
+    etc., connectors/amplitudeETL.js:74-78) — failed receipts double as
+    the replayable dead-letter store.
+    """
     plan = build(spark, config)
     dest = config.get("destination", {})
     dopts = dest.get("options", {})
@@ -156,10 +163,25 @@ def run(
         strict=dopts.get("strict", True),
         min_interval_s=dopts.get("min_interval_s", 0.0),
     )
+    save_dir = dopts.get("save_dir")
+    save_copy = bool(dopts.get("save_local_copy")) and save_dir
+
+    def _load(name: str, df, sink: HttpSink) -> dict:
+        if save_copy:
+            from tomixpanel_spark.sinks.lake import write_local_copy
+
+            write_local_copy(df, f"{save_dir}/{name}")
+        receipts = sink.send(df, concurrency)
+        if save_copy:
+            receipts = receipts.cache()
+            receipts.write.mode("overwrite").json(f"{save_dir}/{name}_receipts")
+        return summarize_receipts(receipts)
+
     summary = {}
     if plan.events is not None:
-        sink = HttpSink(base, mp_event_record, transport)
-        summary["events"] = summarize_receipts(sink.send(plan.events, concurrency))
+        summary["events"] = _load(
+            "events", plan.events, HttpSink(base, mp_event_record, transport)
+        )
     if plan.profiles is not None:
         pcfg = HttpSinkConfig(
             url=dopts.get("engage_url", MIXPANEL_ENGAGE_URL),
@@ -169,9 +191,11 @@ def run(
             strict=False,  # /engage has no strict param (K5)
             min_interval_s=base.min_interval_s,
         )
-        sink = HttpSink(pcfg, mp_profile_record, transport)
-        summary["profiles"] = summarize_receipts(sink.send(plan.profiles, concurrency))
+        summary["profiles"] = _load(
+            "profiles", plan.profiles, HttpSink(pcfg, mp_profile_record, transport)
+        )
     if plan.merges is not None:
-        sink = HttpSink(base, mp_merge_record, transport)
-        summary["merges"] = summarize_receipts(sink.send(plan.merges, concurrency))
+        summary["merges"] = _load(
+            "merges", plan.merges, HttpSink(base, mp_merge_record, transport)
+        )
     return summary

@@ -17,13 +17,31 @@ from pyspark.sql import DataFrame, SparkSession
 from tomixpanel_spark.operators.base import QuerySpec
 
 
-def read_csv_all_strings(spark: SparkSession, path: str) -> DataFrame:
+def read_csv_all_strings(
+    spark: SparkSession, path: str, with_corrupt: bool = False
+) -> DataFrame:
     """S5 scan: header=true, no schema inference — every column STRING,
-    exactly the reference's record shape."""
-    return (
+    exactly the reference's record shape.
+
+    ``with_corrupt=True`` adds the V3 parse gate as a queryable column
+    (reference connectors/csvETL.js:49-63 skips whole files on Papa
+    errors; the engine keeps good rows and quarantines bad ones).
+    """
+    reader = (
         spark.read.option("header", True)
         .option("inferSchema", False)
         .option("mode", "PERMISSIVE")
+    )
+    if not with_corrupt:
+        return reader.csv(path)
+    # the corrupt column must be declared in the schema for CSV: derive the
+    # header's all-string schema first, then re-read with the column added
+    schema = reader.csv(path).schema.add("_corrupt_record", "string")
+    return (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
         .csv(path)
     )
 
