@@ -56,9 +56,12 @@ def build(spark: SparkSession, config: dict) -> PipelinePlan:
 
     if name == "csv":
         from tomixpanel_spark.sources.csv import read_csv_all_strings
+        from tomixpanel_spark.sources.staging import valid_records
         from tomixpanel_spark.transforms.csv import CsvMapping, csv_events, csv_profiles
 
-        df = read_csv_all_strings(spark, opts["path"])
+        # V3 gate at row granularity: malformed rows are quarantined out of
+        # the transform input (the reference skips whole files on any error)
+        df = valid_records(read_csv_all_strings(spark, opts["path"], with_corrupt=True))
         m = CsvMapping(
             event_name_col=opts["event_name_col"],
             distinct_id_col=opts["distinct_id_col"],
@@ -163,18 +166,34 @@ def run(
         strict=dopts.get("strict", True),
         min_interval_s=dopts.get("min_interval_s", 0.0),
     )
+    save_copy = bool(dopts.get("save_local_copy"))
     save_dir = dopts.get("save_dir")
-    save_copy = bool(dopts.get("save_local_copy")) and save_dir
+    if save_copy and not save_dir:
+        raise ValueError("destination.options.save_local_copy requires save_dir")
 
     def _load(name: str, df, sink: HttpSink) -> dict:
         if save_copy:
-            from tomixpanel_spark.sinks.lake import write_local_copy
+            from tomixpanel_spark.sinks.lake import (
+                write_events_partitioned,
+                write_local_copy,
+            )
 
-            write_local_copy(df, f"{save_dir}/{name}")
+            # checkpoint first, then SEND FROM THE CHECKPOINT: one
+            # computation of the transform lineage, and the saved copy is
+            # byte-identical to what was sent. Events get the date-
+            # partitioned lake layout so replays prune.
+            if name == "events":
+                write_events_partitioned(df, f"{save_dir}/{name}")
+            else:
+                write_local_copy(df, f"{save_dir}/{name}")
+            df = df.sparkSession.read.parquet(f"{save_dir}/{name}")
         receipts = sink.send(df, concurrency)
         if save_copy:
-            receipts = receipts.cache()
+            # drive the send EXACTLY ONCE: persist receipts to disk, then
+            # summarize from the re-read — a second action on the live
+            # receipt stream could re-POST batches on cache eviction
             receipts.write.mode("overwrite").json(f"{save_dir}/{name}_receipts")
+            receipts = df.sparkSession.read.json(f"{save_dir}/{name}_receipts")
         return summarize_receipts(receipts)
 
     summary = {}

@@ -15,6 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from tomixpanel_spark.operators.base import QuerySpec
+from tomixpanel_spark.sources.staging import CORRUPT_COL
 
 
 def read_csv_all_strings(
@@ -35,14 +36,20 @@ def read_csv_all_strings(
     if not with_corrupt:
         return reader.csv(path)
     # the corrupt column must be declared in the schema for CSV: derive the
-    # header's all-string schema first, then re-read with the column added
-    schema = reader.csv(path).schema.add("_corrupt_record", "string")
+    # header's all-string schema first, then re-read with the column added.
+    # cache(): Spark refuses corrupt-column-only queries on raw scans (same
+    # restriction read_json_auto handles) — cache makes the quarantine
+    # column actually queryable as advertised.
+    schema = reader.csv(path).schema
+    if CORRUPT_COL not in schema.names:
+        schema = schema.add(CORRUPT_COL, "string")
     return (
         spark.read.option("header", True)
         .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .schema(schema)
         .csv(path)
+        .cache()
     )
 
 
