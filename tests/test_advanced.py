@@ -184,3 +184,47 @@ class TestMultimodalDecode:
         import hashlib
 
         assert by_id[2]["sha256"] == hashlib.sha256(b"RIFF wav-bytes").hexdigest()
+
+
+class TestMultimodalTransform:
+    def test_decode_feature_resize_framesample_plumbing(self, spark):
+        from tomixpanel_spark.operators.multimodal import (
+            fake_image_decoder,
+            transform_media,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "image/png", bytearray(b"\x89PNG imagebytes")),
+                (2, "video/mp4", bytearray(b"\x00\x00ftyp videobytes")),
+                (3, "image/png", None),  # null payload skipped, not crashed
+            ],
+            "item_id long, media_type string, payload binary",
+        )
+        out = transform_media(
+            df, decoder=fake_image_decoder, resize_to=(224, 224), frame_sample_every=2
+        ).collect()
+        by_id = {r["item_id"]: r for r in out}
+        assert set(by_id) == {1, 2}
+        assert (by_id[1]["width"], by_id[1]["height"]) == (224, 224)
+        assert len(by_id[1]["features"]) == 8
+        assert by_id[1]["n_frames"] == 1  # images keep one frame
+        assert by_id[2]["n_frames"] >= 1  # video frames sampled /2
+        # deterministic across runs
+        out2 = transform_media(
+            df, decoder=fake_image_decoder, resize_to=(224, 224), frame_sample_every=2
+        ).collect()
+        assert sorted(map(str, out)) == sorted(map(str, out2))
+
+    def test_default_decoder_is_honest_stub(self, spark):
+        import pytest as _pytest
+
+        from tomixpanel_spark.operators.multimodal import transform_media
+
+        df = spark.createDataFrame(
+            [(1, "image/png", bytearray(b"\x89PNG x"))],
+            "item_id long, media_type string, payload binary",
+        )
+        with _pytest.raises(Exception) as ei:
+            transform_media(df).collect()
+        assert "NotImplementedError" in str(ei.value) or "media decode" in str(ei.value)

@@ -139,6 +139,90 @@ FROM documents
 """
 
 
+
+FEATURE_SCHEMA = (
+    "item_id long, media_type string, width int, height int, "
+    "n_frames int, features array<float>"
+)
+
+
+def fake_image_decoder(payload: bytes, media_type: str) -> dict:
+    """Deterministic stand-in for a real decoder (PIL/ffmpeg absent):
+    derives dimensions and a fixed-length feature vector from the payload
+    bytes. Tests inject this; production injects the real decode."""
+    h = hashlib_sha(payload)
+    return {
+        "width": 16 + h[0] % 64,
+        "height": 16 + h[1] % 64,
+        "n_frames": 1 if media_type.startswith("image") else 1 + h[2] % 8,
+        "features": [b / 255.0 for b in h[:8]],
+    }
+
+
+def hashlib_sha(payload: bytes) -> bytes:
+    import hashlib
+
+    return hashlib.sha256(payload).digest()
+
+
+def transform_media(
+    df: DataFrame,
+    decoder: Callable[[bytes, str], dict] = decode_payload,
+    resize_to: Optional[tuple[int, int]] = None,
+    frame_sample_every: int = 1,
+) -> DataFrame:
+    """Decode / feature-extract / resize / frame-sample as ONE Arrow-batched
+    mapInPandas stage (the multimodal hot path).
+
+    * ``decoder(payload, media_type) -> {width, height, n_frames,
+      features}`` — the pluggable decode step (stubbed by default:
+      ``decode_payload`` raises; tests inject ``fake_image_decoder``).
+    * ``resize_to`` — target (w, h) recorded post-decode (the real resize
+      happens inside the decoder in production; the plumbing carries the
+      declared output shape so downstream schemas are static).
+    * ``frame_sample_every`` — keep every Nth frame's worth of features
+      for video/audio payloads (n_frames is divided accordingly).
+
+    Partition-parallel, no shuffle; batch shape is rows-in -> rows-out.
+    """
+    from tomixpanel_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for rec in pdf.to_dict("records"):
+                payload = rec.get("payload")
+                if payload is None:
+                    continue
+                meta = decoder(bytes(payload), rec.get("media_type") or "")
+                w, h = (resize_to if resize_to else (meta["width"], meta["height"]))
+                n_frames = max(1, meta["n_frames"] // max(1, frame_sample_every))
+                out.append(
+                    {
+                        "item_id": rec["item_id"],
+                        "media_type": rec.get("media_type"),
+                        "width": w,
+                        "height": h,
+                        "n_frames": n_frames,
+                        "features": meta["features"],
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id",
+                    "media_type",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "features",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
 REGISTRY = {
     "multimodal_meta": QuerySpec(multimodal_meta, _MULTIMODAL_META_SQL, "ext:multimodal"),
 }
