@@ -230,6 +230,24 @@ class TestCsv:
             else:
                 assert len(r["insert_id"]) == 32  # canonical md5
 
+    def test_profiles_keep_first_across_files(self, spark, tmp_path):
+        """File-listing order wins even when a LATER file is larger (Spark
+        packs splits by size; the ordering key pins filename order)."""
+        from tomixpanel_spark.sources.csv import read_csv_all_strings
+        from tomixpanel_spark.transforms.csv import CsvMapping, csv_profiles
+
+        d = tmp_path / "multi"
+        d.mkdir()
+        # a.csv: tiny, first in listing; b.csv: much larger
+        (d / "a.csv").write_text("action,guid,time,plan\nclick,gX,1600000000,first\n")
+        rows = "\n".join(
+            f"click,g{i},160000{i:04d},later" for i in range(500)
+        )
+        (d / "b.csv").write_text("action,guid,time,plan\nclick,gX,1600000001,second\n" + rows + "\n")
+        m = CsvMapping("action", "guid", "time", token="tk")
+        out = {r["distinct_id"]: r for r in csv_profiles(read_csv_all_strings(spark, str(d)), m).collect()}
+        assert out["gX"]["set"]["plan"] == "first"
+
     def test_profiles_keep_first(self, spark, tmp_path):
         from tomixpanel_spark.transforms.csv import CsvMapping, csv_profiles
 

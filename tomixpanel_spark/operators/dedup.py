@@ -82,10 +82,6 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d1.select("doc_id", sh.alias("sh_arr")).filter(F.size("sh_arr") > 0)
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _shingle_arrays(spark, sf_dir).select("doc_id", F.explode("sh_arr").alias("sh"))
-
-
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by canonical fingerprint, keep lowest doc_id.
     (M4 keep-first semantics lifted to content identity.)"""

@@ -136,15 +136,14 @@ def insert_id_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference transform/amplitudeToMixpanel.js:159-163; canonical form is
     ours — pinned field order, '|' joined — since JS key order isn't
     reproducible). Idempotency anchor for sink retries."""
+    from tomixpanel_spark.functions.canonical import canonical_insert_id
+
     ev = table(spark, sf_dir, "events")
-    ins = F.md5(
-        F.concat_ws(
-            "|",
-            F.col("event_type"),
-            F.col("user_id").cast("string"),
-            F.unix_millis("ts").cast("string"),
-            F.col("event_id").cast("string"),
-        )
+    ins = canonical_insert_id(
+        F.col("event_type"),
+        F.col("user_id"),
+        F.unix_millis("ts"),
+        F.col("event_id"),
     )
     return ev.select("event_id", ins.alias("insert_id"))
 
@@ -260,7 +259,6 @@ def time_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor_ms = 1767225600000  # 2026-01-01T00:00:00Z
     four_days_ms = 4 * 86400 * 1000
     mx = ev.agg(F.unix_millis(F.max("ts")).alias("max_ms"))
-    offset = (F.lit(anchor_ms) - F.col("max_ms") - F.lit(four_days_ms)).alias("off")
     return (
         ev.crossJoin(F.broadcast(mx))
         .select(

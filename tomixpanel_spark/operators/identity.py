@@ -37,6 +37,7 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> 
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    converged = False
     for _ in range(MAX_ITERATIONS):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -51,7 +52,7 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> 
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
-        )
+        ).localCheckpoint(eager=True)  # materialize ONCE, truncate lineage
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "node")
@@ -59,9 +60,15 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> 
             .limit(1)
             .count()
         )
-        labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_ITERATIONS} "
+            "iterations (graph diameter too large) — raise MAX_ITERATIONS"
+        )
     return labels
 
 

@@ -86,15 +86,27 @@ def csv_events(df: DataFrame, m: CsvMapping) -> DataFrame:
 
 def csv_profiles(df: DataFrame, m: CsvMapping) -> DataFrame:
     """KEEP-FIRST profile per distinct_id in file order (reference :150
-    findIndex first-occurrence). File order is materialized with
-    monotonically_increasing_id at scan time — exact keep-first semantics
-    via row_number over it (SURVEY.md §2.4 M4)."""
-    ordered = df.withColumn("__ord", F.monotonically_increasing_id())
+    findIndex first-occurrence over files in sorted listing order).
+
+    Ordering key is (input_file_name, monotonically_increasing_id):
+    Spark packs splits by SIZE, so a bare monotonic id would order a large
+    later file before a small earlier one — the filename component pins the
+    reference's sorted-listing file order (sources.staging.expand_path),
+    and the monotonic id orders rows within a file's split. (Rows inside a
+    single multi-split file keep split order — exact line order within one
+    huge CSV would need a line-number source; documented limitation.)"""
+    ordered = df.withColumn("__file", F.input_file_name()).withColumn(
+        "__ord", F.monotonically_increasing_id()
+    )
     drop = {m.event_name_col, m.time_col, *m.ignore_cols}
     if m.insert_id_col:
         drop.add(m.insert_id_col)
-    prop_cols = [c for c in ordered.columns if c not in drop and c not in (m.distinct_id_col, "__ord")]
-    w = Window.partitionBy(m.distinct_id_col).orderBy("__ord")
+    prop_cols = [
+        c
+        for c in ordered.columns
+        if c not in drop and c not in (m.distinct_id_col, "__ord", "__file")
+    ]
+    w = Window.partitionBy(m.distinct_id_col).orderBy("__file", "__ord")
     first = ordered.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
     set_map = (
         F.map_from_arrays(

@@ -158,16 +158,20 @@ def _hit_events(base: DataFrame) -> DataFrame:
     t = hit["time"].cast("bigint")
     time_ms = F.col("start_ms") + F.when(t == 0, 1000).otherwise(t)
 
+    # reference :181-195: the try/catch means a NULL eventAction (where
+    # .toLowerCase() throws) falls through to hit.type, not eventCategory;
+    # only a present-but-'na'/'' action picks eventCategory. A still-null
+    # resolved name coalesces to a sentinel (the reference would emit the
+    # JS-stringified 'undefined'; we keep the event typed and non-null).
     action = hit["eventInfo"]["eventAction"]
-    name = F.when(
-        hit["eventInfo"].isNotNull()
-        & action.isNotNull()
-        & (F.lower(action) != "na")
-        & (action != ""),
-        action,
-    ).when(
-        hit["eventInfo"].isNotNull(), hit["eventInfo"]["eventCategory"]
-    ).otherwise(hit["type"])
+    name = (
+        F.when(
+            hit["eventInfo"].isNull() | action.isNull(), hit["type"]
+        )
+        .when((F.lower(action) != "na") & (action != ""), action)
+        .otherwise(hit["eventInfo"]["eventCategory"])
+    )
+    name = F.coalesce(name, F.lit("unknown event"))
 
     def custom(prefix: str, field: str) -> Column:
         """'<prefix> #<index> (<eventName>)' keys, skipping na/'' values
