@@ -32,6 +32,9 @@ TABLES = (
 )
 
 
+_TABLE_CACHE: dict = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table. Parquet scan => Catalyst gets pushdown +
     pruning for free; callers filter/select immediately so the scan stays
@@ -41,12 +44,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Spark only reads via the nanosAsLong legacy conf (as raw nanos LONG).
     Convert to a proper TimestampType with integer division — ``div`` floors,
     matching DuckDB's ns->us truncation, so oracle comparisons agree.
+
+    ``TOMIX_CACHE_TABLES=1`` turns on an in-memory table cache (the
+    engine's buffer pool): repeated queries over the same table skip the
+    parquet scan+decode. Off by default so single-query correctness runs
+    see the plain scan plans.
     """
+    import os
+
+    use_cache = bool(os.environ.get("TOMIX_CACHE_TABLES"))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if use_cache and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.typeName() == "long":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if use_cache:
+        df = df.cache()
+        _TABLE_CACHE[key] = df
     return df
 
 
