@@ -50,10 +50,12 @@ class TestReverseEtl:
             assert out["events"]["imported"] == 30
             assert out["users"]["imported"] == 4
             ev_call = next(c for c in s.requests if c["records"][0].get("event_type"))
+            assert ev_call["envelope"] == {"api_key": "KEY"}  # v2 envelope
             rec = ev_call["records"][0]
-            assert rec["api_key"] == "KEY"
             assert rec["time"] % 1000 == 0  # s -> ms
             assert "distinct_id" not in rec["event_properties"]
+            id_call = next(c for c in s.requests if c["envelope"] and "identification" not in c["envelope"] and c is not ev_call)
+            assert id_call["envelope"].get("api_key") == "KEY"  # form-encoded
         finally:
             s.stop()
 
@@ -65,10 +67,12 @@ class TestReverseEtl:
         raw = self._mp_df(spark, tmp_path)
         s = StubServer()
         try:
-            sink = woopra_sink("proj", s.url)
+            sink = woopra_sink("proj", s.url, username="u", password="p")
             summary = summarize_receipts(sink.send(mp_to_woopra_events(raw, "proj"), 1))
             assert summary["imported"] == 30
-            rec = s.requests[0]["records"][0]
+            req = s.requests[0]
+            assert req["method"] == "PUT" and "project=proj" in req["path"]
+            rec = req["records"][0]
             assert rec["visitor"]["id"].startswith("mp_user_")
             assert rec["actions"][0]["name"] in ("app open", "song play")
             assert rec["actions"][0]["timestamp"] % 1000 == 0

@@ -27,20 +27,38 @@ class StubServer:
         self._lock = threading.Lock()
 
         class Handler(BaseHTTPRequestHandler):
-            def do_POST(self):
+            def _handle(self):
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
                 if self.headers.get("Content-Encoding") == "gzip":
                     body = gzip.decompress(body)
+                ctype = self.headers.get("Content-Type", "")
+                envelope = None
+                if "x-www-form-urlencoded" in ctype:  # amplitude /identify
+                    import urllib.parse as up
+
+                    form = dict(up.parse_qsl(body.decode()))
+                    envelope = {k: v for k, v in form.items() if k != "identification"}
+                    records = json.loads(form.get("identification", "[]"))
+                elif "ndjson" in ctype:  # woopra bulk
+                    records = [json.loads(line) for line in body.splitlines() if line]
+                else:
+                    parsed = json.loads(body)
+                    if isinstance(parsed, dict):  # amplitude v2 envelope
+                        records = parsed.get("events", [])
+                        envelope = {k: v for k, v in parsed.items() if k != "events"}
+                    else:
+                        records = parsed
                 with stub._lock:
-                    records = json.loads(body)
                     stub.requests.append(
                         {
                             "path": self.path,
+                            "method": self.command,
                             "gzip": self.headers.get("Content-Encoding") == "gzip",
                             "n": len(records),
                             "bytes": n,
                             "records": records,
+                            "envelope": envelope,
                         }
                     )
                     if stub.status_seq:
@@ -57,6 +75,12 @@ class StubServer:
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
                 self.wfile.write(payload)
+
+            def do_POST(self):
+                self._handle()
+
+            def do_PUT(self):
+                self._handle()
 
             def log_message(self, *a):
                 pass

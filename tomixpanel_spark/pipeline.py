@@ -193,7 +193,13 @@ def run(
             # summarize from the re-read — a second action on the live
             # receipt stream could re-POST batches on cache eviction
             receipts.write.mode("overwrite").json(f"{save_dir}/{name}_receipts")
-            receipts = df.sparkSession.read.json(f"{save_dir}/{name}_receipts")
+            from tomixpanel_spark.sinks.http import RECEIPT_SCHEMA
+
+            # explicit schema: empty receipt dirs can't infer, and the JSON
+            # writer omits null columns on all-success runs
+            receipts = df.sparkSession.read.schema(RECEIPT_SCHEMA).json(
+                f"{save_dir}/{name}_receipts"
+            )
         return summarize_receipts(receipts)
 
     summary = {}

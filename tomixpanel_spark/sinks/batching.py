@@ -18,8 +18,30 @@ BYTES_PER_BATCH = 2 * 1024 * 1024
 PROFILES_PER_BATCH = 2000
 
 
+def _clean(v):
+    """Arrow->pandas null handling turns nullable int columns into float64
+    with NaN; json.dumps would emit invalid `NaN` literals and float-ify
+    epoch values. Sanitize at the wire boundary: NaN/inf -> null, integral
+    floats back to ints (exact below 2^53)."""
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return None
+        if v.is_integer() and abs(v) < 2**53:
+            return int(v)
+        return v
+    if isinstance(v, dict):
+        return {k: _clean(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_clean(x) for x in v]
+    return v
+
+
 def serialize_record(rec: dict) -> bytes:
-    return json.dumps(rec, separators=(",", ":"), ensure_ascii=False).encode("utf-8")
+    return json.dumps(
+        _clean(rec), separators=(",", ":"), ensure_ascii=False, allow_nan=False
+    ).encode("utf-8")
 
 
 def iter_batches(

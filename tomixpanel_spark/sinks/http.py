@@ -38,8 +38,8 @@ from tomixpanel_spark.sinks.batching import (
     iter_batches,
 )
 
-# transport(url, body, headers) -> (status_code, response_text)
-Transport = Callable[[str, bytes, dict], tuple[int, str]]
+# transport(url, body, headers, method) -> (status_code, response_text)
+Transport = Callable[..., tuple[int, str]]
 
 RECEIPT_SCHEMA = (
     "partition_id int, batch_index int, n_records int, n_bytes int, "
@@ -47,11 +47,13 @@ RECEIPT_SCHEMA = (
 )
 
 
-def urllib_transport(url: str, body: bytes, headers: dict) -> tuple[int, str]:
+def urllib_transport(
+    url: str, body: bytes, headers: dict, method: str = "POST"
+) -> tuple[int, str]:
     import urllib.error
     import urllib.request
 
-    req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+    req = urllib.request.Request(url, data=body, headers=headers, method=method)
     try:
         with urllib.request.urlopen(req, timeout=60) as resp:
             return resp.status, resp.read().decode("utf-8", "replace")
@@ -62,6 +64,11 @@ def urllib_transport(url: str, body: bytes, headers: dict) -> tuple[int, str]:
 @dataclass
 class HttpSinkConfig:
     url: str
+    method: str = "POST"
+    # envelope(batch: list[bytes]) -> request body; default JSON array.
+    # Vendor APIs wrap batches differently (Amplitude {api_key, events},
+    # identify form-encoding, Woopra NDJSON) — see sinks/reverse.py.
+    envelope: Optional[Callable[[list], bytes]] = None
     headers: dict = field(default_factory=dict)
     max_records: int = EVENTS_PER_BATCH
     max_bytes: int = BYTES_PER_BATCH
@@ -118,7 +125,13 @@ class HttpSink:
             for bi, batch in enumerate(
                 iter_batches(records(), cfg.max_records, cfg.max_bytes)
             ):
-                body = batch_payload(batch, gzip=cfg.gzip)
+                if cfg.envelope is not None:
+                    import gzip as _g
+
+                    raw = cfg.envelope(batch)
+                    body = _g.compress(raw) if cfg.gzip else raw
+                else:
+                    body = batch_payload(batch, gzip=cfg.gzip)
                 wait = cfg.min_interval_s - (time.monotonic() - last_send)
                 if wait > 0:
                     time.sleep(wait)
@@ -126,14 +139,17 @@ class HttpSink:
                 for attempt in range(cfg.max_attempts):
                     attempts = attempt + 1
                     try:
-                        status, text = transport(url, body, headers)
+                        status, text = transport(url, body, headers, cfg.method)
+                    except TypeError:
+                        status, text = transport(url, body, headers)  # legacy 3-arg
                     except Exception as e:  # network-level failure
                         status, text = -1, repr(e)
                     if status == 200:
                         break
                     if status not in cfg.retry_statuses and status != -1:
                         break
-                    time.sleep(cfg.backoff_s * (2**attempt))
+                    if attempt < cfg.max_attempts - 1:  # no sleep after last try
+                        time.sleep(cfg.backoff_s * (2**attempt))
                 last_send = time.monotonic()
                 ok = status == 200
                 out.append(

@@ -71,22 +71,27 @@ def amplitude_events_sink(
     transport: Optional[Transport] = None,
     pacing_s: float = VENDOR_PACING_S,
 ) -> HttpSink:
+    """Amplitude HTTP API v2 requires the {"api_key", "events": [...]}
+    envelope (reference load/sendOther.js sets options.data.api_key and
+    data.events = chunk) — built per batch by the envelope hook."""
+
+    def envelope(batch: list) -> bytes:
+        return (
+            b'{"api_key":"' + api_key.encode() + b'","events":['
+            + b",".join(batch)
+            + b"]}"
+        )
+
     cfg = HttpSinkConfig(
         url=url,
+        envelope=envelope,
         headers={"Content-Type": "application/json"},
         max_records=AMP_EVENTS_PER_BATCH,
         gzip=False,  # Amplitude HTTP API v2 takes plain JSON
         strict=False,
         min_interval_s=pacing_s,
     )
-    key = api_key
-
-    def to_record(rec: dict) -> dict:
-        out = amplitude_event_record(rec)
-        out["api_key"] = key  # rides in each record; batched under "events"
-        return out
-
-    return HttpSink(cfg, to_record, transport)
+    return HttpSink(cfg, amplitude_event_record, transport)
 
 
 def amplitude_users_sink(
@@ -95,8 +100,21 @@ def amplitude_users_sink(
     transport: Optional[Transport] = None,
     pacing_s: float = VENDOR_PACING_S,
 ) -> HttpSink:
+    """Amplitude /identify takes form-encoded api_key + identification
+    (a JSON array) — reference load/sendOther.js /identify call shape."""
+
+    def envelope(batch: list) -> bytes:
+        import urllib.parse
+
+        ident = b"[" + b",".join(batch) + b"]"
+        return urllib.parse.urlencode(
+            {"api_key": api_key, "identification": ident.decode("utf-8")}
+        ).encode("utf-8")
+
     cfg = HttpSinkConfig(
         url=url,
+        envelope=envelope,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
         max_records=AMP_USERS_PER_BATCH,
         gzip=False,
         strict=False,
@@ -109,9 +127,29 @@ def woopra_sink(
     project: str,
     url: str,
     transport: Optional[Transport] = None,
+    username: str = "",
+    password: str = "",
 ) -> HttpSink:
+    """Woopra bulk import: NDJSON body over authenticated PUT with the
+    project in the query string (reference load/sendOther.js woopraFlush:
+    chunk.map(JSON.stringify).join('\n'), method PUT, basic auth)."""
+    import base64
+    import urllib.parse
+
+    def envelope(batch: list) -> bytes:
+        return b"\n".join(batch)
+
+    q = urllib.parse.urlencode({"project": project})
+    full_url = f"{url}{'&' if '?' in url else '?'}{q}"
+    headers = {"Content-Type": "application/x-ndjson"}
+    if username or password:
+        tok = base64.b64encode(f"{username}:{password}".encode()).decode()
+        headers["Authorization"] = f"Basic {tok}"
     cfg = HttpSinkConfig(
-        url=url,
+        url=full_url,
+        method="PUT",
+        envelope=envelope,
+        headers=headers,
         max_records=WOOPRA_PER_BATCH,
         gzip=False,
         strict=False,

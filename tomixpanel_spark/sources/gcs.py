@@ -40,8 +40,9 @@ class GcsGaSource:
         paths = []
         for name in self.list_objects(self.bucket):
             blob = self.download(self.bucket, name)
-            # keep .gz suffix — Spark decompresses natively on read
-            dest = os.path.join(self.staging_dir, os.path.basename(name))
+            # flatten the full object path (prefix-safe: date-partitioned
+            # exports share basenames); keep .gz so Spark decompresses
+            dest = os.path.join(self.staging_dir, name.replace("/", "__"))
             with open(dest, "wb") as f:
                 f.write(blob)
             paths.append(dest)

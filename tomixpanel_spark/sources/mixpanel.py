@@ -70,7 +70,7 @@ class MixpanelExportSource:
         tok = base64.b64encode(f"{self.api_secret}:".encode()).decode()
         text = self.http(url, {"Authorization": f"Basic {tok}"})
         path = os.path.join(self.staging_dir, "export.ndjson")
-        with open(path, "w") as f:
+        with open(path, "w", encoding="utf-8") as f:
             f.write(text)
         return path
 
@@ -102,7 +102,7 @@ class MixpanelEngageSource:
             text = self.http_post(ENGAGE_URL, form, headers)
             data = json.loads(text)
             path = os.path.join(self.staging_dir, f"engage_{page}.json")
-            with open(path, "w") as f:
+            with open(path, "w", encoding="utf-8") as f:
                 f.write(text)
             paths.append(path)
             results = data.get("results", [])

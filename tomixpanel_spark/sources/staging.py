@@ -23,7 +23,7 @@ import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -63,7 +63,14 @@ def read_json_auto(
     """NDJSON-or-JSON-array sniffing read (S3/V2): try native NDJSON first;
     if every row lands in the corrupt column the file is a JSON array —
     re-read multiLine. Bad lines stay queryable via ``corrupt_records``."""
-    with_corrupt = schema.add(CORRUPT_COL, "string") if CORRUPT_COL not in schema.names else schema
+    # build a NEW StructType — StructType.add mutates in place, which would
+    # permanently grow the caller's shared schema constant
+    if CORRUPT_COL in schema.names:
+        with_corrupt = schema
+    else:
+        with_corrupt = StructType(
+            list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+        )
     # cache(): Spark refuses corrupt-column-only queries on raw JSON scans
     # (internal-column restriction); the staged files are small relative to
     # the cluster, and the sniff needs two passes anyway.
@@ -77,6 +84,7 @@ def read_json_auto(
     total = df.count()
     corrupt = df.filter(F.col(CORRUPT_COL).isNotNull()).count()
     if total > 0 and corrupt == total:
+        df.unpersist()  # drop the failed NDJSON attempt's cache
         df = (
             spark.read.schema(with_corrupt)
             .option("mode", "PERMISSIVE")

@@ -70,7 +70,9 @@ def sessionize_with_state(
 
         times: list[int] = []
         for pdf in pdfs:
-            times.extend(int(t) for t in pdf["time_ms"])
+            # nullable longs arrive as float64 + NaN through Arrow; a null
+            # event must not kill the streaming query
+            times.extend(int(t) for t in pdf["time_ms"] if pd.notna(t))
         times.sort()
         if not times:
             return
