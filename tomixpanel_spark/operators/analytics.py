@@ -170,10 +170,36 @@ WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-02'
 """
 
 
+
+def event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event->next-event transition counts per user stream (path
+    analysis): window lead over (user, time) then a pair rollup."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_event"),
+        F.lead("event_type").over(w).alias("to_event"),
+    ).filter(F.col("to_event").isNotNull())
+    return pairs.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_EVENT_SEQUENCES_SQL = """
+SELECT from_event, to_event, COUNT(*) AS n FROM (
+  SELECT event_type AS from_event,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_event
+  FROM events)
+WHERE to_event IS NOT NULL
+GROUP BY from_event, to_event
+"""
+
+
 REGISTRY = {
     "sessionize": QuerySpec(sessionize, _SESSIONIZE_SQL, "analytics"),
     "funnel": QuerySpec(funnel, _FUNNEL_SQL, "analytics"),
     "retention": QuerySpec(retention, _RETENTION_SQL, "analytics"),
     "value_quantiles": QuerySpec(value_quantiles, _VALUE_QUANTILES_SQL, "analytics"),
     "set_ops": QuerySpec(set_ops, _SET_OPS_SQL, "free surface"),
+    "event_sequences": QuerySpec(event_sequences, _EVENT_SEQUENCES_SQL, "analytics"),
 }

@@ -320,6 +320,52 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 """
 
 
+
+def part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by part brand (lineitem x part, dim broadcast) — exercises
+    the part dimension and the broadcast-then-aggregate shape."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _revenue_col().alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_PART_REVENUE_SQL = f"""
+SELECT p_brand, CAST({_REVENUE} AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account balance rollup per nation (supplier x nation)."""
+    sup = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_balance"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+_SUPPLIER_BALANCE_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+  COUNT(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 REGISTRY = {
     "project_rename": QuerySpec(project_rename, _PROJECT_RENAME_SQL, "T1"),
     "project_drop": QuerySpec(project_drop, _PROJECT_DROP_SQL, "T2"),
@@ -332,4 +378,6 @@ REGISTRY = {
     "pivot_status": QuerySpec(pivot_status, _PIVOT_STATUS_SQL, "free surface"),
     "window_running": QuerySpec(window_running, _WINDOW_RUNNING_SQL, "free surface"),
     "semi_join": QuerySpec(semi_join, _SEMI_JOIN_SQL, "free surface"),
+    "part_revenue": QuerySpec(part_revenue, _PART_REVENUE_SQL, "free surface"),
+    "supplier_balance": QuerySpec(supplier_balance, _SUPPLIER_BALANCE_SQL, "free surface"),
 }
