@@ -19,6 +19,7 @@ def spark():
     spark = (
         session_builder("tomixpanel_tests", master="local[4]", shuffle_partitions=4)
         .config("spark.driver.memory", "4g")
+        .config("spark.sql.warehouse.dir", "/tmp/tomix_test_warehouse")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
