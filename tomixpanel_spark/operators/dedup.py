@@ -50,24 +50,12 @@ def _parallelism(spark: SparkSession) -> int:
     return spark.sparkContext.defaultParallelism
 
 
-def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + distinct-3-gram array, built in STAGED projections.
-
-    Two scale-critical choices:
-      * ``repartition(defaultParallelism, doc_id)`` before the heavy
-        per-row work — document tables are small in bytes but heavy in
-        CPU, and AQE's byte-based coalescing would otherwise collapse
-        them onto one task (observed 10-80x slowdowns at sf0.1).
-      * tokens and shingle arrays are materialized as named columns in
-        separate projections; inlining the token expression into every
-        lambda reference makes Catalyst re-evaluate split() per shingle.
-    """
-    docs = table(spark, sf_dir, "documents").repartition(_parallelism(spark), "doc_id")
-    d1 = docs.select("doc_id", tokens("text").alias("toks"))
-    # zip_with over shifted slices: each lambda argument is an ARRAY-level
-    # reference, so even when CollapseProject inlines ``toks`` the split()
-    # is evaluated a constant number of times per row — unlike an
-    # element_at(toks, i) formulation, which re-evaluates it per element.
+def shingle_arrays_for(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Public API: id + distinct-3-gram array over ANY documents DataFrame
+    (same staged-projection construction as the fixture query)."""
+    spark = df.sparkSession
+    docs = df.repartition(_parallelism(spark), id_col)
+    d1 = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
     n = F.size("toks")
     s1 = F.slice("toks", 1, F.greatest(n - 2, F.lit(0)))
     s2 = F.slice("toks", 2, F.greatest(n - 2, F.lit(0)))
@@ -80,6 +68,73 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d1.select("doc_id", sh.alias("sh_arr")).filter(F.size("sh_arr") > 0)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Public API: Jaccard>=threshold near-dup pairs over ANY documents
+    DataFrame. ``df_cap`` drops postings lists longer than the cap (hot
+    shingles shared by > df_cap docs) — the standard bound on quadratic
+    pair blowup at corpus scale; None keeps exact semantics."""
+    sa = shingle_arrays_for(df, id_col, text_col)
+    rows = sa.select("doc_id", F.size("sh_arr").alias("n"), F.explode("sh_arr").alias("sh"))
+    grouped = (
+        rows.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    if df_cap is not None:
+        grouped = grouped.filter(F.size("ds") <= df_cap)
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice("ds", i + 2, F.size("ds")),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            y["doc_id"].alias("doc_b"),
+                            x["n"].alias("n_a"),
+                            y["n"].alias("n_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    common = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("common")
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + distinct-3-gram array, built in STAGED projections.
+
+    Two scale-critical choices:
+      * ``repartition(defaultParallelism, doc_id)`` before the heavy
+        per-row work — document tables are small in bytes but heavy in
+        CPU, and AQE's byte-based coalescing would otherwise collapse
+        them onto one task (observed 10-80x slowdowns at sf0.1).
+      * tokens and shingle arrays are materialized as named columns in
+        separate projections; inlining the token expression into every
+        lambda reference makes Catalyst re-evaluate split() per shingle.
+    """
+    return shingle_arrays_for(table(spark, sf_dir, "documents"))
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,45 +167,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency cap (drop postings lists longer than df_cap) to
     bound hot-shingle blowup — standard near-dup practice.
     """
-    sa = _shingle_arrays(spark, sf_dir)
-    rows = sa.select(
-        "doc_id", F.size("sh_arr").alias("n"), F.explode("sh_arr").alias("sh")
-    )
-    grouped = (
-        rows.groupBy("sh")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ds",
-                    lambda x, i: F.transform(
-                        F.slice("ds", i + 2, F.size("ds")),
-                        lambda y: F.struct(
-                            x["doc_id"].alias("doc_a"),
-                            y["doc_id"].alias("doc_b"),
-                            x["n"].alias("n_a"),
-                            y["n"].alias("n_b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.*")
-    common = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
-        F.count(F.lit(1)).alias("common")
-    )
-    return (
-        common.withColumn(
-            "jaccard",
-            F.col("common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return near_dup_pairs(table(spark, sf_dir, "documents"))
 
 
 _NGRAM_JACCARD_SQL = f"""
