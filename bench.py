@@ -64,13 +64,19 @@ def main() -> None:
         return time.perf_counter() - t0
 
     # best-of-2: the second pass reflects steady-state (JIT/codegen warm),
-    # which is what a long-running cluster actually sees
+    # which is what a long-running cluster actually sees. The second pass
+    # only runs if the first fit the time budget, so total bench runtime
+    # stays bounded on a loaded machine.
+    second_pass_budget = float(os.environ.get("TOMIX_BENCH_BUDGET_S", "240"))
     timings: dict[str, float] = {}
+    t_start = time.perf_counter()
     for _pass in range(2):
         for name in sorted(reg):
             t = run_once(name)
             if name not in timings or t < timings[name]:
                 timings[name] = t
+        if time.perf_counter() - t_start > second_pass_budget:
+            break
     timings = {k: round(v, 4) for k, v in timings.items()}
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
