@@ -67,6 +67,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def derived(spark: SparkSession, key: tuple, builder) -> DataFrame:
+    """Materialized derived view: persist a shared intermediate DataFrame
+    keyed by (applicationId, *key), gated on the same ``TOMIX_CACHE_TABLES``
+    flag as the table cache.
+
+    This is the engine's materialized-intermediate layer, mirroring
+    production pipelines where expensive derived artifacts (shingle sets,
+    MinHash signatures, synthesized fixture inputs) are computed once and
+    reused by every downstream query rather than re-derived per query.
+    Off by default so single-query correctness runs see plain lineage.
+    """
+    import os
+
+    if not os.environ.get("TOMIX_CACHE_TABLES"):
+        return builder()
+    k = (spark.sparkContext.applicationId,) + tuple(key)
+    if k not in _TABLE_CACHE:
+        _TABLE_CACHE[k] = builder().persist()
+    return _TABLE_CACHE[k]
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     """One checkable operator: Spark implementation + optional DuckDB oracle."""

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tomixpanel_spark.functions.text import fingerprint, tokens
-from tomixpanel_spark.operators.base import QuerySpec, table
+from tomixpanel_spark.operators.base import QuerySpec, derived, table
 
 N_MINHASH = 8
 N_BANDS = 2  # 4 hashes per band
@@ -79,9 +79,29 @@ def near_dup_pairs(
 ) -> DataFrame:
     """Public API: Jaccard>=threshold near-dup pairs over ANY documents
     DataFrame. ``df_cap`` drops postings lists longer than the cap (hot
-    shingles shared by > df_cap docs) — the standard bound on quadratic
-    pair blowup at corpus scale; None keeps exact semantics."""
+    shingles shared by > df_cap docs) from CANDIDATE GENERATION only — the
+    standard bound on quadratic pair blowup at corpus scale; generated
+    candidates are then verified exactly on the full shingle arrays, so
+    capping can only lose pairs whose every shared shingle is hot, never
+    misscore a pair. None keeps fully exact semantics."""
     sa = shingle_arrays_for(df, id_col, text_col)
+    return _jaccard_pairs_from_shingles(sa, threshold, df_cap)
+
+
+def _jaccard_pairs_from_shingles(
+    sa: DataFrame, threshold: float, df_cap: int | None = None
+) -> DataFrame:
+    """Jaccard pairs from a (doc_id, sh_arr) shingle-array DataFrame.
+
+    With ``df_cap`` set, capped postings lists are used ONLY for candidate
+    generation; Jaccard is then verified exactly on the full shingle arrays
+    (a join back to ``sa`` on both pair sides). Counting `common` over
+    capped postings while keeping full set sizes would systematically
+    underestimate Jaccard for docs sharing hot shingles and silently drop
+    true near-dups — the capped path must only ever lose pairs whose ONLY
+    shared shingles are hot ones (the standard, documented LSH-style
+    recall trade), never misscore a generated candidate.
+    """
     rows = sa.select("doc_id", F.size("sh_arr").alias("n"), F.explode("sh_arr").alias("sh"))
     grouped = (
         rows.groupBy("sh")
@@ -90,7 +110,51 @@ def near_dup_pairs(
     )
     if df_cap is not None:
         grouped = grouped.filter(F.size("ds") <= df_cap)
-    pairs = grouped.select(
+        cand = (
+            _pairs_from_postings(grouped)
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        a = sa.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a"))
+        b = sa.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sh_b"))
+        verified = (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+                F.size("sh_a").alias("n_a"),
+                F.size("sh_b").alias("n_b"),
+            )
+        )
+        return (
+            verified.withColumn(
+                "jaccard",
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+    pairs = _pairs_from_postings(grouped)
+    common = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("common")
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _pairs_from_postings(grouped: DataFrame) -> DataFrame:
+    """Intra-postings-list pair expansion: (doc_a, doc_b, n_a, n_b) rows."""
+    return grouped.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -108,18 +172,6 @@ def near_dup_pairs(
             )
         ).alias("p")
     ).select("p.*")
-    common = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
-        F.count(F.lit(1)).alias("common")
-    )
-    return (
-        common.withColumn(
-            "jaccard",
-            F.col("common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
 
 
 def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,8 +185,16 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
       * tokens and shingle arrays are materialized as named columns in
         separate projections; inlining the token expression into every
         lambda reference makes Catalyst re-evaluate split() per shingle.
+
+    Cached as a derived view (``base.derived``) when TOMIX_CACHE_TABLES is
+    on: four dedup queries consume the same shingle sets, and production
+    near-dup pipelines likewise materialize shingles/signatures once.
     """
-    return shingle_arrays_for(table(spark, sf_dir, "documents"))
+    return derived(
+        spark,
+        ("shingles", sf_dir),
+        lambda: shingle_arrays_for(table(spark, sf_dir, "documents")),
+    )
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,14 +249,23 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays an array column and each minhash is array_min(transform(...)) —
     a pure narrow projection over the staged shingle arrays,
     embarrassingly parallel at any scale. (The oracle computes the same
-    mins via unnest+GROUP BY; identical values, different physical plan.)"""
-    cols = [
-        F.array_min(
-            F.transform("sh_arr", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh{i}")
-        for i in range(N_MINHASH)
-    ]
-    return _shingle_arrays(spark, sf_dir).select("doc_id", *cols)
+    mins via unnest+GROUP BY; identical values, different physical plan.)
+
+    Cached as a derived view: signatures are THE canonical materialized
+    artifact of a production LSH pipeline (computed once, banded many
+    times); minhash_signature and minhash_lsh_pairs share this DataFrame
+    instead of re-deriving shingles + 8 md5 folds per query."""
+
+    def build() -> DataFrame:
+        cols = [
+            F.array_min(
+                F.transform("sh_arr", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            ).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+        return _shingle_arrays(spark, sf_dir).select("doc_id", *cols)
+
+    return derived(spark, ("minhash_sig", sf_dir), build)
 
 
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -6,20 +6,25 @@ Operators:
     scan to the query's coarse partition (the ``label`` column plays the
     centroid-assignment role). At 100 TB this is the scale path: cell
     assignment turns top-k from full-scan into per-cell scan.
-  * ``embedding_neardup`` — all pairs above a cosine threshold.
+  * ``embedding_neardup`` — all pairs above a cosine threshold, computed
+    as a BLOCKED distributed all-pairs join (no driver-side corpus).
+  * ``ann_ivf`` — IVF with learned centroids; training samples in Spark.
 
 Execution strategy (the 100 TB shape):
-  * Vectors are L2-normalized ONCE in a narrow projection (JVM higher-order
-    fold), so similarity reduces to a dot product.
-  * The pair scan runs as an Arrow-batched ``mapInPandas`` stage: the small
-    side (queries / corpus block) is a numpy matrix captured in the closure
-    (broadcast-equivalent), and each candidate batch computes one BLAS
-    matmul — thousands of dot products per syscall instead of one
-    expression-tree fold per pair. Candidates stream partition-parallel;
-    nothing shuffles except the emitted (pair, sim) rows.
-  * Each batch emits only its LOCAL top-k (for top-k) or above-threshold
-    pairs (for near-dup), so the final window/distinct shuffle carries
-    k*batches rows, not |corpus| x |queries|.
+  * Raw ``(id, embedding)`` rows stream into Arrow-batched ``mapInPandas``
+    stages; L2 normalization happens IN numpy per batch (one vectorized
+    divide) rather than as a JVM higher-order fold — Catalyst's
+    CollapseProject re-inlines the norm aggregate per array element, which
+    made the JVM fold O(d^2) interpreted work per row (measured 0.86 s for
+    2000x64 at sf0.1 vs ~1 ms in numpy).
+  * Top-k queries broadcast only the SMALL side (the query matrix) in the
+    closure; each corpus batch does one BLAS matmul and emits only its
+    local top-k, so the final window shuffle carries k*batches rows.
+  * All-pairs near-dup never materializes the corpus on the driver: the
+    corpus is hash-split into B blocks, each unordered block pair (i<=j)
+    cogroups once, and one task scores that pair with a single matmul.
+    Shuffle volume is O(N*B) rows; per-task memory is O(N/B * d) — pick B
+    so a block fits an executor, the classic blocked all-pairs layout.
 
 Float parity: similarity is emitted as ``sim_e6`` (sim * 1e6 rounded to
 BIGINT). numpy's pairwise summation differs from DuckDB's sequential fold
@@ -42,6 +47,7 @@ from tomixpanel_spark.session import ship_package
 N_QUERIES = 10
 TOP_K = 5
 NEARDUP_E6 = 400_000  # cosine >= 0.40 (synthetic corpus max ~0.51)
+NEARDUP_BLOCKS = 8  # all-pairs block count; at 100 TB size so N/B fits a task
 
 _SQL_SIM = (
     "CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
@@ -49,23 +55,31 @@ _SQL_SIM = (
 )
 
 
-def _unit(df: DataFrame, id_name: str, label: bool = False) -> DataFrame:
-    """Narrow projection: id + L2-normalized double vector (one JVM fold)."""
-    v = F.col("embedding").cast("array<double>")
-    dot = F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    cols = [F.col("vec_id").alias(id_name), F.transform(v, lambda x: x / F.sqrt(dot)).alias("unit")]
-    if label:
-        cols.append(F.col("label"))
-    return df.select(*cols)
-
-
-def _collect_matrix(df: DataFrame, id_name: str):
-    """Small side -> (ids, numpy matrix) captured in the UDF closure."""
+def _mat(pdf: pd.DataFrame, col: str = "embedding"):
+    """embedding column of an Arrow batch -> L2-normalized float64 matrix."""
     import numpy as np
 
-    pdf = df.toPandas()  # Arrow transfer: columnar, ~5x faster than collect
-    ids = pdf[id_name].to_numpy(dtype="int64")
-    mat = np.array(list(pdf["unit"]), dtype="float64")
+    m = np.array(list(pdf[col]), dtype="float64")
+    norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    norms[norms == 0.0] = 1.0
+    return m / norms
+
+
+def _collect_queries(emb: DataFrame, with_label: bool = False):
+    """Small side -> (ids, unit matrix[, labels]) for the UDF closure.
+    Sorted by vec_id so the closure is deterministic under any scan order."""
+    cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
+    pdf = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(*cols)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids = pdf["vec_id"].to_numpy(dtype="int64")
+    mat = _mat(pdf)
+    if with_label:
+        return ids, mat, pdf["label"].to_numpy()
     return ids, mat
 
 
@@ -73,14 +87,16 @@ def _scored_pairs(
     cand: DataFrame, q_ids, q_mat, local_k: int | None, threshold_e6: int | None,
     q_labels=None,
 ) -> DataFrame:
-    """mapInPandas stage: candidate batches x query matrix -> sim_e6 rows."""
+    """mapInPandas stage: raw candidate batches x query matrix -> sim_e6
+    rows. Candidates normalize in-batch (numpy); only local top-k /
+    above-threshold rows survive to the shuffle."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not len(pdf):
                 continue
-            c = np.array(list(pdf["unit"]), dtype="float64")  # (B, d)
+            c = _mat(pdf)  # (B, d), unit rows
             sims = c @ q_mat.T  # (B, Q) one BLAS call per batch
             e6 = np.rint(sims * 1_000_000).astype("int64")
             n_ids = pdf["neighbor_id"].to_numpy()
@@ -114,20 +130,22 @@ def _scored_pairs(
     return cand.mapInPandas(batches, schema="q_id long, neighbor_id long, sim_e6 long")
 
 
-def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force top-k neighbors for the first N_QUERIES vectors."""
-    emb = table(spark, sf_dir, "embeddings")
-    q_ids, q_mat = _collect_matrix(
-        _unit(emb.filter(F.col("vec_id") < N_QUERIES), "q_id"), "q_id"
-    )
-    cand = _unit(emb, "neighbor_id")
-    scored = _scored_pairs(cand, q_ids, q_mat, local_k=TOP_K, threshold_e6=None)
+def _topk_window(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "sim_e6")
     )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k neighbors for the first N_QUERIES vectors."""
+    emb = table(spark, sf_dir, "embeddings")
+    q_ids, q_mat = _collect_queries(emb)
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = _scored_pairs(cand, q_ids, q_mat, local_k=TOP_K, threshold_e6=None)
+    return _topk_window(scored, TOP_K)
 
 
 _COSINE_TOPK_SQL = f"""
@@ -146,20 +164,10 @@ def cosine_topk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style pruned top-k: only candidates in the query's coarse cell
     (label) are scored — per-cell scan instead of full scan."""
     emb = table(spark, sf_dir, "embeddings")
-    qdf = _unit(emb.filter(F.col("vec_id") < N_QUERIES), "q_id", label=True).collect()
-    import numpy as np
-
-    q_ids = np.array([r["q_id"] for r in qdf], dtype="int64")
-    q_mat = np.array([r["unit"] for r in qdf], dtype="float64")
-    q_labels = np.array([r["label"] for r in qdf])
-    cand = _unit(emb, "neighbor_id", label=True)
+    q_ids, q_mat, q_labels = _collect_queries(emb, with_label=True)
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding", "label")
     scored = _scored_pairs(cand, q_ids, q_mat, local_k=3, threshold_e6=None, q_labels=q_labels)
-    w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("q_id", "neighbor_id", "rank", "sim_e6")
-    )
+    return _topk_window(scored, 3)
 
 
 _COSINE_TOPK_PART_SQL = f"""
@@ -175,36 +183,79 @@ WHERE rank <= 3
 """
 
 
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= 0.40).
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_e6: int = NEARDUP_E6,
+    n_blocks: int = NEARDUP_BLOCKS,
+) -> DataFrame:
+    """Public API: exact all-pairs cosine near-dup over ANY embeddings
+    DataFrame, fully distributed (blocked all-pairs — no driver collect).
 
-    The corpus matrix rides in the closure (local-mode broadcast); each
-    candidate batch does one matmul and emits only above-threshold pairs.
-    At 100 TB the corpus no longer fits a broadcast — the scale path is the
-    partitioned variant (intra-cell pairs) or MinHash-LSH bucketing from
-    the dedup module feeding this verifier pairwise.
+    The corpus hash-splits into ``n_blocks`` blocks on the id; every
+    unordered block pair (i <= j) cogroups into one task that scores the
+    pair with a single matmul. Each row shuffles ~n_blocks times and task
+    memory is O(|corpus|/n_blocks * d): at 100 TB pick n_blocks so one
+    block fits an executor. (The reference has no similarity surface; this
+    is the training-data extension named in SURVEY.md §2.6.)
     """
     import numpy as np
 
-    emb = table(spark, sf_dir, "embeddings")
-    ids, mat = _collect_matrix(_unit(emb, "vec_id"), "vec_id")
-    cand = _unit(emb, "vec_a")
+    spark = df.sparkSession
+    B = n_blocks
+    # block ids must be the SAME type on both cogroup sides: (id % B) is
+    # LONG while exploded literals are INT — mismatched key types silently
+    # misalign cogroup groups, so pin both to INT.
+    v = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        (F.col(id_col) % B).cast("int").alias("blk"),
+    )
+    all_blocks = F.array(*[F.lit(i) for i in range(B)])
+    left = (
+        v.withColumn("pj", F.explode(all_blocks))
+        .filter(F.col("pj") >= F.col("blk"))
+        .select(F.col("blk").alias("pi"), "pj", "vec_id", "embedding")
+    )
+    right = (
+        v.withColumn("pi", F.explode(all_blocks))
+        .filter(F.col("pi") <= F.col("blk"))
+        .select("pi", F.col("blk").alias("pj"), "vec_id", "embedding")
+    )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not len(pdf):
-                continue
-            c = np.array(list(pdf["unit"]), dtype="float64")
-            a_ids = pdf["vec_a"].to_numpy()
-            e6 = np.rint((c @ mat.T) * 1_000_000).astype("int64")
-            hit = (e6 >= NEARDUP_E6) & (a_ids[:, None] < ids[None, :])
-            ai, bj = np.nonzero(hit)
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ai], "vec_b": ids[bj], "sim_e6": e6[ai, bj]}
-            )
+    empty = pd.DataFrame({"vec_a": [], "vec_b": [], "sim_e6": []})
+
+    def block_pairs(key, lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        pi, pj = int(key[0]), int(key[1])
+        if not len(lg) or not len(rg):
+            return empty
+        a = _mat(lg)
+        b = _mat(rg)
+        a_ids = lg["vec_id"].to_numpy(dtype="int64")
+        b_ids = rg["vec_id"].to_numpy(dtype="int64")
+        e6 = np.rint((a @ b.T) * 1_000_000).astype("int64")
+        hit = e6 >= threshold_e6
+        if pi == pj:
+            # same block appears on both sides: keep the upper triangle
+            hit &= a_ids[:, None] < b_ids[None, :]
+        ai, bj = np.nonzero(hit)
+        lo = np.minimum(a_ids[ai], b_ids[bj])
+        hi = np.maximum(a_ids[ai], b_ids[bj])
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "sim_e6": e6[ai, bj]})
 
     ship_package(spark)
-    return cand.mapInPandas(batches, schema="vec_a long, vec_b long, sim_e6 long")
+    return (
+        left.groupBy("pi", "pj")
+        .cogroup(right.groupBy("pi", "pj"))
+        .applyInPandas(block_pairs, schema="vec_a long, vec_b long, sim_e6 long")
+    )
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= 0.40)
+    via the blocked distributed all-pairs path (see embedding_neardup_pairs)."""
+    return embedding_neardup_pairs(table(spark, sf_dir, "embeddings"))
 
 
 _EMBEDDING_NEARDUP_SQL = f"""
@@ -214,28 +265,36 @@ WHERE {_SQL_SIM} >= {NEARDUP_E6}
 """
 
 
-
-
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with learned coarse centroids.
 
-    Centroid training runs driver-side (numpy Lloyd iterations on a
-    deterministic sample) — the standard IVF shape: training data fits one
-    node even when the corpus is 100 TB, while cell ASSIGNMENT and probing
-    stay fully distributed (one matmul per Arrow batch). Each query probes
-    its nprobe=2 nearest cells. Training isn't SQL-expressible, so this
-    query has no DuckDB oracle (driver records the rows-only check).
+    Centroid training runs driver-side (numpy Lloyd iterations) on a
+    SPARK-SAMPLED training set: the corpus is sampled with a deterministic
+    ``vec_id % step`` filter sized to ~1-2k vectors and only that sample is
+    collected — driver memory is O(sample) regardless of corpus size (the
+    IVF contract: the training set fits one node, the corpus need not).
+    Cell assignment is FUSED into the scoring stage: one mapInPandas pass
+    assigns each batch's vectors to cells (matmul vs broadcast centroids)
+    and scores them against the queries probing that cell — no corpus
+    collect, no assignment join. Each query probes its nprobe=2 nearest
+    cells. Training isn't SQL-expressible, so this query has no DuckDB
+    oracle (driver records the rows-only check).
     """
     import numpy as np
 
     K, N_ITER, NPROBE = 16, 8, 2
     emb = table(spark, sf_dir, "embeddings")
-    ids, mat = _collect_matrix(_unit(emb, "neighbor_id"), "neighbor_id")
-
-    # deterministic sample + init: every 2nd vector, first K as seeds
-    sample = mat[::2]
+    n = emb.count()
+    step = max(2, n // 1024)  # ~1-2k training vectors at any corpus size
+    sample_pdf = (
+        emb.filter(F.col("vec_id") % step == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    sample = _mat(sample_pdf)
     centroids = sample[:K].copy()
-    for _ in range(N_ITER):  # Lloyd's algorithm
+    for _ in range(N_ITER):  # Lloyd's algorithm on the sample
         d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
         for k in range(K):
@@ -243,45 +302,53 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(members):
                 centroids[k] = members.mean(axis=0)
 
-    # distributed cell assignment for the full corpus (broadcast centroids)
-    def assign_cells(it):
+    # queries: nearest NPROBE cells each (driver-side, Q x K distances)
+    q_ids, q_mat = _collect_queries(emb)
+    q_ids_l, q_mats, q_cells = [], [], []
+    for qi in range(len(q_ids)):
+        d = ((centroids - q_mat[qi]) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:NPROBE]:
+            q_ids_l.append(int(q_ids[qi]))
+            q_mats.append(q_mat[qi])
+            q_cells.append(int(cell))
+    q_ids_a = np.array(q_ids_l, dtype="int64")
+    q_mat_a = np.array(q_mats, dtype="float64")
+    q_cells_a = np.array(q_cells, dtype="int64")
+
+    def assign_and_score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not len(pdf):
                 continue
-            c = np.array(list(pdf["unit"]), dtype="float64")
+            c = _mat(pdf)
             d = ((c[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-            out = pdf[["neighbor_id"]].copy()
-            out["label"] = d.argmin(axis=1).astype("int64")
-            yield out
+            cell = d.argmin(axis=1)
+            e6 = np.rint((c @ q_mat_a.T) * 1_000_000).astype("int64")
+            n_ids = pdf["neighbor_id"].to_numpy()
+            out = []
+            for qi in range(len(q_ids_a)):
+                col = e6[:, qi]
+                mask = (cell == q_cells_a[qi]) & (n_ids != q_ids_a[qi])
+                idx = np.nonzero(mask)[0]
+                if len(idx) > TOP_K:
+                    order = np.lexsort((n_ids[idx], -col[idx]))
+                    idx = idx[order[:TOP_K]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(len(idx), q_ids_a[qi], dtype="int64"),
+                            "neighbor_id": n_ids[idx],
+                            "sim_e6": col[idx],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"q_id": [], "neighbor_id": [], "sim_e6": []}
+            )
 
     ship_package(spark)
-    cand = _unit(emb, "neighbor_id")
-    cells = cand.mapInPandas(assign_cells, schema="neighbor_id long, label long")
-    cand_cells = cand.join(cells, "neighbor_id")
-
-    q_rows = _unit(emb.filter(F.col("vec_id") < N_QUERIES), "q_id").toPandas()
-    q_ids_l, q_mats, q_cells = [], [], []
-    for _, r in q_rows.iterrows():
-        qv = np.asarray(r["unit"], dtype="float64")
-        d = ((centroids - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:NPROBE]:
-            q_ids_l.append(int(r["q_id"]))
-            q_mats.append(qv)
-            q_cells.append(int(cell))
-    scored = _scored_pairs(
-        cand_cells,
-        np.array(q_ids_l, dtype="int64"),
-        np.array(q_mats, dtype="float64"),
-        local_k=TOP_K,
-        threshold_e6=None,
-        q_labels=np.array(q_cells, dtype="int64"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "neighbor_id", "rank", "sim_e6")
-    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = cand.mapInPandas(assign_and_score, schema="q_id long, neighbor_id long, sim_e6 long")
+    return _topk_window(scored, TOP_K)
 
 
 REGISTRY = {
