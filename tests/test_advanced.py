@@ -232,3 +232,49 @@ class TestMultimodalTransform:
         with _pytest.raises(Exception) as ei:
             transform_media(df).collect()
         assert "NotImplementedError" in str(ei.value) or "media decode" in str(ei.value)
+
+
+class TestSimilarityEdgeIds:
+    """Regression tests for id-space assumptions in the similarity APIs
+    (round-3 VERDICT #1/#2): negative ids must not drop pairs, sparse ids
+    must not crash centroid init."""
+
+    def _emb_df(self, spark, ids):
+        import math
+
+        rows = [
+            (int(i), [math.sin(0.1 * i + j) for j in range(8)]) for i in ids
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_neardup_pairs_with_negative_ids(self, spark):
+        """pmod block assignment: pairs involving negative ids must match
+        the unblocked (n_blocks=1) ground truth exactly."""
+        from tomixpanel_spark.operators.similarity import embedding_neardup_pairs
+
+        df = self._emb_df(spark, range(-12, 12))
+        want = {
+            (r["vec_a"], r["vec_b"], r["sim_e6"])
+            for r in embedding_neardup_pairs(df, threshold_e6=500_000, n_blocks=1).collect()
+        }
+        got = {
+            (r["vec_a"], r["vec_b"], r["sim_e6"])
+            for r in embedding_neardup_pairs(df, threshold_e6=500_000, n_blocks=4).collect()
+        }
+        assert want, "fixture produced no near-dup pairs — threshold too high"
+        assert any(a < 0 for a, _, _ in want), "fixture has no negative-id pairs"
+        assert got == want
+
+    def test_ann_ivf_sparse_id_space(self, spark):
+        """Sparse/non-dense ids under-fill the pmod training sample; the
+        clamped init must fall back and still return sane top-k rows
+        (pre-fix this raised IndexError in the Lloyd loop)."""
+        from tomixpanel_spark.operators.similarity import ann_ivf_topk
+
+        # two query ids (<10) plus 10 odd far-flung corpus ids: with
+        # step=2 the pmod==0 filter matches zero rows -> fallback path
+        ids = [3, 7] + [1001 + 2000 * i for i in range(10)]
+        out = ann_ivf_topk(self._emb_df(spark, ids)).collect()
+        assert out, "no rows from ann_ivf_topk on sparse ids"
+        assert {r["q_id"] for r in out} == {3, 7}
+        assert all(r["neighbor_id"] != r["q_id"] for r in out)

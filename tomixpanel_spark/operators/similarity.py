@@ -204,13 +204,16 @@ def embedding_neardup_pairs(
 
     spark = df.sparkSession
     B = n_blocks
-    # block ids must be the SAME type on both cogroup sides: (id % B) is
+    # block ids must be the SAME type on both cogroup sides: pmod is
     # LONG while exploded literals are INT — mismatched key types silently
-    # misalign cogroup groups, so pin both to INT.
+    # misalign cogroup groups, so pin both to INT. pmod (not %): Spark's
+    # % follows the dividend's sign, so a negative id would land in a
+    # blk < 0 that never matches the exploded 0..B-1 partner blocks and
+    # every pair involving that row would silently vanish.
     v = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
-        (F.col(id_col) % B).cast("int").alias("blk"),
+        F.pmod(F.col(id_col), F.lit(B)).cast("int").alias("blk"),
     )
     all_blocks = F.array(*[F.lit(i) for i in range(B)])
     left = (
@@ -265,42 +268,55 @@ WHERE {_SQL_SIM} >= {NEARDUP_E6}
 """
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with learned coarse centroids.
+def ann_ivf_topk(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """IVF ANN with learned coarse centroids over any ``(vec_id,
+    embedding)`` DataFrame.
 
     Centroid training runs driver-side (numpy Lloyd iterations) on a
     SPARK-SAMPLED training set: the corpus is sampled with a deterministic
-    ``vec_id % step`` filter sized to ~1-2k vectors and only that sample is
-    collected — driver memory is O(sample) regardless of corpus size (the
-    IVF contract: the training set fits one node, the corpus need not).
-    Cell assignment is FUSED into the scoring stage: one mapInPandas pass
-    assigns each batch's vectors to cells (matmul vs broadcast centroids)
-    and scores them against the queries probing that cell — no corpus
-    collect, no assignment join. Each query probes its nprobe=2 nearest
-    cells. Training isn't SQL-expressible, so this query has no DuckDB
-    oracle (driver records the rows-only check).
+    ``pmod(vec_id, step)`` filter sized to ~1-2k vectors and only that
+    sample is collected — driver memory is O(sample) regardless of corpus
+    size (the IVF contract: the training set fits one node, the corpus
+    need not). Sparse/non-dense id spaces can under-fill that filter, so
+    the sample falls back to a bounded ``limit`` and K clamps to the
+    sample size. Cell assignment is FUSED into the scoring stage: one
+    mapInPandas pass assigns each batch's vectors to cells (matmul vs
+    broadcast centroids) and scores them against the queries probing that
+    cell — no corpus collect, no assignment join. Each query probes its
+    nprobe=2 nearest cells.
     """
     import numpy as np
 
     K, N_ITER, NPROBE = 16, 8, 2
-    emb = table(spark, sf_dir, "embeddings")
+    spark = emb.sparkSession
     n = emb.count()
     step = max(2, n // 1024)  # ~1-2k training vectors at any corpus size
     sample_pdf = (
-        emb.filter(F.col("vec_id") % step == 0)
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0)
         .select("vec_id", "embedding")
         .toPandas()
         .sort_values("vec_id")
     )
+    if len(sample_pdf) < K:
+        # the % step filter assumes a dense id space; sparse/non-dense ids
+        # can under-sample (even to zero rows). Fall back to a bounded
+        # limit — training vectors just need to be a representative
+        # handful, exact membership doesn't matter.
+        sample_pdf = (
+            emb.select("vec_id", "embedding").limit(2048).toPandas().sort_values("vec_id")
+        )
+    if not len(sample_pdf):
+        raise ValueError("ann_ivf: empty corpus — nothing to train centroids on")
     sample = _mat(sample_pdf)
-    centroids = sample[:K].copy()
+    K_eff = min(K, len(sample))  # never index past the sample
+    centroids = sample[:K_eff].copy()
     for _ in range(N_ITER):  # Lloyd's algorithm on the sample
         d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
-        for k in range(K):
-            members = sample[assign == k]
+        for ci in range(K_eff):  # NOT `k` — that's the top-k parameter
+            members = sample[assign == ci]
             if len(members):
-                centroids[k] = members.mean(axis=0)
+                centroids[ci] = members.mean(axis=0)
 
     # queries: nearest NPROBE cells each (driver-side, Q x K distances)
     q_ids, q_mat = _collect_queries(emb)
@@ -329,9 +345,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 col = e6[:, qi]
                 mask = (cell == q_cells_a[qi]) & (n_ids != q_ids_a[qi])
                 idx = np.nonzero(mask)[0]
-                if len(idx) > TOP_K:
+                if len(idx) > k:
                     order = np.lexsort((n_ids[idx], -col[idx]))
-                    idx = idx[order[:TOP_K]]
+                    idx = idx[order[:k]]
                 out.append(
                     pd.DataFrame(
                         {
@@ -348,7 +364,14 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     scored = cand.mapInPandas(assign_and_score, schema="q_id long, neighbor_id long, sim_e6 long")
-    return _topk_window(scored, TOP_K)
+    return _topk_window(scored, k)
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: learned-IVF ANN on the ``embeddings`` table.
+    Training isn't SQL-expressible, so this query has no DuckDB oracle
+    (driver records the rows-only check)."""
+    return ann_ivf_topk(table(spark, sf_dir, "embeddings"))
 
 
 REGISTRY = {
