@@ -52,3 +52,76 @@ def test_minhash_signature_no_join_no_agg_exchange(spark):
     # the parallelism repartition is the only exchange (formatted output may
     # list the node in both the tree and the details section)
     assert exchange_count(df) <= 2
+
+
+def test_table_cache_lru_evicts_and_unpersists(spark, monkeypatch):
+    """Cache bound (round-3 VERDICT #4): sweeping a second sf dir must
+    evict (and unpersist) the first dir's entries, not accumulate."""
+    from tomixpanel_spark.operators import base
+
+    monkeypatch.setenv("TOMIX_CACHE_TABLES", "1")
+    monkeypatch.setenv("TOMIX_CACHE_MAX", "2")
+    base.clear_table_cache()
+    try:
+        a = base.table(spark, "/root/testdata/sf0.001", "region")
+        a.count()
+        assert a.storageLevel.useMemory
+        base.table(spark, "/root/testdata/sf0.001", "nation").count()
+        # third entry from a "second sf dir" evicts region (LRU)
+        base.table(spark, "/root/testdata/sf0.01", "region").count()
+        assert len(base._TABLE_CACHE) == 2
+        keys = set(base._TABLE_CACHE)
+        assert not any(k[1:] == ("/root/testdata/sf0.001", "region") for k in keys)
+        assert not a.storageLevel.useMemory  # evicted entry was unpersisted
+    finally:
+        base.clear_table_cache()
+    assert len(base._TABLE_CACHE) == 0
+
+
+def test_derived_artifact_gated_on_own_flag(spark, monkeypatch):
+    """Artifact derived views must NOT cache under TOMIX_CACHE_TABLES
+    alone (bench honesty) — only under TOMIX_CACHE_DERIVED."""
+    from tomixpanel_spark.operators import base
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(3).toDF("doc_id")
+
+    monkeypatch.setenv("TOMIX_CACHE_TABLES", "1")
+    monkeypatch.delenv("TOMIX_CACHE_DERIVED", raising=False)
+    base.clear_table_cache()
+    base.derived(spark, ("t_art",), build).count()
+    base.derived(spark, ("t_art",), build).count()
+    assert calls["n"] == 2  # rebuilt each time: tables flag doesn't apply
+    monkeypatch.setenv("TOMIX_CACHE_DERIVED", "1")
+    base.derived(spark, ("t_art",), build).count()
+    base.derived(spark, ("t_art",), build).count()
+    assert calls["n"] == 3  # cached on the second call
+    # fixture-kind still rides the tables flag
+    monkeypatch.delenv("TOMIX_CACHE_DERIVED", raising=False)
+    base.derived(spark, ("t_fix",), build, kind="fixture").count()
+    base.derived(spark, ("t_fix",), build, kind="fixture").count()
+    assert calls["n"] == 4
+    base.clear_table_cache()
+
+
+def test_connected_components_local_matches_distributed(spark, monkeypatch):
+    """The size-adaptive local union-find path and the distributed
+    label-propagation loop must reach the identical fixed point."""
+    import random
+
+    from tomixpanel_spark.operators import identity as idmod
+
+    rng = random.Random(7)
+    rows = [
+        (f"n{rng.randrange(120)}", f"n{rng.randrange(120)}") for _ in range(200)
+    ] + [("iso1", "iso2")]
+    edges = spark.createDataFrame(rows, "id_a string, id_b string")
+    monkeypatch.setattr(idmod, "LOCAL_EDGE_THRESHOLD", 10**9)
+    local = {(r["node"], r["component"]) for r in idmod.connected_components(edges).collect()}
+    monkeypatch.setattr(idmod, "LOCAL_EDGE_THRESHOLD", 0)
+    dist = {(r["node"], r["component"]) for r in idmod.connected_components(edges).collect()}
+    assert local == dist
+    assert ("iso1", "iso1") in local and ("iso2", "iso1") in local

@@ -331,10 +331,22 @@ FROM bands a JOIN bands b
 """
 
 
+_SIMHASH_LANE_BITS = 15  # lane counter width -> docs up to 2^15-1 tokens
+_SIMHASH_LANES = 4  # lanes per packed long (4*15=60 bits used)
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over token occurrences: per-bit +/-1 vote weighted by
-    term frequency, sign -> bit. One explode + one aggregate with 32
-    conditional sums — all codegen'd, shuffle carries 32 longs per doc."""
+    term frequency, sign -> bit. One explode + one aggregate.
+
+    Vote packing (the round-3 fix for the 32-branch when() per token row):
+    the +/-1 vote sum satisfies ``s_j = 2*ones_j - n``, so only the per-bit
+    ONES counts are aggregated — four 15-bit lane counters packed per long,
+    8 branch-free SUM buffers instead of 32 conditional sums. Lane width
+    bounds docs at 2^15-1 tokens (far beyond the corpus; a longer doc would
+    overflow a lane counter) and the packed partial sums stay < 2^61, safe
+    under ANSI arithmetic. Decode is ``bit_j = (2*ones_j > n)``.
+    """
     docs = table(spark, sf_dir, "documents").repartition(
         _parallelism(spark), "doc_id"
     )
@@ -343,17 +355,34 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
     toks = toks.withColumn("h", h)
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+
+    def packed(g: int):
+        lanes = None
+        for lane in range(_SIMHASH_LANES):
+            j = g * _SIMHASH_LANES + lane
+            bit = F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit, lane * _SIMHASH_LANE_BITS)
+            lanes = term if lanes is None else lanes + term
+        return lanes
+
+    n_groups = SIMHASH_BITS // _SIMHASH_LANES
+    # packed lanes are computed in a PROJECTION and the aggregate sums
+    # plain columns: measured ~2x faster than evaluating the packing
+    # expressions inside the HashAggregate itself
+    lanes = toks.select(
+        "doc_id", *[packed(g).alias(f"k{g}") for g in range(n_groups)]
+    )
+    votes = lanes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"k{g}").alias(f"p{g}") for g in range(n_groups)],
     )
     sim = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        g, lane = divmod(j, _SIMHASH_LANES)
+        ones = F.shiftright(F.col(f"p{g}"), lane * _SIMHASH_LANE_BITS).bitwiseAND(
+            F.lit((1 << _SIMHASH_LANE_BITS) - 1)
+        )
+        term = F.when(ones * 2 > F.col("n"), F.lit(2**j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
 

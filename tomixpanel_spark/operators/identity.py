@@ -20,56 +20,126 @@ feasible at test scale, while the Spark loop is the 100 TB path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from tomixpanel_spark.operators.base import QuerySpec, table
 
 MAX_ITERATIONS = 20
+# Below this many DISTINCT edges the component computation runs as driver-
+# side union-find on the collected edge list — the same size-adaptive
+# strategy as a broadcast join (the edge set after dedup is the identity
+# graph, tiny relative to the event volume that produced it). Above it,
+# the distributed label-propagation loop runs. ~2M edges of short string
+# ids is low hundreds of MB on the driver — comfortably collectable.
+LOCAL_EDGE_THRESHOLD = int(os.environ.get("TOMIX_CC_LOCAL_MAX", "2000000"))
+
+
+def _local_components(pdf) -> list[tuple]:
+    """Driver-side union-find (path compression, union-by-min so every
+    root IS its cluster's minimum id). Exact same fixed point as the
+    distributed loop, deterministic."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in zip(pdf["src"], pdf["dst"]):
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            if rd < rs:
+                rs, rd = rd, rs
+            parent[rd] = rs  # attach larger root under smaller
+    return [(n, find(n)) for n in parent]
 
 
 def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
     """edges(a,b) -> (node, component) with component = min node id in the
-    cluster (string ids; min is lexicographic, deterministic)."""
-    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionByName(
-        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-    ).distinct()
-    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    cluster (string ids; min is lexicographic, deterministic).
+
+    Size-adaptive (the broadcast-join principle applied to graphs): the
+    distinct edge set is materialized once and counted; small graphs
+    resolve with driver-side union-find (one job + one collect — iterative
+    Spark rounds on a toy graph are pure scheduler overhead, the round-3
+    30x finding), while large graphs run distributed hash-min label
+    propagation. The distributed loop keeps per-round cost minimal:
+      * the symmetric adjacency is checkpointed ONCE and augmented with a
+        self-loop per node, so a round is a single join+groupBy — the
+        self-loop row carries the node's own label into the min, removing
+        the separate least()/left-join recombination step;
+      * round 1 skips the label join entirely (labels are the identity
+        mapping, so neighbor-min is just ``min(dst)`` over the adjacency);
+      * the convergence flag rides IN the round's aggregate — ``prev`` is
+        the self-loop row's label (``min`` over the one ``dst == src``
+        row) — so "did anything change" is a trivial filter-count on the
+        round's checkpointed output, not a join of two label generations.
+    """
+    id_type = edges.schema[a].dataType
+    ded = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by count + (either) path
     )
-    converged = False
-    for _ in range(MAX_ITERATIONS):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+    if ded.count() <= LOCAL_EDGE_THRESHOLD:
+        rows = _local_components(ded.toPandas())
+        schema = StructType(
+            [StructField("node", id_type), StructField("component", id_type)]
         )
+        spark = edges.sparkSession
+        # one slice: a small local result across defaultParallelism tasks
+        # is pure scheduling overhead on every downstream action
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema
+        )
+
+    sym = ded.unionByName(
+        ded.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    adj = sym.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint(eager=True)  # reused every round: materialize once
+
+    # round 1: label(node) == node, so neighbor-min needs no label join
+    labels = (
+        adj.groupBy("src")
+        .agg(F.min("dst").alias("component"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+    if labels.filter(F.col("component") != F.col("node")).limit(1).count() == 0:
+        return labels
+    for _ in range(MAX_ITERATIONS - 1):
         updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
+            adj.join(labels, adj.dst == labels.node)
+            .groupBy("src")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("component"))
+                ).alias("prev"),
             )
-        ).localCheckpoint(eager=True)  # materialize ONCE, truncate lineage
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
+            .withColumnRenamed("src", "node")
+            .localCheckpoint(eager=True)  # convergence check reads THIS, not a re-run
         )
-        labels = updated
+        changed = updated.filter(F.col("component") != F.col("prev")).limit(1).count()
+        labels = updated.select("node", "component")
         if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {MAX_ITERATIONS} "
-            "iterations (graph diameter too large) — raise MAX_ITERATIONS"
-        )
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {MAX_ITERATIONS} "
+        "iterations (graph diameter too large) — raise MAX_ITERATIONS"
+    )
 
 
 def identity_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,7 +27,9 @@ def _synth_amp(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows are fixture INPUT to the transform under test — building them is
     harness cost, not product cost, so the bench reuses one materialized
     copy the way a real run reads a staged export once."""
-    return derived(spark, ("synth_amp", sf_dir), lambda: _synth_amp_build(spark, sf_dir))
+    return derived(
+        spark, ("synth_amp", sf_dir), lambda: _synth_amp_build(spark, sf_dir), kind="fixture"
+    )
 
 
 def _synth_amp_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,7 +185,7 @@ def _synth_ga_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     timed query exercises the actual ga_events transform.
     """
     return derived(
-        spark, ("synth_ga", sf_dir), lambda: _synth_ga_sessions_build(spark, sf_dir)
+        spark, ("synth_ga", sf_dir), lambda: _synth_ga_sessions_build(spark, sf_dir), kind="fixture"
     )
 
 

@@ -77,16 +77,27 @@ def _truthy(c: Column) -> Column:
     return c.isNotNull() & (c.cast("string") != "")
 
 
-def _opt_entries(pairs: list[tuple[str, Column]]) -> Column:
-    """Build MAP<STRING,STRING> keeping only truthy values (the reference's
-    `if (src) props[dst] = src` loops)."""
-    entries = F.array(
-        *[
-            F.when(_truthy(v), F.struct(F.lit(k).alias("key"), v.cast("string").alias("value")))
-            for k, v in pairs
-        ]
+def _entry(k: str, v: Column) -> Column:
+    return F.struct(F.lit(k).alias("key"), v.cast("string").alias("value"))
+
+
+def _entry_array(pairs: list[tuple[str, Column]]) -> Column:
+    return F.array(*[_entry(k, v) for k, v in pairs])
+
+
+def _keep_truthy(entries: Column) -> Column:
+    """One filter pass implements the reference's `if (src) props[dst] =
+    src` loops: the value is already stringified in the entry struct, so
+    truthiness is a single null/empty check per entry rather than a
+    per-pair when(cast, cast) tower (the round-3 bench finding)."""
+    return F.filter(
+        entries, lambda e: e["value"].isNotNull() & (e["value"] != "")
     )
-    return F.map_from_entries(F.filter(entries, lambda e: e.isNotNull()))
+
+
+def _opt_entries(pairs: list[tuple[str, Column]]) -> Column:
+    """Build MAP<STRING,STRING> keeping only truthy values."""
+    return F.map_from_entries(_keep_truthy(_entry_array(pairs)))
 
 
 def _distinct_id() -> Column:
@@ -121,27 +132,34 @@ class AmpOutputs:
 def amp_events(df: DataFrame) -> DataFrame:
     """Amplitude export rows -> canonical Mixpanel events."""
     time_ms = F.unix_millis(F.to_timestamp("event_time"))
-    reserved = _opt_entries(
-        [
-            ("distinct_id", _distinct_id()),
-            ("$device_id", F.col("device_id")),
-            ("ip", F.col("ip_address")),
-            ("$city", F.col("city")),
-            ("$region", F.col("region")),
-            ("mp_country_code", F.col("country")),
-            ("$source", F.lit(SOURCE_TAG)),
-        ]
+    reserved = _keep_truthy(
+        _entry_array(
+            [
+                ("distinct_id", _distinct_id()),
+                ("$device_id", F.col("device_id")),
+                ("ip", F.col("ip_address")),
+                ("$city", F.col("city")),
+                ("$region", F.col("region")),
+                ("mp_country_code", F.col("country")),
+                ("$source", F.lit(SOURCE_TAG)),
+            ]
+        )
     )
-    leftover = _opt_entries(
-        [(k, F.col(f"`{k}`")) for k in _LEFTOVER_SCALARS]
+    leftover = _keep_truthy(
+        _entry_array([(k, F.col(f"`{k}`")) for k in _LEFTOVER_SCALARS])
     )
-    props = F.map_concat(
-        leftover,
-        _nonnull_map("event_properties"),
-        _nonnull_map("groups"),
-        _nonnull_map("user_properties"),
-        reserved,
-        _pair_map(),
+    # ONE map build: entry arrays concatenate in spread order (later keys
+    # win under LAST_WIN — identical precedence to the map_concat tower
+    # this replaces, at one dedup pass instead of five merges).
+    props = F.map_from_entries(
+        F.concat(
+            leftover,
+            F.map_entries(_nonnull_map("event_properties")),
+            F.map_entries(_nonnull_map("groups")),
+            F.map_entries(_nonnull_map("user_properties")),
+            reserved,
+            _keep_truthy(_entry_array([(dst, F.col(src)) for src, dst in AMP_MIX_PAIRS])),
+        )
     )
     insert_id = F.coalesce(
         F.nullif(F.col("`$insert_id`"), F.lit("")),

@@ -80,14 +80,27 @@ def _truthy(c: Column) -> Column:
     return c.isNotNull() & (c.cast("string") != "") & (c.cast("string") != "false")
 
 
-def _opt_entries(pairs: list[tuple[str, Column]]) -> Column:
-    entries = F.array(
-        *[
-            F.when(_truthy(v), F.struct(F.lit(k).alias("key"), v.cast("string").alias("value")))
-            for k, v in pairs
-        ]
+def _entry(k: str, v: Column) -> Column:
+    return F.struct(F.lit(k).alias("key"), v.cast("string").alias("value"))
+
+
+def _entry_array(pairs: list[tuple[str, Column]]) -> Column:
+    return F.array(*[_entry(k, v) for k, v in pairs])
+
+
+def _keep_truthy(entries: Column) -> Column:
+    """One filter pass drops JS-falsy values (the reference's truthy gate)
+    — the value is already stringified in the entry struct, so the check
+    costs one comparison chain per entry instead of the per-pair
+    when(cast, cast) tower the round-3 bench flagged."""
+    return F.filter(
+        entries,
+        lambda e: e["value"].isNotNull() & (e["value"] != "") & (e["value"] != "false"),
     )
-    return F.map_from_entries(F.filter(entries, lambda e: e.isNotNull()))
+
+
+def _opt_entries(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_from_entries(_keep_truthy(_entry_array(pairs)))
 
 
 def _uuid() -> Column:
@@ -102,16 +115,23 @@ def _uuid() -> Column:
     )
 
 
-def _default_props() -> Column:
-    """mapDefaults(session): device + location + attribution pairs,
-    lat/long hoist handled at the profile level, UTM Channel."""
+def _default_entries() -> Column:
+    """mapDefaults(session) as a filtered ENTRY ARRAY: device + location +
+    attribution pairs, UTM Channel. Kept in array form so downstream
+    assembly can concat it without a map->entries round trip; filtered
+    HERE, once per session, not per exploded hit."""
     pairs = (
         [(dst, F.col(f"device.{src}")) for src, dst in GA_DEVICE_PAIRS]
         + [(dst, F.col(f"geoNetwork.{src}")) for src, dst in GA_LOCATION_PAIRS]
         + [(dst, F.col(f"trafficSource.{src}")) for src, dst in GA_ATTRIBUTION_PAIRS]
         + [("UTM Channel", F.col("channelGrouping"))]
     )
-    return _opt_entries(pairs)
+    return _keep_truthy(_entry_array(pairs))
+
+
+def _default_props() -> Column:
+    """mapDefaults(session): lat/long hoist handled at the profile level."""
+    return F.map_from_entries(_default_entries())
 
 
 def _session_base(df: DataFrame) -> DataFrame:
@@ -120,16 +140,20 @@ def _session_base(df: DataFrame) -> DataFrame:
     return df.select(
         _uuid().alias("distinct_id"),
         (F.col("visitStartTime").cast("bigint") * 1000).alias("start_ms"),
-        _default_props().alias("defaults"),
+        _default_entries().alias("defaults"),
         F.to_json("totals").alias("summary"),
         F.col("hits"),
     )
 
 
 def _boundary(base: DataFrame, name: str, time_ms: Column) -> DataFrame:
-    props = F.map_concat(
-        _opt_entries([("summary", F.col("summary")), ("$source", F.lit(SOURCE_TAG))]),
-        F.col("defaults"),
+    props = F.map_from_entries(
+        F.concat(
+            _keep_truthy(
+                _entry_array([("summary", F.col("summary")), ("$source", F.lit(SOURCE_TAG))])
+            ),
+            F.col("defaults"),
+        )
     )
     return base.select(
         F.lit(name).alias("event"),
@@ -174,71 +198,72 @@ def _hit_events(base: DataFrame) -> DataFrame:
     name = F.coalesce(name, F.lit("unknown event"))
 
     def custom(prefix: str, field: str) -> Column:
-        """'<prefix> #<index> (<eventName>)' keys, skipping na/'' values
-        (reference :228-239)."""
+        """'<prefix> #<index> (<eventName>)' entry array, skipping na/''
+        values (reference :228-239)."""
         arr = F.coalesce(
             hit[field], F.array().cast("array<struct<index:string,value:string>>")
         )
-        return F.map_from_entries(
-            F.transform(
-                F.filter(
-                    arr,
-                    lambda d: d["value"].isNotNull()
-                    & (F.lower(d["value"]) != "na")
-                    & (d["value"] != ""),
-                ),
-                lambda d: F.struct(
-                    F.concat(
-                        F.lit(f"{prefix} #"), d["index"], F.lit(" ("), name, F.lit(")")
-                    ).alias("key"),
-                    d["value"].alias("value"),
-                ),
-            )
+        return F.transform(
+            F.filter(
+                arr,
+                lambda d: d["value"].isNotNull()
+                & (F.lower(d["value"]) != "na")
+                & (d["value"] != ""),
+            ),
+            lambda d: F.struct(
+                F.concat(
+                    F.lit(f"{prefix} #"), d["index"], F.lit(" ("), name, F.lit(")")
+                ).alias("key"),
+                d["value"].alias("value"),
+            ),
         )
 
-    page = _opt_entries(
-        [
-            ("pagePath", hit["page"]["pagePath"]),
-            ("hostname", hit["page"]["hostname"]),
-            ("pageTitle", hit["page"]["pageTitle"]),
-        ]
+    def flat(field: str) -> Column:
+        return F.map_entries(
+            F.coalesce(hit[field], F.create_map().cast("map<string,string>"))
+        )
+
+    # ONE map build per hit: entry arrays concatenate in the reference's
+    # spread order (later keys win under LAST_WIN, exactly like the
+    # map_concat tower this replaces) and the truthy gate runs as a single
+    # filter pass per group instead of per-pair when() towers. transaction/
+    # social spread in UNfiltered, as the reference does.
+    opt_hit = _keep_truthy(
+        _entry_array(
+            [
+                ("$referrer", hit["referer"]),
+                ("isEntrance", hit["isEntrance"]),
+                ("isExit", hit["isExit"]),
+                ("isInteraction", hit["isInteraction"]),
+                ("products", F.to_json(hit["product"])),
+                ("promotions", F.to_json(hit["promotion"])),
+            ]
+        )
     )
-    event_info = _opt_entries(
-        [
-            ("eventCategory", hit["eventInfo"]["eventCategory"]),
-            ("eventAction", hit["eventInfo"]["eventAction"]),
-            ("eventLabel", hit["eventInfo"]["eventLabel"]),
-        ]
+    opt_page_event = _keep_truthy(
+        _entry_array(
+            [
+                ("pagePath", hit["page"]["pagePath"]),
+                ("hostname", hit["page"]["hostname"]),
+                ("pageTitle", hit["page"]["pageTitle"]),
+                ("eventCategory", hit["eventInfo"]["eventCategory"]),
+                ("eventAction", hit["eventInfo"]["eventAction"]),
+                ("eventLabel", hit["eventInfo"]["eventLabel"]),
+            ]
+        )
     )
-    simple = _opt_entries(
-        [
-            ("$referrer", hit["referer"]),
-            ("isEntrance", hit["isEntrance"]),
-            ("isExit", hit["isExit"]),
-            ("isInteraction", hit["isInteraction"]),
-        ]
-    )
-    aliased = _opt_entries(
-        [
-            ("products", F.to_json(hit["product"])),
-            ("promotions", F.to_json(hit["promotion"])),
-        ]
-    )
-    flat_maps = [
-        F.coalesce(hit["transaction"], F.create_map().cast("map<string,string>")),
-        F.coalesce(hit["social"], F.create_map().cast("map<string,string>")),
-    ]
-    props = F.map_concat(
-        _opt_entries([("$source", F.lit(SOURCE_TAG))]),
-        F.col("defaults"),
-        simple,
-        aliased,
-        *flat_maps,
-        page,
-        event_info,
-        custom("variable", "customVariables"),
-        custom("dimension", "customDimensions"),
-        custom("metric", "customMetrics"),
+    props = F.map_from_entries(
+        F.concat(
+            F.array(_entry("$source", F.lit(SOURCE_TAG))),
+            F.col("defaults"),
+            opt_hit,
+            flat("transaction"),
+            flat("social"),
+            opt_page_event,
+            custom("variable", "customVariables"),
+            custom("dimension", "customDimensions"),
+            custom("metric", "customMetrics"),
+        )
     )
     return h.select(
         name.alias("event"),
@@ -248,10 +273,26 @@ def _hit_events(base: DataFrame) -> DataFrame:
     )
 
 
-def ga_events(df: DataFrame, move_to_present: bool = False, anchor_now_ms: int | None = None) -> DataFrame:
+def ga_events(
+    df: DataFrame,
+    move_to_present: bool = False,
+    anchor_now_ms: int | None = None,
+    materialize_base: bool = True,
+) -> DataFrame:
     """Sessions -> full event stream (begins + hits + ends), $insert_id on
-    every row; optional move-to-present shift."""
+    every row; optional move-to-present shift.
+
+    ``materialize_base``: the session prep (identity, default-prop
+    entries, summary) feeds THREE consumers (begins / hits / ends), and
+    Spark has no cross-branch common-subexpression reuse — each union
+    branch would re-evaluate the prep against the source. Materializing it
+    once (localCheckpoint) trades one write of the prepped sessions for
+    two full re-computations; disable for single-pass streaming-ish uses
+    where lineage must stay intact.
+    """
     base = _session_base(df)
+    if materialize_base:
+        base = base.localCheckpoint(eager=True)
     begins = _boundary(base, "session begins", F.col("start_ms"))
     ends = _boundary(base, "session ends", _last_hit_end_ms() + 1000)
     events = begins.unionByName(_hit_events(base)).unionByName(ends)
