@@ -12,6 +12,7 @@ hashing values.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -32,7 +33,43 @@ TABLES = (
 )
 
 
-_TABLE_CACHE: dict = {}
+_TABLE_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+
+
+def _cache_cap() -> int:
+    import os
+
+    return int(os.environ.get("TOMIX_CACHE_MAX", "48"))
+
+
+def _cache_get(key: tuple) -> Optional[DataFrame]:
+    df = _TABLE_CACHE.get(key)
+    if df is not None:
+        _TABLE_CACHE.move_to_end(key)
+    return df
+
+
+def _cache_put(key: tuple, df: DataFrame) -> None:
+    """LRU insert; evicted entries are unpersisted so a long session
+    sweeping many sf dirs doesn't accumulate executor storage."""
+    _TABLE_CACHE[key] = df
+    _TABLE_CACHE.move_to_end(key)
+    while len(_TABLE_CACHE) > _cache_cap():
+        _, old = _TABLE_CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session may already be stopped
+
+
+def clear_table_cache() -> None:
+    """Unpersist and drop every cached table/derived view."""
+    while _TABLE_CACHE:
+        _, df = _TABLE_CACHE.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -54,8 +91,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     use_cache = bool(os.environ.get("TOMIX_CACHE_TABLES"))
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    if use_cache and key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
+    if use_cache:
+        hit = _cache_get(key)
+        if hit is not None:
+            return hit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
@@ -63,29 +102,38 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if use_cache:
         df = df.cache()
-        _TABLE_CACHE[key] = df
+        _cache_put(key, df)
     return df
 
 
-def derived(spark: SparkSession, key: tuple, builder) -> DataFrame:
+def derived(spark: SparkSession, key: tuple, builder, kind: str = "artifact") -> DataFrame:
     """Materialized derived view: persist a shared intermediate DataFrame
-    keyed by (applicationId, *key), gated on the same ``TOMIX_CACHE_TABLES``
-    flag as the table cache.
+    keyed by (applicationId, *key).
 
-    This is the engine's materialized-intermediate layer, mirroring
-    production pipelines where expensive derived artifacts (shingle sets,
-    MinHash signatures, synthesized fixture inputs) are computed once and
-    reused by every downstream query rather than re-derived per query.
-    Off by default so single-query correctness runs see plain lineage.
+    Two kinds, gated on SEPARATE flags so benchmarks stay honest:
+      * ``kind="fixture"`` (gate: ``TOMIX_CACHE_TABLES``) — synthesized
+        fixture INPUT to a transform under test (e.g. the nested GA
+        sessions). Building it is harness cost, not product cost, so it
+        caches alongside the base tables.
+      * ``kind="artifact"`` (gate: ``TOMIX_CACHE_DERIVED``) — a query's
+        own work product (shingle sets, MinHash signatures). Caching these
+        across timed queries flatters a benchmark, so the bench leaves the
+        flag off; production pipelines that genuinely materialize
+        signatures once can turn it on.
+    Both are off by default so single-query correctness runs see plain
+    lineage; entries share the LRU bound with the table cache.
     """
     import os
 
-    if not os.environ.get("TOMIX_CACHE_TABLES"):
+    flag = "TOMIX_CACHE_TABLES" if kind == "fixture" else "TOMIX_CACHE_DERIVED"
+    if not os.environ.get(flag):
         return builder()
     k = (spark.sparkContext.applicationId,) + tuple(key)
-    if k not in _TABLE_CACHE:
-        _TABLE_CACHE[k] = builder().persist()
-    return _TABLE_CACHE[k]
+    hit = _cache_get(k)
+    if hit is None:
+        hit = builder().persist()
+        _cache_put(k, hit)
+    return hit
 
 
 @dataclass(frozen=True)
