@@ -54,6 +54,7 @@ class StubServer:
                         {
                             "path": self.path,
                             "method": self.command,
+                            "auth": self.headers.get("Authorization"),
                             "gzip": self.headers.get("Content-Encoding") == "gzip",
                             "n": len(records),
                             "bytes": n,
@@ -144,6 +145,24 @@ def _events_df(spark, n=4500):
 
 
 class TestHttpSink:
+    def test_mixpanel_import_sink_service_account_auth(self, spark, stub):
+        """mixpanel_import_sink builds the Basic header + project_id +
+        strict=1 from credentials (sendEventsToMixpanel.js:164-172)."""
+        import base64
+
+        from tomixpanel_spark.sinks.http import mixpanel_import_sink, summarize_receipts
+
+        sink = mixpanel_import_sink("proj42", "sa-user", "sa-secret", url=stub.url)
+        summary = summarize_receipts(sink.send(_events_df(spark, 50), concurrency=1))
+        assert summary["imported"] == 50
+        want = "Basic " + base64.b64encode(b"sa-user:sa-secret").decode()
+        for r in stub.requests:
+            assert r["auth"] == want
+            assert "project_id=proj42" in r["path"]
+            assert "strict=1" in r["path"]
+        rec = stub.requests[0]["records"][0]
+        assert set(rec) == {"event", "properties"}  # /import wire shape
+
     def test_batch_size_gzip_strict_and_counts(self, spark, stub):
         from tomixpanel_spark.sinks.http import (
             HttpSink,
@@ -287,6 +306,29 @@ class TestSources:
         arr.write_text(json.dumps(rows))
         df2 = read_json_auto(spark, str(arr), MP_EXPORT_SCHEMA)
         assert valid_records(df2).count() == 4
+
+    def test_file_skip_gate_drops_whole_file(self, spark, tmp_path):
+        """V1 whole-file fidelity (gaToMixpanel.js:51-57): one bad line
+        discards its FILE under the file-skip gate while row-level salvage
+        keeps the file's good lines."""
+        from tomixpanel_spark.schemas import MP_EXPORT_SCHEMA
+        from tomixpanel_spark.sources.staging import (
+            read_json_auto,
+            valid_records,
+            valid_records_file_skip,
+        )
+
+        good = tmp_path / "good.ndjson"
+        good.write_text(mp_export_lines(5))
+        bad = tmp_path / "bad.ndjson"
+        bad.write_text(mp_export_lines(3) + "NOT JSON\n")
+        df = read_json_auto(spark, [str(good), str(bad)], MP_EXPORT_SCHEMA)
+        assert valid_records(df).count() == 8  # row salvage keeps 3 of 4
+        kept = valid_records_file_skip(df)
+        assert kept.count() == 5  # whole bad file skipped
+        assert "_src_file" not in kept.columns and "_corrupt_record" not in kept.columns
+        # threshold generalization: tolerate 1 bad line per file
+        assert valid_records_file_skip(df, max_corrupt_per_file=1).count() == 8
 
     def test_zip_expand_and_gzip_sniff(self, tmp_path):
         import io

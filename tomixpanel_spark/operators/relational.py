@@ -107,12 +107,14 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Arithmetic strategy (exact + fast): money columns are 2-decimal values
     stored as doubles, so ``round(x*100)`` recovers the exact integer cents.
-    Plain-column sums run as whole-stage-codegen LONG sums (no decimal in
-    the hot loop — measured 2.5x faster than the decimal tower). The two
-    product sums (disc_price/charge) compute the per-row product exactly in
-    int64 (max ~1e11, far within range) and aggregate into DECIMAL(28,0) so
-    the grand total cannot overflow at any scale: a 100 TB lineitem
-    (~7e11 rows x 1e11/row = 7e22) exceeds int64 but fits 28 digits.
+    Narrow-value sums (qty/disc cents, max ~1e4/row) run as
+    whole-stage-codegen LONG sums (no decimal in the hot loop — measured
+    2.5x faster than the decimal tower): 7e11 rows x 1e4 = 7e15, three
+    orders of magnitude inside int64. Wide-value sums — base_price cents
+    (~1e7/row -> 7e18, <25% int64 headroom at the 100 TB worst case, and
+    ANSI-off overflow wraps SILENTLY) and the two products (~1e11/row) —
+    aggregate into DECIMAL(28,0) so the grand total cannot overflow at any
+    scale.
     Integer/decimal sums are associative => deterministic under any
     partitioning, hash-identical to the single-threaded oracle.
     """
@@ -129,7 +131,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             (F.sum(qty) / 100.0).alias("sum_qty"),
-            (F.sum(ep) / 100.0).alias("sum_base_price"),
+            (F.sum(ep.cast("decimal(28,0)")).cast("double") / 100.0).alias("sum_base_price"),
             (F.sum(dp).cast("double") / 10000.0).alias("sum_disc_price"),
             (F.sum(ch).cast("double") / 1000000.0).alias("sum_charge"),
             (F.sum(qty) / 100.0 / n).alias("avg_qty"),

@@ -203,6 +203,42 @@ def dead_letters(receipts: DataFrame) -> DataFrame:
     return receipts.filter(~F.col("ok"))
 
 
+MIXPANEL_IMPORT_URL_US = "https://api.mixpanel.com/import"
+MIXPANEL_IMPORT_URL_EU = "https://api-eu.mixpanel.com/import"
+
+
+def mixpanel_import_sink(
+    project_id: str,
+    username: str,
+    secret: str,
+    url: Optional[str] = None,
+    eu: bool = False,
+    transport: Optional[Transport] = None,
+    **cfg_overrides,
+) -> "HttpSink":
+    """Service-account /import sink: builds the Basic Authorization header
+    and project_id+strict=1 query params from credentials, the way the
+    reference bakes them into the event loader
+    (load/sendEventsToMixpanel.js:164-172: ``'Basic ' +
+    btoa(username:password)``, ``?project_id=...&strict=1``).
+
+    ``url`` overrides the endpoint for tests; otherwise the US/EU ingestion
+    endpoint (sendEventsToMixpanel.js:13-14) is used. Extra keyword args
+    pass through to :class:`HttpSinkConfig` (batching, pacing, retries).
+    """
+    import base64
+    from urllib.parse import urlencode
+
+    base = url or (MIXPANEL_IMPORT_URL_EU if eu else MIXPANEL_IMPORT_URL_US)
+    sep = "&" if "?" in base else "?"
+    full_url = f"{base}{sep}{urlencode({'project_id': project_id})}"
+    tok = base64.b64encode(f"{username}:{secret}".encode()).decode()
+    headers = dict(cfg_overrides.pop("headers", {}))
+    headers["Authorization"] = f"Basic {tok}"
+    cfg = HttpSinkConfig(url=full_url, headers=headers, **cfg_overrides)
+    return HttpSink(cfg, mp_event_record, transport=transport)
+
+
 def mp_event_record(rec: dict) -> dict:
     """Canonical typed event row -> Mixpanel /import wire shape."""
     props = dict(rec.get("props") or {})

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 CORRUPT_COL = "_corrupt_record"
+SRC_FILE_COL = "_src_file"
 
 
 def expand_zip(zip_path: str, out_dir: str) -> list[str]:
@@ -74,11 +75,15 @@ def read_json_auto(
     # cache(): Spark refuses corrupt-column-only queries on raw JSON scans
     # (internal-column restriction); the staged files are small relative to
     # the cluster, and the sniff needs two passes anyway.
+    # source-file provenance is captured BEFORE cache(): input_file_name()
+    # reads the scan node, and an InMemoryRelation has no file to name —
+    # tagging after caching would yield '' for every row
     df = (
         spark.read.schema(with_corrupt)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(paths)
+        .withColumn(SRC_FILE_COL, F.input_file_name())
         .cache()
     )
     total = df.count()
@@ -91,18 +96,47 @@ def read_json_auto(
             .option("columnNameOfCorruptRecord", CORRUPT_COL)
             .option("multiLine", True)
             .json(paths)
+            .withColumn(SRC_FILE_COL, F.input_file_name())
             .cache()
         )
     return df
 
 
+def _drop_meta(df: DataFrame) -> DataFrame:
+    return df.drop(CORRUPT_COL, SRC_FILE_COL)
+
+
 def valid_records(df: DataFrame) -> DataFrame:
-    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    """Row-level salvage (the engine's default, improves on the reference:
+    one bad line doesn't discard its file)."""
+    return _drop_meta(df.filter(F.col(CORRUPT_COL).isNull()))
+
+
+def valid_records_file_skip(df: DataFrame, max_corrupt_per_file: int = 0) -> DataFrame:
+    """V1 whole-file skip fidelity: the reference validates each GA export
+    file against its draft-04 schema and skips the ENTIRE file on any
+    error (transform/gaToMixpanel.js:51-57). Corrupt counts group by the
+    provenance column stamped at scan time; offending files anti-join out
+    via a broadcast of the (tiny) bad-file list. ``max_corrupt_per_file``
+    generalizes the reference's 0-tolerance contract."""
+    if SRC_FILE_COL not in df.columns:
+        raise ValueError("file-skip gate needs the read_json_auto provenance column")
+    bad = (
+        df.groupBy(SRC_FILE_COL)
+        .agg(
+            F.sum(F.col(CORRUPT_COL).isNotNull().cast("int")).alias("n_corrupt")
+        )
+        .filter(F.col("n_corrupt") > max_corrupt_per_file)
+        .select(SRC_FILE_COL)
+    )
+    kept = df.join(F.broadcast(bad), SRC_FILE_COL, "left_anti")
+    return _drop_meta(kept.filter(F.col(CORRUPT_COL).isNull()))
 
 
 def corrupt_records(df: DataFrame) -> DataFrame:
     """The V2 salvage gate as a DataFrame instead of a skipped line."""
-    return df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    cols = [CORRUPT_COL] + ([SRC_FILE_COL] if SRC_FILE_COL in df.columns else [])
+    return df.filter(F.col(CORRUPT_COL).isNotNull()).select(*cols)
 
 
 def expand_path(path: str) -> list[str]:
