@@ -435,6 +435,45 @@ WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 """
 
 
+EVAL_SET_MOD = 97  # synthetic held-out set: every 97th doc
+
+
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination check: which training docs share n-gram
+    shingles with the held-out eval set (here: every 97th doc), and how
+    many. The standard pre-training hygiene pass — eval-set shingles are
+    ~1/97 of the corpus, so the eval side BROADCASTS and contamination is
+    a map-side hash join per shingle row; the only shuffle is the per-doc
+    count-distinct aggregate. Docs with zero overlap don't appear."""
+    sh = _shingle_arrays(spark, sf_dir)
+    rows = sh.select("doc_id", F.explode("sh_arr").alias("sh"))
+    is_eval = F.pmod(F.col("doc_id"), F.lit(EVAL_SET_MOD)) == 0
+    eval_sh = rows.filter(is_eval).select(
+        F.col("sh").alias("e_sh"), F.col("doc_id").alias("eval_doc")
+    )
+    corpus = rows.filter(~is_eval)
+    return (
+        corpus.join(F.broadcast(eval_sh), corpus.sh == eval_sh.e_sh)
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("sh").alias("n_shared"),
+            F.count_distinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH sh AS ({_SQL_SHINGLE_ROWS}),
+ev AS (SELECT sh AS e_sh, doc_id AS eval_doc FROM sh WHERE doc_id % {EVAL_SET_MOD} = 0),
+co AS (SELECT doc_id, sh FROM sh WHERE doc_id % {EVAL_SET_MOD} <> 0)
+SELECT co.doc_id,
+  CAST(COUNT(DISTINCT co.sh) AS BIGINT) AS n_shared,
+  CAST(COUNT(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
+FROM co JOIN ev ON co.sh = ev.e_sh
+GROUP BY co.doc_id
+"""
+
+
 REGISTRY = {
     "dedup_exact": QuerySpec(dedup_exact, _DEDUP_EXACT_SQL, "ext:dedup"),
     "ngram_jaccard_pairs": QuerySpec(ngram_jaccard_pairs, _NGRAM_JACCARD_SQL, "ext:dedup"),
@@ -442,4 +481,5 @@ REGISTRY = {
     "minhash_lsh_pairs": QuerySpec(minhash_lsh_pairs, _MINHASH_LSH_SQL, "ext:dedup"),
     "simhash": QuerySpec(simhash, _SIMHASH_SQL, "ext:dedup"),
     "dedup_keep_list": QuerySpec(dedup_keep_list, _DEDUP_KEEP_LIST_SQL, "ext:dedup e2e"),
+    "decontam_overlap": QuerySpec(decontam_overlap, _DECONTAM_SQL, "ext:dedup decontamination"),
 }

@@ -131,6 +131,80 @@ FROM documents
 """
 
 
+SAMPLE_RATES_E4 = {"en": 8000, "unknown": 2000}  # per-bucket keep rates /1e4
+
+
+def _portable_hash_e4(id_col: str) -> "F.Column":
+    """Deterministic engine-portable sampling hash in [0, 10000): first 4
+    md5 hex digits of the stringified id, mod 1e4. Identical in DuckDB
+    (md5 string parity), unlike xxhash64/DuckDB hash() which differ."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(10000))
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture sampling: deterministic per-stratum rates
+    (language buckets here) via a portable content-independent hash — the
+    standard reproducible-downsampling shape for corpus mixing. Pure
+    narrow projection+filter: no shuffle, no RNG state, re-runnable with
+    identical output on any cluster/partitioning."""
+    docs = table(spark, sf_dir, "documents")
+    rate = F.create_map(
+        *[x for k, v in SAMPLE_RATES_E4.items() for x in (F.lit(k), F.lit(v))]
+    )
+    d = docs.select(
+        "doc_id",
+        lang_guess("text").alias("bucket"),
+        _portable_hash_e4("doc_id").alias("h"),
+    )
+    return d.filter(F.col("h") < rate[F.col("bucket")]).select("doc_id", "bucket")
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN len(list_filter(({_SQL_WORDS})[1:40],
+                              t -> list_contains({_SQL_STOPSET}, lower(t)))) >= 2
+         THEN 'en' ELSE 'unknown' END AS bucket,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 AS h
+  FROM documents)
+SELECT doc_id, bucket FROM d
+WHERE h < CASE bucket WHEN 'en' THEN {SAMPLE_RATES_E4['en']} ELSE {SAMPLE_RATES_E4['unknown']} END
+"""
+
+
+def mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reporting: per (language bucket, length tier) document
+    and token totals — the numbers a training-data pipeline balances
+    mixtures against. One hash aggregate over a handful of groups
+    (map-side partials: shuffle carries |buckets| rows/partition)."""
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("bigint")
+    d = docs.select(
+        lang_guess("text").alias("bucket"),
+        F.when(n_tok >= 60, F.lit("long")).otherwise(F.lit("short")).alias("tier"),
+        n_tok.alias("n_tok"),
+    )
+    return d.groupBy("bucket", "tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+_MIXTURE_STATS_SQL = f"""
+WITH d AS (
+  SELECT
+    CASE WHEN len(list_filter(({_SQL_WORDS})[1:40],
+                              t -> list_contains({_SQL_STOPSET}, lower(t)))) >= 2
+         THEN 'en' ELSE 'unknown' END AS bucket,
+    CASE WHEN len({_SQL_WORDS}) >= 60 THEN 'long' ELSE 'short' END AS tier,
+    CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tok
+  FROM documents)
+SELECT bucket, tier, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM d GROUP BY bucket, tier
+"""
+
+
 REGISTRY = {
     "explode_hits": QuerySpec(explode_hits, _EXPLODE_HITS_SQL, "M1"),
     "token_count": QuerySpec(token_count, _TOKEN_COUNT_SQL, "ext:text"),
@@ -138,4 +212,6 @@ REGISTRY = {
     "lang_id": QuerySpec(lang_id, _LANG_ID_SQL, "ext:text"),
     "quality_score": QuerySpec(quality_score, _QUALITY_SCORE_SQL, "ext:text"),
     "doc_fingerprint": QuerySpec(doc_fingerprint, _DOC_FINGERPRINT_SQL, "ext:text"),
+    "stratified_sample": QuerySpec(stratified_sample, _STRATIFIED_SAMPLE_SQL, "ext:text sampling"),
+    "mixture_stats": QuerySpec(mixture_stats, _MIXTURE_STATS_SQL, "ext:text mixture"),
 }
