@@ -50,7 +50,11 @@ def main() -> None:
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         table(spark, sf_dir, t).count()  # materialize the table cache
-    for warm_q in ("count_agg", "dedup_by_key", "tpch_q5", "cosine_topk", "word_freq", "amp_transform", "custom_dims", "minhash_signature"):
+    # warm EVERY query shape once at the smallest sf: codegen compiles per
+    # plan shape, and an sf0.001 run costs ms while moving JIT compilation
+    # out of the sf0.1 cold numbers (long-running clusters are never
+    # JIT-cold; the cold column should reflect plan build + execution)
+    for warm_q in sorted(reg):
         try:
             reg[warm_q].fn(spark, warm_sf).toPandas()
         except Exception:
@@ -72,20 +76,23 @@ def main() -> None:
         df = reg[name].fn(spark, sf_dir)
         return execute(df) + (time.perf_counter() - t0)
 
-    # Steady state vs cold, reported separately and honestly:
-    #   * pass 1 builds each query's DataFrame AND executes it — that full
-    #     build+plan+execute time is the COLD number (cold_queries/
-    #     cold_total below).
-    #   * pass 2 re-executes the PREPARED DataFrame (plan already built) —
-    #     the prepared-statement regime every serving engine exposes.
-    #     Re-execution runs the full job again (nothing about the result
-    #     is cached); only Python expression-tree construction + Catalyst
-    #     analysis is amortized, which for ~0.1 s queries at toy scale
-    #     otherwise dominates the measurement.
-    # Headline value = steady state; cold totals ride along in the JSON.
+    # Three tiers, reported separately and honestly:
+    #   * HEADLINE (`queries`/`value`): best of two FULL build+execute
+    #     passes — each pass constructs the DataFrame fresh, so Python
+    #     expression building, Catalyst analysis, AQE planning, and every
+    #     shuffle all re-run. Directly comparable across rounds and to the
+    #     oracle's per-query runs.
+    #   * COLD (`cold_queries`/`cold_total`): the first of those passes.
+    #   * PREPARED (`prepared_queries`/`prepared_total`): re-executing the
+    #     pass-2 DataFrame handle — the prepared-statement serving regime.
+    #     CAVEAT, and why this is NOT the headline: Spark registers a live
+    #     DataFrame's shuffle map outputs, so re-execution skips completed
+    #     map stages — it measures plan-cache + shuffle-reuse serving
+    #     throughput, not a from-scratch run.
     second_pass_budget = float(os.environ.get("TOMIX_BENCH_BUDGET_S", "240"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    prepared: dict[str, float] = {}
     handles: dict[str, object] = {}
     t_start = time.perf_counter()
     for name in sorted(reg):
@@ -94,15 +101,20 @@ def main() -> None:
         built = time.perf_counter() - t0
         exec_s = execute(df)
         cold[name] = round(built + exec_s, 4)
-        timings[name] = exec_s
+        timings[name] = built + exec_s
+    for name in sorted(reg):
+        if time.perf_counter() - t_start > second_pass_budget:
+            break
+        t0 = time.perf_counter()
+        df = reg[name].fn(spark, sf_dir)
+        built = time.perf_counter() - t0
+        exec_s = execute(df)
+        timings[name] = min(timings[name], built + exec_s)
         handles[name] = df
-    # two prepared passes: per-stage codegen JIT keeps warming through the
-    # second execution of a shape, so best-of-3 is the steady floor
-    for _pass in range(2):
-        for name in sorted(reg):
-            if time.perf_counter() - t_start > second_pass_budget:
-                break
-            timings[name] = min(timings[name], execute(handles[name]))
+    for name in sorted(reg):
+        if name not in handles or time.perf_counter() - t_start > second_pass_budget:
+            continue
+        prepared[name] = round(execute(handles[name]), 4)
     handles.clear()
     timings = {k: round(v, 4) for k, v in timings.items()}
 
@@ -129,6 +141,8 @@ def main() -> None:
         "queries": timings,
         "cold_total": round(sum(cold.values()), 4),
         "cold_queries": cold,
+        "prepared_total": round(sum(prepared.values()), 4),
+        "prepared_queries": prepared,
         "derived_cached": derived_cached,
         "sf": sf_val,
         "n_queries": len(timings),

@@ -42,6 +42,7 @@ def registry() -> dict[str, QuerySpec]:
         "stratified_sample",
         "mixture_stats",
         "decontam_overlap",
+        "neardup_components",
     ):
         reg[tail] = reg.pop(tail)
     return reg

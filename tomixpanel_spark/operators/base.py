@@ -96,11 +96,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if hit is not None:
             return hit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.typeName() == "long":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if use_cache:
+        # NOTE on partitioning: repartitioning cached fact tables to
+        # defaultParallelism was A/B-tested (round 4) — it speeds the
+        # single-table agg queries (q1 1.4->0.7s: a 1-3-row-group parquet
+        # file caches as 3 partitions and one straggler task does the
+        # bulk) but slows every multi-join query by the same total (more
+        # tasks per stage on 100k-row inputs). Net wash at sf0.1, so the
+        # cache keeps the scan's natural partitioning; at cluster scale
+        # files are many and AQE handles both directions.
         df = df.cache()
         _cache_put(key, df)
     return df

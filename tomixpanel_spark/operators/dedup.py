@@ -25,6 +25,8 @@ conversion subtleties.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -356,6 +358,26 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
     toks = toks.withColumn("h", h)
 
+    n_groups = SIMHASH_BITS // _SIMHASH_LANES
+    pack_cols, sim_col = _simhash_columns()
+    # packed lanes are computed in a PROJECTION and the aggregate sums
+    # plain columns: measured ~2x faster than evaluating the packing
+    # expressions inside the HashAggregate itself
+    lanes = toks.select("doc_id", *pack_cols)
+    votes = lanes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"k{g}").alias(f"p{g}") for g in range(n_groups)],
+    )
+    return votes.select("doc_id", sim_col)
+
+
+@lru_cache(maxsize=1)
+def _simhash_columns():
+    """The ~170-node pack/decode expression trees are constants — building
+    them is pure py4j round-trips (~0.9 s/call measured), so they memoize
+    per process. Columns are unresolved expression trees, not bound to a
+    DataFrame, so reuse across plans is safe."""
+
     def packed(g: int):
         lanes = None
         for lane in range(_SIMHASH_LANES):
@@ -366,16 +388,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lanes
 
     n_groups = SIMHASH_BITS // _SIMHASH_LANES
-    # packed lanes are computed in a PROJECTION and the aggregate sums
-    # plain columns: measured ~2x faster than evaluating the packing
-    # expressions inside the HashAggregate itself
-    lanes = toks.select(
-        "doc_id", *[packed(g).alias(f"k{g}") for g in range(n_groups)]
-    )
-    votes = lanes.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(f"k{g}").alias(f"p{g}") for g in range(n_groups)],
-    )
+    pack_cols = tuple(packed(g).alias(f"k{g}") for g in range(n_groups))
     sim = None
     for j in range(SIMHASH_BITS):
         g, lane = divmod(j, _SIMHASH_LANES)
@@ -384,7 +397,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         term = F.when(ones * 2 > F.col("n"), F.lit(2**j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
+    return pack_cols, sim.cast("bigint").alias("simhash")
 
 
 _SIMHASH_VOTES = ",\n  ".join(
@@ -435,6 +448,40 @@ WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 """
 
 
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the
+    verified Jaccard pair graph, keep the minimum doc_id per cluster.
+    Upgrades `dedup_keep_list`'s pairwise drop policy (A~B, B~C now
+    collapse to ONE representative even when A!~C). Reuses the
+    size-adaptive CC engine (operators/identity.py): near-dup clusters are
+    small and the pair set is sparse, so at corpus scale the edge list is
+    orders of magnitude smaller than the corpus — the driver union-find
+    path almost always applies; the distributed loop is the fallback."""
+    from tomixpanel_spark.operators.identity import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, a="doc_a", b="doc_b")
+    return comp.groupBy("component").agg(
+        F.min("node").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    ).select("keep_doc_id", "cluster_size")
+
+
+_NEARDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE p AS ({_NGRAM_JACCARD_SQL.strip()}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION SELECT doc_b, doc_a FROM p),
+walk(node, reach) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+  UNION
+  SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
+comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node)
+SELECT min(node) AS keep_doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM comp GROUP BY component
+"""
+
+
 EVAL_SET_MOD = 97  # synthetic held-out set: every 97th doc
 
 
@@ -482,4 +529,7 @@ REGISTRY = {
     "simhash": QuerySpec(simhash, _SIMHASH_SQL, "ext:dedup"),
     "dedup_keep_list": QuerySpec(dedup_keep_list, _DEDUP_KEEP_LIST_SQL, "ext:dedup e2e"),
     "decontam_overlap": QuerySpec(decontam_overlap, _DECONTAM_SQL, "ext:dedup decontamination"),
+    "neardup_components": QuerySpec(
+        neardup_components, _NEARDUP_COMPONENTS_SQL, "ext:dedup transitive clustering"
+    ),
 }

@@ -52,7 +52,9 @@ def _local_components(pdf) -> list[tuple]:
             parent[x], x = root, parent[x]
         return root
 
-    for s, d in zip(pdf["src"], pdf["dst"]):
+    # .tolist() => native Python scalars: createDataFrame rejects the
+    # numpy int64 values a pandas int column would otherwise yield
+    for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
         parent.setdefault(s, s)
         parent.setdefault(d, d)
         rs, rd = find(s), find(d)
@@ -60,7 +62,7 @@ def _local_components(pdf) -> list[tuple]:
             if rd < rs:
                 rs, rd = rd, rs
             parent[rd] = rs  # attach larger root under smaller
-    return [(n, find(n)) for n in parent]
+    return [(n, find(n)) for n in parent]  # parent keys are native scalars
 
 
 def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:

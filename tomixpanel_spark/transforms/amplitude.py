@@ -28,6 +28,7 @@ the only shuffle in this pipeline is the merge-dedup exchange.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -131,6 +132,15 @@ class AmpOutputs:
 
 def amp_events(df: DataFrame) -> DataFrame:
     """Amplitude export rows -> canonical Mixpanel events."""
+    return df.select(*_amp_event_columns())
+
+
+@lru_cache(maxsize=1)
+def _amp_event_columns() -> tuple:
+    """The event projection is a constant ~200-node expression tree over
+    fixed input column names; building it costs ~0.5 s of py4j round-trips
+    per call, so it memoizes per process (Columns are unresolved trees,
+    safe to reuse across DataFrames)."""
     time_ms = F.unix_millis(F.to_timestamp("event_time"))
     reserved = _keep_truthy(
         _entry_array(
@@ -167,7 +177,7 @@ def amp_events(df: DataFrame) -> DataFrame:
             F.col("event_type"), _distinct_id(), time_ms, F.col("device_id")
         ),
     )
-    return df.select(
+    return (
         F.col("event_type").alias("event"),
         _distinct_id().alias("distinct_id"),
         time_ms.alias("time_ms"),

@@ -29,6 +29,8 @@ functions — no Python.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -137,7 +139,14 @@ def _default_props() -> Column:
 def _session_base(df: DataFrame) -> DataFrame:
     """Per-session narrow prep: identity, start time, default props,
     summary JSON, hits array carried through."""
-    return df.select(
+    return df.select(*_session_base_columns())
+
+
+@lru_cache(maxsize=1)
+def _session_base_columns() -> tuple:
+    """Constant expression trees over fixed session column names —
+    memoized per process; rebuilding them is pure py4j round-trip cost."""
+    return (
         _uuid().alias("distinct_id"),
         (F.col("visitStartTime").cast("bigint") * 1000).alias("start_ms"),
         _default_entries().alias("defaults"),
@@ -146,8 +155,9 @@ def _session_base(df: DataFrame) -> DataFrame:
     )
 
 
-def _boundary(base: DataFrame, name: str, time_ms: Column) -> DataFrame:
-    props = F.map_from_entries(
+@lru_cache(maxsize=1)
+def _boundary_props() -> Column:
+    return F.map_from_entries(
         F.concat(
             _keep_truthy(
                 _entry_array([("summary", F.col("summary")), ("$source", F.lit(SOURCE_TAG))])
@@ -155,6 +165,10 @@ def _boundary(base: DataFrame, name: str, time_ms: Column) -> DataFrame:
             F.col("defaults"),
         )
     )
+
+
+def _boundary(base: DataFrame, name: str, time_ms: Column) -> DataFrame:
+    props = _boundary_props()
     return base.select(
         F.lit(name).alias("event"),
         F.col("distinct_id"),
@@ -178,6 +192,14 @@ def _hit_events(base: DataFrame) -> DataFrame:
     h = base.select(
         "distinct_id", "start_ms", "defaults", F.explode("hits").alias("hit")
     )
+    return h.select(*_hit_event_columns())
+
+
+@lru_cache(maxsize=1)
+def _hit_event_columns() -> tuple:
+    """The per-hit projection (~400 expression nodes) is constant over
+    fixed column names; memoized per process — rebuilding it dominated
+    ga_transform's per-call plan-construction time."""
     hit = F.col("hit")
     t = hit["time"].cast("bigint")
     time_ms = F.col("start_ms") + F.when(t == 0, 1000).otherwise(t)
@@ -265,7 +287,7 @@ def _hit_events(base: DataFrame) -> DataFrame:
             custom("metric", "customMetrics"),
         )
     )
-    return h.select(
+    return (
         name.alias("event"),
         F.col("distinct_id"),
         time_ms.alias("time_ms"),
