@@ -125,3 +125,18 @@ def test_connected_components_local_matches_distributed(spark, monkeypatch):
     dist = {(r["node"], r["component"]) for r in idmod.connected_components(edges).collect()}
     assert local == dist
     assert ("iso1", "iso1") in local and ("iso2", "iso1") in local
+
+
+def test_decontam_broadcasts_eval_side(spark):
+    """The held-out set is ~1% of shingle rows — it must broadcast, or at
+    corpus scale contamination becomes a full shuffle join."""
+    df = REG["decontam_overlap"].fn(spark, SF_ORACLE)
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_stratified_sample_is_narrow(spark):
+    """Deterministic sampling is a pure projection+filter: no join, at
+    most the one exchange AQE may report for the final collect."""
+    df = REG["stratified_sample"].fn(spark, SF_ORACLE)
+    assert join_strategies(df) == []
+    assert exchange_count(df) == 0
