@@ -63,3 +63,85 @@ class TestGreedyPackingOptimality:
         for a, b in zip(batches, batches[1:]):
             merged = b"[" + b",".join(a + b) + b"]"
             assert len(merged) > max_bytes
+
+
+class TestRewriteEquivalence:
+    """Property checks that the round-4 performance rewrites compute the
+    SAME function as their naive forms on randomized inputs (the oracle
+    fixtures alone can miss edge regions)."""
+
+    def test_simhash_lane_packing_equals_naive_votes(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+        from tomixpanel_spark.operators.dedup import SIMHASH_BITS
+
+        rng = random.Random(11)
+        words = [f"w{i}" for i in range(40)]
+        rows = [
+            (i, " ".join(rng.choices(words, k=rng.randrange(1, 30))))
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token"),
+        ).withColumn(
+            "h", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+        )
+        naive = toks.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                ).alias(f"s{j}")
+                for j in range(SIMHASH_BITS)
+            ]
+        )
+        sim = None
+        for j in range(SIMHASH_BITS):
+            term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+            sim = term if sim is None else sim + term
+        want = {
+            r["doc_id"]: r["simhash"]
+            for r in naive.select("doc_id", sim.cast("bigint").alias("simhash")).collect()
+        }
+
+        import tomixpanel_spark.operators.dedup as dd
+
+        lanes_df = toks.select("doc_id", *dd._simhash_columns()[0])
+        n_groups = SIMHASH_BITS // dd._SIMHASH_LANES
+        votes = lanes_df.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(f"k{g}").alias(f"p{g}") for g in range(n_groups)],
+        )
+        got = {
+            r["doc_id"]: r["simhash"]
+            for r in votes.select("doc_id", dd._simhash_columns()[1]).collect()
+        }
+        assert got == want
+
+    def test_blocked_neardup_equals_unblocked_random(self, spark):
+        import math
+        import random
+
+        from tomixpanel_spark.operators.similarity import embedding_neardup_pairs
+
+        rng = random.Random(5)
+        rows = [
+            (rng.randrange(-10**6, 10**6), [rng.gauss(0, 1) for _ in range(6)])
+            for _ in range(80)
+        ]
+        # unique ids (duplicate ids would make pair identity ambiguous)
+        rows = list({r[0]: r for r in rows}.values())
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        want = {
+            (r["vec_a"], r["vec_b"], r["sim_e6"])
+            for r in embedding_neardup_pairs(df, threshold_e6=100_000, n_blocks=1).collect()
+        }
+        for nb in (3, 7):
+            got = {
+                (r["vec_a"], r["vec_b"], r["sim_e6"])
+                for r in embedding_neardup_pairs(df, threshold_e6=100_000, n_blocks=nb).collect()
+            }
+            assert got == want, f"n_blocks={nb} diverged"
+        assert want, "threshold too high for the random fixture"
