@@ -102,14 +102,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if field.name == "ts" and field.dataType.typeName() == "long":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if use_cache:
-        # NOTE on partitioning: repartitioning cached fact tables to
-        # defaultParallelism was A/B-tested (round 4) — it speeds the
-        # single-table agg queries (q1 1.4->0.7s: a 1-3-row-group parquet
-        # file caches as 3 partitions and one straggler task does the
-        # bulk) but slows every multi-join query by the same total (more
-        # tasks per stage on 100k-row inputs). Net wash at sf0.1, so the
-        # cache keeps the scan's natural partitioning; at cluster scale
-        # files are many and AQE handles both directions.
+        # Partitioning of the cached view: the test parquet files are ONE
+        # row group, so the scan (and therefore the cache) is a single
+        # partition — every first stage over a fact table runs on one
+        # core. ``TOMIX_CACHE_PARTS=N`` round-robin-repartitions tables
+        # bigger than ``TOMIX_CACHE_PARTS_MIN_MB`` (default 1 MB) at
+        # cache-fill time — one shuffle paid once per session, N-way
+        # parallelism for every downstream stage. Row order is not part of
+        # any query contract (keep-first ops order by explicit keys).
+        # Repartitioning to full defaultParallelism was a wash at sf0.1
+        # (tiny-task overhead on 100k-row joins); a moderate N is the
+        # useful range. At cluster scale files are many-row-group and AQE
+        # handles both directions, so this knob matters only for
+        # single-row-group toy files.
+        parts = int(os.environ.get("TOMIX_CACHE_PARTS", "0"))
+        min_mb = float(os.environ.get("TOMIX_CACHE_PARTS_MIN_MB", "1"))
+        if parts > 0:
+            try:
+                big = os.path.getsize(path) > min_mb * 1e6
+            except OSError:
+                big = False
+            if big:
+                df = df.repartition(parts)
         df = df.cache()
         _cache_put(key, df)
     return df
