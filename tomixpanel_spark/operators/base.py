@@ -96,11 +96,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if hit is not None:
             return hit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The testdata's parquet timestamps carry no isAdjustedToUTC flag, so
+    # Spark >=3.4 infers TIMESTAMP_NTZ — which unix_millis/unix_seconds
+    # reject. Read them as plain TIMESTAMP instead: the stored micros are
+    # then epoch-UTC verbatim, exactly how the DuckDB oracle reads the same
+    # naive values. (Conf is per-read, cheap, and idempotent.)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.typeName() == "long":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif field.dataType.typeName() == "timestamp_ntz":
+            # Defensive: if a future Spark ignores the conf, reinterpret the
+            # naive value via the session tz (UTC in all harnesses).
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     if use_cache:
         # Partitioning of the cached view: the test parquet files are ONE
         # row group, so the scan (and therefore the cache) is a single
