@@ -145,3 +145,33 @@ class TestRewriteEquivalence:
             }
             assert got == want, f"n_blocks={nb} diverged"
         assert want, "threshold too high for the random fixture"
+
+    def test_lsh_band_cap_bounds_degenerate_hot_band(self, spark):
+        """A boilerplate corpus drops hundreds of identical-signature docs
+        into ONE band; uncapped that's a quadratic pair blowup at corpus
+        scale. The postings-list path with band_cap must (a) bound emitted
+        pairs and (b) equal the uncapped/self-join semantics on the
+        non-degenerate part of the corpus."""
+        from pyspark.sql import functions as F
+
+        from tomixpanel_spark.operators.dedup import N_MINHASH, lsh_pairs_from_signatures
+
+        hot = 120  # identical signatures -> every band collides
+        rows = [(i, *[f"aa{j}" for j in range(N_MINHASH)]) for i in range(hot)]
+        # distinct docs: unique signatures, two of them sharing one band half
+        rows += [(1000, *[f"b{j}" for j in range(N_MINHASH)])]
+        rows += [(1001, *([f"b{j}" for j in range(N_MINHASH // 2)] + [f"c{j}" for j in range(N_MINHASH // 2)]))]
+        rows += [(1002, *[f"d{j}" for j in range(N_MINHASH)])]
+        schema = "doc_id long, " + ", ".join(f"mh{j} string" for j in range(N_MINHASH))
+        sig = spark.createDataFrame(rows, schema)
+
+        uncapped = lsh_pairs_from_signatures(sig)
+        assert uncapped.count() == hot * (hot - 1) // 2 + 1  # quadratic + (1000,1001)
+
+        capped = lsh_pairs_from_signatures(sig, band_cap=10)
+        got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+        # degenerate band dropped entirely; healthy band pair survives
+        assert got == {(1000, 1001)}
+        # ordering contract: doc_a < doc_b always
+        bad = capped.filter(F.col("doc_a") >= F.col("doc_b")).count()
+        assert bad == 0

@@ -301,11 +301,27 @@ FROM sh GROUP BY doc_id
 """
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs agreeing on a full band (4 consecutive
-    minhashes). The band hash is the join key — sub-quadratic candidate
-    generation; downstream a Jaccard verify pass would confirm."""
-    sig = _minhash_sig_df(spark, sf_dir)
+def lsh_pairs_from_signatures(sig: DataFrame, band_cap: int | None = None) -> DataFrame:
+    """LSH candidate pairs from a MinHash signature DataFrame
+    (doc_id, mh0..mh{N-1}): docs agreeing on a full band of consecutive
+    minhashes are candidates.
+
+    Shape (the round-5 rewrite): instead of stacking band rows and
+    SELF-JOINING on (band_idx, band) — two scans of the signature set plus
+    a join shuffle, and quadratic row blowup inside a hot band — group by
+    (band_idx, band), collect the sorted doc postings list once, and
+    expand intra-list pairs with a nested array transform, exactly like
+    ``_pairs_from_postings``. One aggregate shuffle over band keys plus
+    the final pair-dedup; the per-band cost is explicit (``size(ds)^2``)
+    and therefore CAPPABLE.
+
+    ``band_cap`` drops degenerate bands with more than ``band_cap``
+    members from candidate generation — the analog of ``df_cap`` on hot
+    shingles. A boilerplate corpus putting thousands of near-identical
+    docs into one band otherwise pairs quadratically no matter how the
+    pairs are produced; capping bounds emitted pairs at
+    ``N_BANDS * n_bands * cap^2 / 2``. Downstream exact verification is
+    unaffected (candidates are a recall set, never scored)."""
     per_band = N_MINHASH // N_BANDS
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh{b * per_band + k}") for k in range(per_band)]))
@@ -317,18 +333,37 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.stack(F.lit(N_BANDS), *stack_args).alias("band_idx", "band")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    grouped = (
+        bands.groupBy("band_idx", "band")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    if band_cap is not None:
+        grouped = grouped.filter(F.size("ds") <= band_cap)
+
+    def partners(x, i):
+        rest = F.slice("ds", i + 2, F.size("ds"))
+        return F.transform(
+            rest, lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+    return (
+        grouped.select(
+            F.explode(F.flatten(F.transform("ds", partners))).alias("p")
+        )
+        .select("p.*")
         .distinct()
     )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on a full band (4 consecutive
+    minhashes). Candidate generation is a postings-list expansion per band
+    (no self-join; see ``lsh_pairs_from_signatures``); downstream a
+    Jaccard verify pass would confirm. The registered query runs uncapped
+    so results stay exactly oracle-equal; production callers pass
+    ``band_cap`` to bound degenerate hot bands."""
+    return lsh_pairs_from_signatures(_minhash_sig_df(spark, sf_dir))
 
 
 _BAND_EXPRS = " UNION ALL ".join(
