@@ -167,13 +167,15 @@ class TestAnnIvf:
 
 class TestMultimodalDecode:
     def test_decoder_injection_through_mapinpandas(self, spark):
-        """The decode stage is stubbed (no media libs) but the plumbing is
-        real: inject a deterministic fake decoder and check it runs inside
-        the Arrow batches."""
+        """Codec-requiring formats still need an injected decoder, and the
+        mapInPandas plumbing is real: inject a deterministic fake decoder
+        and check it runs inside the Arrow batches."""
         from tomixpanel_spark.operators.multimodal import decode_payload, extract_metadata
 
         with pytest.raises(NotImplementedError):
-            decode_payload(b"\x89PNG....", "image/png")
+            decode_payload(b"\xff\xd8\xff jpegbytes", "image/jpeg")
+        with pytest.raises(ValueError):
+            decode_payload(b"\x89PNG....", "image/png")  # truncated signature
 
         df = spark.createDataFrame(
             [(1, "image/png", bytearray(b"\x89PNG rest-of-bytes")),
@@ -220,18 +222,95 @@ class TestMultimodalTransform:
         ).collect()
         assert sorted(map(str, out)) == sorted(map(str, out2))
 
-    def test_default_decoder_is_honest_stub(self, spark):
+    def test_default_decoder_parses_real_png_and_wav_headers(self, spark):
+        """PNG/WAV decode is REAL (stdlib struct over IHDR / RIFF chunks):
+        transform_media with the DEFAULT decoder, no injection."""
+        import struct
+
+        from tomixpanel_spark.operators.multimodal import transform_media
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", 640, 480)
+            + bytes([8, 6, 0, 0, 0])
+            + b"\x00\x00\x00\x00"  # CRC not validated by the header parser
+        )
+        wav = (
+            b"RIFF"
+            + struct.pack("<I", 36 + 16)
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+            + b"data"
+            + struct.pack("<I", 16)
+            + b"\x00" * 16
+        )
+        df = spark.createDataFrame(
+            [(1, "image/png", bytearray(png)), (2, "audio/wav", bytearray(wav))],
+            "item_id long, media_type string, payload binary",
+        )
+        by_id = {r["item_id"]: r for r in transform_media(df).collect()}
+        assert (by_id[1]["width"], by_id[1]["height"]) == (640, 480)
+        assert by_id[1]["n_frames"] == 1
+        assert by_id[1]["features"] == [640.0, 480.0, 8.0]
+        assert by_id[2]["width"] is None and by_id[2]["height"] is None
+        assert by_id[2]["n_frames"] == 4  # 16 data bytes / block_align 4
+        assert by_id[2]["features"] == [44100.0, 2.0, 16.0]
+
+    def test_default_decoder_still_raises_for_codec_formats(self, spark):
         import pytest as _pytest
 
         from tomixpanel_spark.operators.multimodal import transform_media
 
         df = spark.createDataFrame(
-            [(1, "image/png", bytearray(b"\x89PNG x"))],
+            [(1, "image/jpeg", bytearray(b"\xff\xd8\xff jpegbytes"))],
             "item_id long, media_type string, payload binary",
         )
         with _pytest.raises(Exception) as ei:
             transform_media(df).collect()
-        assert "NotImplementedError" in str(ei.value) or "media decode" in str(ei.value)
+        assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+class TestDedupPipeline:
+    def test_one_candidate_pass_serves_both_outputs(self, spark, monkeypatch):
+        """dedup_pipeline must generate+verify pairs ONCE (persisted) and
+        agree with the self-contained registered queries."""
+        from tests.conftest import SF_SMALL
+        from tomixpanel_spark.operators import dedup as dd
+        from tomixpanel_spark.operators.base import table
+
+        calls = {"n": 0}
+        real = dd._jaccard_pairs_from_shingles
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(dd, "_jaccard_pairs_from_shingles", counting)
+        docs = table(spark, SF_SMALL, "documents")
+        out = dd.dedup_pipeline(docs)
+        try:
+            keep = {r["doc_id"] for r in out["keep_list"].collect()}
+            comps = {
+                (r["keep_doc_id"], r["cluster_size"])
+                for r in out["components"].collect()
+            }
+            assert calls["n"] == 1  # one candidate-generation pass, two outputs
+            assert out["pairs"].storageLevel.useMemory  # materialized, not re-derived
+            want_keep = {
+                r["doc_id"] for r in dd.dedup_keep_list(spark, SF_SMALL).collect()
+            }
+            want_comps = {
+                (r["keep_doc_id"], r["cluster_size"])
+                for r in dd.neardup_components(spark, SF_SMALL).collect()
+            }
+            assert keep == want_keep
+            assert comps == want_comps
+        finally:
+            out["pairs"].unpersist()
 
 
 class TestSimilarityEdgeIds:

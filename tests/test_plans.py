@@ -134,6 +134,18 @@ def test_decontam_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in join_strategies(df)
 
 
+def test_decontam_falls_back_to_shuffle_join_above_gate(spark, monkeypatch):
+    """An eval set too big for executor memory must NOT broadcast — the
+    size gate flips the plan to a shuffle join (with runtime bloom-filter
+    injection enabled for map-side pruning)."""
+    monkeypatch.setenv("TOMIX_DECONTAM_BCAST_DOCS", "0")
+    df = REG["decontam_overlap"].fn(spark, SF_ORACLE)
+    joins = join_strategies(df)
+    assert "BroadcastHashJoin" not in joins
+    assert any(j in ("SortMergeJoin", "ShuffledHashJoin") for j in joins)
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+
+
 def test_stratified_sample_is_narrow(spark):
     """Deterministic sampling is a pure projection+filter: no join, at
     most the one exchange AQE may report for the final collect."""

@@ -142,6 +142,37 @@ class TestGA:
         assert "ecommerce" in names
         assert "add to cart" in names
 
+    def test_full_inventory_fields_read_and_pass_through(self, spark):
+        """gaSchema.json fields the transform does NOT consume (appInfo,
+        contentGroup, eCommerceAction, pagePathLevels, device/geo extras)
+        must READ cleanly — validated-then-ignored, not a read error — and
+        must not leak into the emitted props."""
+        from tomixpanel_spark.transforms.ga import ga_events
+
+        rows = ga_session_rows()
+        s = rows[0]
+        s["totals"]["newVisits"] = "1"
+        s["device"].update(flashVersion="11", screenColors="24-bit",
+                           mobileDeviceMarketingName="X", mobileInputSelector="touch")
+        s["geoNetwork"].update(cityId="123", networkDomain="ex.net",
+                               networkLocation="somewhere")
+        h = s["hits"][0]
+        h["appInfo"] = {"screenName": "Home", "landingScreenName": "Home",
+                        "exitScreenName": "Cart", "screenDepth": "3"}
+        h["contentGroup"] = {"contentGroup1": "news"}
+        h["eCommerceAction"] = {"action_type": "2", "step": "1"}
+        h["exceptionInfo"] = {"isFatal": False}
+        h["experiment"] = [{"experimentId": "e1"}]
+        h["publisher_infos"] = [{"dfpClickId": "c1"}]
+        if h.get("page"):
+            h["page"]["pagePathLevel1"] = "/a"
+        df = spark.createDataFrame(rows, GA_SESSION_SCHEMA)
+        out = ga_events(df).collect()
+        assert len(out) == 2 * len(rows) + sum(len(x["hits"]) for x in rows)
+        for r in out:
+            for k in r["props"]:
+                assert not k.startswith(("contentGroup", "appInfo", "pagePathLevel"))
+
     def test_custom_dimensions_naming_and_na_skip(self, spark):
         from tomixpanel_spark.transforms.ga import ga_events
 

@@ -100,7 +100,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Spark >=3.4 infers TIMESTAMP_NTZ — which unix_millis/unix_seconds
     # reject. Read them as plain TIMESTAMP instead: the stored micros are
     # then epoch-UTC verbatim, exactly how the DuckDB oracle reads the same
-    # naive values. (Conf is per-read, cheap, and idempotent.)
+    # naive values. NOTE: spark.conf.set mutates SESSION-WIDE state (like
+    # the nanosAsLong conf above) — NTZ inference stays off for every
+    # later parquet read in this session, which is the semantics this
+    # engine wants everywhere; setting it here just self-heals sessions
+    # the driver built without it.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
@@ -137,6 +141,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.cache()
         _cache_put(key, df)
     return df
+
+
+def ensure_parallel(df: DataFrame, *cols: str, min_parts: int = 8) -> DataFrame:
+    """Repartition a narrow-but-CPU-heavy input ONLY when the source is
+    effectively serial (the toy single-row-group parquet files scan as one
+    partition, so every downstream stage would run on one core).
+
+    At cluster scale inputs arrive with hundreds of file splits and this
+    is a no-op — the unconditional ``repartition(defaultParallelism)`` it
+    replaces would be a full shuffle of the corpus just to re-spread data
+    that is already spread. ``cols`` (optional) hash-partitions by those
+    keys when a repartition does happen."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(min_parts, target):
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
 
 
 def derived(spark: SparkSession, key: tuple, builder, kind: str = "artifact") -> DataFrame:

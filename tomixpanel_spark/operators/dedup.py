@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tomixpanel_spark.functions.text import fingerprint, tokens
-from tomixpanel_spark.operators.base import QuerySpec, derived, table
+from tomixpanel_spark.operators.base import QuerySpec, derived, ensure_parallel, table
 
 N_MINHASH = 8
 N_BANDS = 2  # 4 hashes per band
@@ -48,15 +48,10 @@ _SQL_SHINGLE_ROWS = f"""
 """
 
 
-def _parallelism(spark: SparkSession) -> int:
-    return spark.sparkContext.defaultParallelism
-
-
 def shingle_arrays_for(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Public API: id + distinct-3-gram array over ANY documents DataFrame
     (same staged-projection construction as the fixture query)."""
-    spark = df.sparkSession
-    docs = df.repartition(_parallelism(spark), id_col)
+    docs = ensure_parallel(df, id_col)
     d1 = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
     n = F.size("toks")
     s1 = F.slice("toks", 1, F.greatest(n - 2, F.lit(0)))
@@ -195,10 +190,12 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + distinct-3-gram array, built in STAGED projections.
 
     Two scale-critical choices:
-      * ``repartition(defaultParallelism, doc_id)`` before the heavy
-        per-row work — document tables are small in bytes but heavy in
-        CPU, and AQE's byte-based coalescing would otherwise collapse
-        them onto one task (observed 10-80x slowdowns at sf0.1).
+      * ``ensure_parallel`` before the heavy per-row work — document
+        tables are small in bytes but heavy in CPU, and a single-row-group
+        scan (or AQE byte-coalescing) would otherwise collapse them onto
+        one task (observed 10-80x slowdowns at sf0.1). The repartition is
+        CONDITIONAL: an already-parallel source (any real corpus) skips
+        the shuffle entirely.
       * tokens and shingle arrays are materialized as named columns in
         separate projections; inlining the token expression into every
         lambda reference makes Catalyst re-evaluate split() per shingle.
@@ -399,9 +396,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow a lane counter) and the packed partial sums stay < 2^61, safe
     under ANSI arithmetic. Decode is ``bit_j = (2*ones_j > n)``.
     """
-    docs = table(spark, sf_dir, "documents").repartition(
-        _parallelism(spark), "doc_id"
-    )
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token")
     )
@@ -498,6 +493,49 @@ WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 """
 
 
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+    df_cap: int | None = None,
+) -> dict[str, DataFrame]:
+    """Production dedup entry point: run candidate generation + exact
+    Jaccard verification ONCE and serve BOTH downstream decisions from the
+    persisted pair set.
+
+    The registered ``dedup_keep_list`` and ``neardup_components`` queries
+    are deliberately self-contained (each prices its own full lineage for
+    the oracle comparison), which means running both in one session
+    recomputes shingling + verification twice. A real pipeline
+    materializes verified pairs once — the standard "pairs table" artifact
+    — and derives every policy from it. Returns:
+
+      * ``pairs`` — verified (doc_a, doc_b, jaccard) rows, persisted.
+      * ``keep_list`` — pairwise drop-higher-id policy (``dedup_keep_list``
+        semantics).
+      * ``components`` — transitive clusters with keep_doc_id/cluster_size
+        (``neardup_components`` semantics).
+
+    Caller owns the persisted pairs' lifetime: ``result["pairs"].
+    unpersist()`` when done (or write it to the lake as the artifact)."""
+    from tomixpanel_spark.operators.identity import connected_components
+
+    pairs = near_dup_pairs(df, id_col, text_col, threshold, df_cap).persist()
+    drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    keep = df.select(id_col).join(drops, id_col, "left_anti").select(id_col)
+    comp = connected_components(pairs.select("doc_a", "doc_b"), a="doc_a", b="doc_b")
+    components = (
+        comp.groupBy("component")
+        .agg(
+            F.min("node").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select("keep_doc_id", "cluster_size")
+    )
+    return {"pairs": pairs, "keep_list": keep, "components": components}
+
+
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: connected components over the
     verified Jaccard pair graph, keep the minimum doc_id per cluster.
@@ -534,14 +572,31 @@ FROM comp GROUP BY component
 
 EVAL_SET_MOD = 97  # synthetic held-out set: every 97th doc
 
+# Broadcast the eval side only while it's small enough to fit executor
+# memory: a benchmark suite is typically thousands of docs, but a 100 TB
+# corpus paired with a huge eval set must fall back to a shuffle join.
+# Gate is in eval DOCS (counted with a cheap single-column scan — counting
+# eval SHINGLE rows would force the whole shingle computation twice).
+EVAL_BROADCAST_MAX_DOCS = 100_000
+
+
+def _eval_broadcast_cap() -> int:
+    import os
+
+    return int(os.environ.get("TOMIX_DECONTAM_BCAST_DOCS", str(EVAL_BROADCAST_MAX_DOCS)))
+
 
 def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination check: which training docs share n-gram
     shingles with the held-out eval set (here: every 97th doc), and how
     many. The standard pre-training hygiene pass — eval-set shingles are
-    ~1/97 of the corpus, so the eval side BROADCASTS and contamination is
-    a map-side hash join per shingle row; the only shuffle is the per-doc
-    count-distinct aggregate. Docs with zero overlap don't appear."""
+    ~1/97 of the corpus, so the eval side BROADCASTS (below the size gate)
+    and contamination is a map-side hash join per shingle row; the only
+    shuffle is the per-doc count-distinct aggregate. Above the gate
+    (``TOMIX_DECONTAM_BCAST_DOCS``) the join falls back to a shuffle with
+    Spark's runtime bloom-filter injection enabled, so non-overlapping
+    corpus rows are still pruned map-side before the exchange. Docs with
+    zero overlap don't appear."""
     sh = _shingle_arrays(spark, sf_dir)
     rows = sh.select("doc_id", F.explode("sh_arr").alias("sh"))
     is_eval = F.pmod(F.col("doc_id"), F.lit(EVAL_SET_MOD)) == 0
@@ -549,8 +604,23 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sh").alias("e_sh"), F.col("doc_id").alias("eval_doc")
     )
     corpus = rows.filter(~is_eval)
+    n_eval_docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.pmod(F.col("doc_id"), F.lit(EVAL_SET_MOD)) == 0)
+        .count()
+    )
+    if n_eval_docs <= _eval_broadcast_cap():
+        eval_side = F.broadcast(eval_sh)
+    else:
+        # Above the gate we KNOW the eval side is big even when Catalyst's
+        # size estimate (unreliable through explode lineage) says tiny, so
+        # pin a shuffle-hash join explicitly. AQE may still flip a
+        # runtime-small side back to broadcast — that's runtime-informed
+        # and safe; the hint only stops a planning-time OOM bet.
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        eval_side = eval_sh.hint("shuffle_hash")
     return (
-        corpus.join(F.broadcast(eval_sh), corpus.sh == eval_sh.e_sh)
+        corpus.join(eval_side, corpus.sh == eval_sh.e_sh)
         .groupBy("doc_id")
         .agg(
             F.count_distinct("sh").alias("n_shared"),

@@ -3,10 +3,11 @@
 Pattern for image/audio/video at 100 TB: the payload is an opaque BINARY
 column riding next to typed metadata; decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` stages so bytes cross the
-JVM<->Python boundary in columnar batches, never row-at-a-time. The decode
-step itself is STUBBED here (no image/audio libs in this environment — see
-``decode_payload``); the Spark-side plumbing (schema, batch shape, UDF
-signature, partitioning) is real and tested.
+JVM<->Python boundary in columnar batches, never row-at-a-time. The default
+``decode_payload`` REALLY parses PNG (IHDR) and WAV (fmt/data chunk) headers
+with stdlib ``struct``; JPEG/MP3 need an injected codec-backed decoder (none
+in this environment). The Spark-side plumbing (schema, batch shape, UDF
+signature, partitioning) is real and tested either way.
 
 ``multimodal_meta`` doubles as the oracle-checked query: metadata extraction
 (byte length, sha256 content hash, magic-byte format sniff) over payloads —
@@ -66,18 +67,81 @@ def sniff_format(payload: bytes) -> str:
     return "application/octet-stream"
 
 
-def decode_payload(payload: bytes, media_type: str):
-    """Decode an image/audio payload into arrays.
+def decode_payload(payload: bytes, media_type: str) -> dict:
+    """Decode container headers for the formats the magic-byte sniffer
+    recognizes — REAL parsing, no image/audio library required.
 
-    STUB: the runtime has no PIL/librosa/ffmpeg. Production wires a real
-    decoder through ``extract_metadata(decoder=...)``; tests inject a
-    deterministic fake. Raising (rather than silently returning None) keeps
-    the contract honest.
+    * PNG: the IHDR chunk is mandatory and first (offset 8 per the spec),
+      so width/height/bit-depth/color-type parse with stdlib ``struct``.
+    * WAV: walk the RIFF chunk list for ``fmt `` (sample rate, channels,
+      bits/sample) and ``data`` (byte length -> sample-frame count).
+
+    JPEG/MP3 still require an injected decoder (dimensions live inside
+    entropy-coded segments that need a real codec); raising — rather than
+    silently returning None — keeps that contract honest.
     """
+    mt = media_type or sniff_format(payload)
+    if mt == "image/png":
+        return _decode_png_header(payload)
+    if mt == "audio/wav":
+        return _decode_wav_header(payload)
     raise NotImplementedError(
-        "media decode requires an image/audio library not present in this "
+        f"decode for {mt!r} requires a codec library not present in this "
         "environment; inject decoder= into the mapInPandas stage"
     )
+
+
+def _decode_png_header(payload: bytes) -> dict:
+    import struct
+
+    if len(payload) < 26 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    if payload[12:16] != b"IHDR":
+        raise ValueError("not a PNG: first chunk is not IHDR")
+    width, height = struct.unpack(">II", payload[16:24])
+    bit_depth, color_type = payload[24], payload[25]
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "n_frames": 1,
+        "features": [float(width), float(height), float(bit_depth)],
+    }
+
+
+def _decode_wav_header(payload: bytes) -> dict:
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    fmt = None
+    n_frames = 0
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            _, channels, sample_rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            fmt = (channels, sample_rate, block_align, bits)
+        elif cid == b"data" and fmt is not None:
+            n_frames = size // max(1, fmt[2])
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None:
+        raise ValueError("not a WAV: no fmt chunk")
+    channels, sample_rate, _, bits = fmt
+    return {
+        "width": None,
+        "height": None,
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_frames": n_frames,
+        "features": [float(sample_rate), float(channels), float(bits)],
+    }
 
 
 def extract_metadata(
@@ -175,8 +239,10 @@ def transform_media(
     mapInPandas stage (the multimodal hot path).
 
     * ``decoder(payload, media_type) -> {width, height, n_frames,
-      features}`` — the pluggable decode step (stubbed by default:
-      ``decode_payload`` raises; tests inject ``fake_image_decoder``).
+      features}`` — the pluggable decode step. The default
+      ``decode_payload`` parses PNG/WAV headers for real and raises for
+      codec-requiring formats (JPEG/MP3); tests also inject
+      ``fake_image_decoder`` to exercise the plumbing independently.
     * ``resize_to`` — target (w, h) recorded post-decode (the real resize
       happens inside the decoder in production; the plumbing carries the
       declared output shape so downstream schemas are static).

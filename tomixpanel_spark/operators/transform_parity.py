@@ -12,10 +12,12 @@ unit-tested.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tomixpanel_spark.operators.base import QuerySpec, derived, table
+from tomixpanel_spark.operators.base import QuerySpec, derived, ensure_parallel, table
 from tomixpanel_spark.schemas import AMP_EVENT_SCHEMA
 
 
@@ -33,11 +35,12 @@ def _synth_amp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _synth_amp_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # repartition before the heavy per-row map-building: the single-row-group
-    # parquet file scans on one task, and the transform is CPU-bound
-    ev = table(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism, "event_id"
-    )
+    # parallelize before the heavy per-row map-building: the transform the
+    # fixture feeds is CPU-bound, so spread to FULL parallelism (the
+    # fixture is built once and cached; the one-time shuffle is harness
+    # cost, the downstream per-row map assembly is what's being timed)
+    ev = table(spark, sf_dir, "events")
+    ev = ensure_parallel(ev, "event_id", min_parts=spark.sparkContext.defaultParallelism)
     e = F.col("event_id")
     u = F.col("user_id")
     shaped = ev.select(
@@ -79,8 +82,15 @@ def amp_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tomixpanel_spark.transforms.amplitude import amp_events
 
     out = amp_events(_synth_amp(spark, sf_dir))
+    return out.select(*_amp_output_columns())
+
+
+@lru_cache(maxsize=1)
+def _amp_output_columns() -> tuple:
+    """Constant projection tree; memoized — rebuilding Columns is pure
+    py4j round-trip cost paid on every registered-query call otherwise."""
     p = F.col("props")
-    return out.select(
+    return (
         F.col("event"),
         F.col("distinct_id"),
         F.col("time_ms"),
@@ -190,9 +200,8 @@ def _synth_ga_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _synth_ga_sessions_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism, "user_id"
-    )
+    ev = table(spark, sf_dir, "events")
+    ev = ensure_parallel(ev, "user_id", min_parts=spark.sparkContext.defaultParallelism)
     e = ev.select(
         "user_id",
         F.to_date("ts").alias("day"),
@@ -310,11 +319,16 @@ def ga_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = _synth_ga_sessions(spark, sf_dir)
     sessions = sessions.select(*[F.col(f.name) for f in GA_SESSION_SCHEMA.fields])
     out = ga_events(sessions)
+    return out.select(*_ga_output_columns())
+
+
+@lru_cache(maxsize=1)
+def _ga_output_columns() -> tuple:
     p = F.col("props")
-    return out.select(
-        "event",
-        "distinct_id",
-        "time_ms",
+    return (
+        F.col("event"),
+        F.col("distinct_id"),
+        F.col("time_ms"),
         F.element_at(p, "$browser").alias("browser"),
         F.element_at(p, "utm_keyword").alias("keyword"),
         F.element_at(p, "mp_country_code").alias("country_code"),

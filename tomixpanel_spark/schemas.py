@@ -101,7 +101,13 @@ AMP_EVENT_SCHEMA = StructType(
 # gaToMixpanel.js:101-386 + gaSchema.json field inventory; FIXTURES.md F2).
 # GA exports encode nearly everything as strings.
 _GA_TOTALS = StructType(
-    [_f("visits", S), _f("hits", S), _f("pageviews", S), _f("timeOnSite", S)]
+    [
+        _f("visits", S),
+        _f("hits", S),
+        _f("pageviews", S),
+        _f("timeOnSite", S),
+        _f("newVisits", S),  # unconsumed pass-through (gaSchema.json totals)
+    ]
 )
 _GA_TRAFFIC = StructType(
     [
@@ -130,6 +136,12 @@ _GA_DEVICE = StructType(
         _f("language", S),
         _f("screenResolution", S),
         _f("isMobile", BooleanType()),
+        # unconsumed pass-throughs (gaSchema.json device inventory):
+        # validated-then-ignored rather than dropped at read time
+        _f("flashVersion", S),
+        _f("mobileDeviceMarketingName", S),
+        _f("mobileInputSelector", S),
+        _f("screenColors", S),
     ]
 )
 _GA_GEO = StructType(
@@ -142,13 +154,44 @@ _GA_GEO = StructType(
         _f("city", S),
         _f("latitude", S),
         _f("longitude", S),
+        # unconsumed pass-throughs (gaSchema.json geoNetwork inventory)
+        _f("cityId", S),
+        _f("networkDomain", S),
+        _f("networkLocation", S),
     ]
 )
 _GA_IDX_VAL = StructType([_f("index", S), _f("value", S)])
-_GA_PAGE = StructType([_f("pagePath", S), _f("hostname", S), _f("pageTitle", S)])
+_GA_PAGE = StructType(
+    [
+        _f("pagePath", S),
+        _f("hostname", S),
+        _f("pageTitle", S),
+        # unconsumed pass-throughs (gaSchema.json hits.page inventory)
+        _f("pagePathLevel1", S),
+        _f("pagePathLevel2", S),
+        _f("pagePathLevel3", S),
+        _f("pagePathLevel4", S),
+    ]
+)
 _GA_EVENT_INFO = StructType(
     [_f("eventCategory", S), _f("eventAction", S), _f("eventLabel", S)]
 )
+# Unconsumed hit sub-records from the gaSchema.json inventory, typed so a
+# real export reads (and validates) rather than silently dropping them.
+_GA_APP_INFO = StructType(
+    [
+        _f("screenName", S),
+        _f("landingScreenName", S),
+        _f("exitScreenName", S),
+        _f("screenDepth", S),
+    ]
+)
+_GA_CONTENT_GROUP = StructType(
+    [_f(f"contentGroup{i}", S) for i in range(1, 6)]
+    + [_f(f"previousContentGroup{i}", S) for i in range(1, 6)]
+)
+_GA_ECOMMERCE_ACTION = StructType([_f("action_type", S), _f("step", S)])
+_GA_EXCEPTION_INFO = StructType([_f("isFatal", BooleanType())])
 _GA_HIT = StructType(
     [
         _f("hitNumber", S),
@@ -162,6 +205,10 @@ _GA_HIT = StructType(
         _f("type", S),
         _f("page", _GA_PAGE),
         _f("eventInfo", _GA_EVENT_INFO),
+        # product/promotion/experiment/publisher_infos are untyped arrays
+        # in gaSchema.json; transaction/social carry loose key sets — all
+        # overflow as MAP<STRING,STRING> per the §1.3 typed-overflow model,
+        # preserving the reference's JS-spread semantics.
         _f("product", ArrayType(MAP_SS)),
         _f("promotion", ArrayType(MAP_SS)),
         _f("transaction", MAP_SS),
@@ -169,6 +216,13 @@ _GA_HIT = StructType(
         _f("customDimensions", ArrayType(_GA_IDX_VAL)),
         _f("customMetrics", ArrayType(_GA_IDX_VAL)),
         _f("customVariables", ArrayType(_GA_IDX_VAL)),
+        # unconsumed pass-throughs (gaSchema.json hit inventory)
+        _f("appInfo", _GA_APP_INFO),
+        _f("contentGroup", _GA_CONTENT_GROUP),
+        _f("eCommerceAction", _GA_ECOMMERCE_ACTION),
+        _f("exceptionInfo", _GA_EXCEPTION_INFO),
+        _f("experiment", ArrayType(MAP_SS)),
+        _f("publisher_infos", ArrayType(MAP_SS)),
     ]
 )
 GA_SESSION_SCHEMA = StructType(
