@@ -146,6 +146,24 @@ def test_decontam_falls_back_to_shuffle_join_above_gate(spark, monkeypatch):
     assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
 
 
+def test_ensure_parallel_skips_already_split_sources(spark):
+    """The defensive repartition must be CONDITIONAL: a 1-partition toy
+    scan spreads to defaultParallelism, but an already-split source (any
+    real corpus) must pass through with NO added shuffle — the old
+    unconditional form re-shuffled the entire input at any scale."""
+    from tomixpanel_spark.operators.base import ensure_parallel
+    from tomixpanel_spark.plans.audit import exchange_count
+
+    serial = spark.range(100).coalesce(1).toDF("doc_id")
+    spread = ensure_parallel(serial, "doc_id")
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    already = spark.range(1000).repartition(16).toDF("doc_id")
+    passed = ensure_parallel(already, "doc_id")
+    assert passed is already  # no new plan node, let alone a shuffle
+    assert exchange_count(ensure_parallel(already)) == exchange_count(already)
+
+
 def test_stratified_sample_is_narrow(spark):
     """Deterministic sampling is a pure projection+filter: no join, at
     most the one exchange AQE may report for the final collect."""

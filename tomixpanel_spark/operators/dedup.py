@@ -586,6 +586,23 @@ def _eval_broadcast_cap() -> int:
     return int(os.environ.get("TOMIX_DECONTAM_BCAST_DOCS", str(EVAL_BROADCAST_MAX_DOCS)))
 
 
+_EVAL_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _eval_doc_count(spark: SparkSession, sf_dir: str) -> int:
+    """Eval-set cardinality for the broadcast gate — one single-column
+    count job, memoized per (application, sf_dir): the eval set is fixed
+    for a run, so repeated decontam calls shouldn't re-count it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EVAL_COUNT_CACHE:
+        _EVAL_COUNT_CACHE[key] = (
+            table(spark, sf_dir, "documents")
+            .filter(F.pmod(F.col("doc_id"), F.lit(EVAL_SET_MOD)) == 0)
+            .count()
+        )
+    return _EVAL_COUNT_CACHE[key]
+
+
 def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination check: which training docs share n-gram
     shingles with the held-out eval set (here: every 97th doc), and how
@@ -604,11 +621,7 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sh").alias("e_sh"), F.col("doc_id").alias("eval_doc")
     )
     corpus = rows.filter(~is_eval)
-    n_eval_docs = (
-        table(spark, sf_dir, "documents")
-        .filter(F.pmod(F.col("doc_id"), F.lit(EVAL_SET_MOD)) == 0)
-        .count()
-    )
+    n_eval_docs = _eval_doc_count(spark, sf_dir)
     if n_eval_docs <= _eval_broadcast_cap():
         eval_side = F.broadcast(eval_sh)
     else:

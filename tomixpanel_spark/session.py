@@ -34,9 +34,15 @@ def session_builder(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    # Local mode runs driver+executor in ONE JVM whose default heap (1g)
+    # forces constant GC once tables are cached and dozens of plans have
+    # run — sized to the host instead (only applies at JVM launch; an
+    # externally built session keeps its own sizing).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     return (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

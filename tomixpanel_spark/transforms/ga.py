@@ -188,9 +188,48 @@ def _last_hit_end_ms() -> Column:
     ).otherwise(F.col("start_ms"))
 
 
+# Hit subfields the per-hit projection actually consumes. The full
+# gaSchema.json hit record carries 9 more (hitNumber/hour/minute/appInfo/
+# contentGroup/eCommerceAction/exceptionInfo/experiment/publisher_infos) —
+# pre-projecting to the consumed set BEFORE the explode means the row
+# multiplier copies slim structs and Tungsten never materializes the
+# unconsumed fields per event. page is pruned one level deeper (3 of its
+# 7 fields are consumed).
+_CONSUMED_HIT_FIELDS = (
+    "time",
+    "type",
+    "referer",
+    "isEntrance",
+    "isExit",
+    "isInteraction",
+    "eventInfo",
+    "product",
+    "promotion",
+    "transaction",
+    "social",
+    "customDimensions",
+    "customMetrics",
+    "customVariables",
+)
+
+
+def _slim_hits() -> Column:
+    def slim(h: Column) -> Column:
+        page = F.struct(
+            h["page"]["pagePath"].alias("pagePath"),
+            h["page"]["hostname"].alias("hostname"),
+            h["page"]["pageTitle"].alias("pageTitle"),
+        )
+        return F.struct(
+            *[h[f].alias(f) for f in _CONSUMED_HIT_FIELDS], page.alias("page")
+        )
+
+    return F.transform("hits", slim)
+
+
 def _hit_events(base: DataFrame) -> DataFrame:
     h = base.select(
-        "distinct_id", "start_ms", "defaults", F.explode("hits").alias("hit")
+        "distinct_id", "start_ms", "defaults", F.explode(_slim_hits()).alias("hit")
     )
     return h.select(*_hit_event_columns())
 
