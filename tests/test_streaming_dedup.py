@@ -1,0 +1,148 @@
+"""Streaming dedup: cross-batch keep-first semantics, watermark-bounded
+state, and batch/stream signature parity (the lambda-split contract)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time as _time
+
+
+def _write_batches(in_dir, batches):
+    in_dir.mkdir()
+    now = _time.time()
+    for i, (name, lines) in enumerate(batches):
+        p = in_dir / f"{name}.ndjson"
+        p.write_text("\n".join(json.dumps(x) for x in lines))
+        os.utime(p, (now - 120 + i * 60,) * 2)
+
+
+class TestStreamingExactDedup:
+    def test_cross_batch_keep_first(self, spark, tmp_path):
+        from tomixpanel_spark.streaming.dedup import streaming_exact_dedup
+
+        in_dir = tmp_path / "docs"
+        _write_batches(
+            in_dir,
+            [
+                ("b1", [{"doc_id": 1, "text": "alpha beta gamma"},
+                        {"doc_id": 2, "text": "delta epsilon zeta"}]),
+                # b2: doc 3 duplicates doc 1's content (whitespace/case
+                # differences collapse under the canonical fingerprint)
+                ("b2", [{"doc_id": 3, "text": "  Alpha  Beta   GAMMA "},
+                        {"doc_id": 4, "text": "eta theta iota"}]),
+            ],
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = streaming_exact_dedup(stream)
+        collected = []
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ids = sorted(r["doc_id"] for r in collected)
+        assert ids == [1, 2, 4]  # doc 3 deduped across micro-batches
+
+    def test_watermark_bounds_state(self, spark, tmp_path):
+        """In-horizon duplicates drop (the hard guarantee), and advancing
+        the watermark EVICTS expired fingerprint state — state size tracks
+        arrival rate x horizon, not corpus size. (Dedup beyond the horizon
+        is allowed-but-not-guaranteed by dropDuplicatesWithinWatermark:
+        eviction lags a batch, so no assertion on a late dup re-emitting.)
+        """
+        from tomixpanel_spark.streaming.dedup import streaming_exact_dedup
+
+        base = "2024-01-01T{h:02d}:00:00.000Z"
+        in_dir = tmp_path / "docs"
+        _write_batches(
+            in_dir,
+            [
+                ("b1", [{"doc_id": 1, "ts": base.format(h=0), "text": "same text here"},
+                        {"doc_id": 2, "ts": base.format(h=0), "text": "other text one"}]),
+                # in-horizon duplicate (event time 00:30, horizon 1h) plus
+                # an event advancing the watermark far past the horizon
+                ("b2", [{"doc_id": 3, "ts": "2024-01-01T00:30:00.000Z", "text": "same text here"},
+                        {"doc_id": 4, "ts": base.format(h=9), "text": "advance the clock"}]),
+                # fresh content after the watermark advanced: emits, and by
+                # now the expired fingerprints must have been evicted
+                ("b3", [{"doc_id": 5, "ts": base.format(h=10), "text": "fresh content now"}]),
+            ],
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, ts timestamp, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = streaming_exact_dedup(stream, ts_col="ts", watermark_delay="1 hour")
+        collected = []
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ids = sorted(r["doc_id"] for r in collected)
+        assert ids == [1, 2, 4, 5]  # doc 3 (in-horizon dup) dropped
+        state_rows = [
+            s["numRowsTotal"]
+            for p in q.recentProgress
+            for s in (p.get("stateOperators") or [])
+        ]
+        # state grew to >=3 fingerprints, then eviction shrank it after the
+        # watermark passed their horizons — bounded, not corpus-sized
+        assert max(state_rows) >= 3
+        assert state_rows[-1] < max(state_rows)
+
+
+class TestStreamingSignatures:
+    def test_stream_signatures_equal_batch(self, spark, tmp_path):
+        """Lambda-split contract: signatures computed on the stream are
+        byte-identical to the batch query's over the same rows."""
+        from tomixpanel_spark.operators.dedup import (
+            minhash_columns,
+            shingle_arrays_for,
+        )
+        from tomixpanel_spark.streaming.dedup import streaming_minhash_signatures
+
+        rows = [
+            {"doc_id": i, "text": f"w{i % 5} common tokens flow here w{i % 3} tail"}
+            for i in range(20)
+        ]
+        in_dir = tmp_path / "docs"
+        _write_batches(in_dir, [("b1", rows[:10]), ("b2", rows[10:])])
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = streaming_minhash_signatures(stream)
+        collected = []
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        batch_df = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+        )
+        want = {
+            tuple(r) for r in shingle_arrays_for(batch_df).select(
+                "doc_id", *minhash_columns()
+            ).collect()
+        }
+        got = {tuple(r) for r in collected}
+        assert got == want and len(got) == 20

@@ -48,11 +48,14 @@ _SQL_SHINGLE_ROWS = f"""
 """
 
 
-def shingle_arrays_for(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Public API: id + distinct-3-gram array over ANY documents DataFrame
-    (same staged-projection construction as the fixture query)."""
-    docs = ensure_parallel(df, id_col)
-    d1 = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+def staged_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, sh_arr) distinct-3-gram projection WITHOUT the parallelism
+    guard — the pure narrow stage, also legal on STREAMING DataFrames
+    (where partitioning comes from the source and ``.rdd`` inspection is
+    not allowed). Tokens materialize as a named column in a separate
+    projection: inlining the split() into every slice makes Catalyst
+    re-evaluate it per slice."""
+    d1 = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
     n = F.size("toks")
     s1 = F.slice("toks", 1, F.greatest(n - 2, F.lit(0)))
     s2 = F.slice("toks", 2, F.greatest(n - 2, F.lit(0)))
@@ -65,6 +68,24 @@ def shingle_arrays_for(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         )
     )
     return d1.select("doc_id", sh.alias("sh_arr")).filter(F.size("sh_arr") > 0)
+
+
+def shingle_arrays_for(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Public API: id + distinct-3-gram array over ANY documents DataFrame
+    (same staged-projection construction as the fixture query)."""
+    return staged_shingles(ensure_parallel(df, id_col), id_col, text_col)
+
+
+def minhash_columns() -> list:
+    """The 8 seeded min-of-md5 fold columns over ``sh_arr`` — a pure
+    narrow projection shared by the batch signature query and the
+    streaming signature path."""
+    return [
+        F.array_min(
+            F.transform("sh_arr", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
 
 
 def near_dup_pairs(
@@ -271,13 +292,7 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of re-deriving shingles + 8 md5 folds per query."""
 
     def build() -> DataFrame:
-        cols = [
-            F.array_min(
-                F.transform("sh_arr", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            ).alias(f"mh{i}")
-            for i in range(N_MINHASH)
-        ]
-        return _shingle_arrays(spark, sf_dir).select("doc_id", *cols)
+        return _shingle_arrays(spark, sf_dir).select("doc_id", *minhash_columns())
 
     return derived(spark, ("minhash_sig", sf_dir), build)
 
