@@ -44,6 +44,15 @@ def test_q1_partial_aggregation_single_shuffle(spark):
     assert join_strategies(df) == []
 
 
+def test_lsh_pairs_postings_shape_no_join(spark):
+    """LSH candidate generation must stay the postings-list expansion:
+    ONE band-group aggregate + the pair-dedup exchange, NO self-join (the
+    join form scans signatures twice and blows up quadratically inside a
+    hot band with no place to cap it)."""
+    df = REG["minhash_lsh_pairs"].fn(spark, SF_ORACLE)
+    assert join_strategies(df) == []
+
+
 def test_minhash_signature_no_join_no_agg_exchange(spark):
     """Signature is a narrow projection after the parallelism repartition —
     exactly one user exchange, no join."""
