@@ -312,6 +312,48 @@ class TestDedupPipeline:
         finally:
             out["pairs"].unpersist()
 
+    def test_lsh_candidate_source_verified_subset(self, spark):
+        """The LSH pipeline path must emit a SUBSET of the exact pairs
+        (band agreement is probabilistic recall) and every surviving pair
+        must carry the TRUE Jaccard score — banding may lose pairs, never
+        misscore one."""
+        from tests.conftest import SF_SMALL
+        from tomixpanel_spark.operators import dedup as dd
+        from tomixpanel_spark.operators.base import table
+
+        docs = table(spark, SF_SMALL, "documents")
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dd.near_dup_pairs(docs).collect()
+        }
+        out = dd.dedup_pipeline(docs, candidate_source="lsh")
+        try:
+            got = {
+                (r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in out["pairs"].collect()
+            }
+            assert set(got).issubset(set(exact))
+            for k, v in got.items():
+                assert v == exact[k]
+            # the fixture's near-dups are heavy overlaps — banding should
+            # recover a solid fraction, and the outputs stay consistent
+            assert exact and len(got) >= len(exact) * 0.5
+            keep = {r["doc_id"] for r in out["keep_list"].collect()}
+            dropped = {b for (_, b) in got}
+            assert keep == {r["doc_id"] for r in docs.select("doc_id").collect()} - dropped
+        finally:
+            out["pairs"].unpersist()
+
+    def test_pipeline_rejects_unknown_candidate_source(self, spark):
+        from tests.conftest import SF_SMALL
+        from tomixpanel_spark.operators import dedup as dd
+        from tomixpanel_spark.operators.base import table
+
+        with pytest.raises(ValueError):
+            dd.dedup_pipeline(
+                table(spark, SF_SMALL, "documents"), candidate_source="nope"
+            )
+
 
 class TestSimilarityEdgeIds:
     """Regression tests for id-space assumptions in the similarity APIs

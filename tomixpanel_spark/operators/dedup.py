@@ -133,34 +133,44 @@ def _jaccard_pairs_from_shingles(
             .select("doc_a", "doc_b")
             .distinct()
         )
-        a = sa.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a"))
-        b = sa.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sh_b"))
-        verified = (
-            cand.join(a, "doc_a")
-            .join(b, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
-                F.size("sh_a").alias("n_a"),
-                F.size("sh_b").alias("n_b"),
-            )
-        )
-        return (
-            verified.withColumn(
-                "jaccard",
-                F.col("common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard")
-        )
+        return verify_pairs_exact(cand, sa, threshold)
     pairs = _pairs_from_postings(grouped, threshold)
     common = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
         F.count(F.lit(1)).alias("common")
     )
     return (
         common.withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def verify_pairs_exact(cand: DataFrame, sa: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard verification of a CANDIDATE pair set against the full
+    shingle arrays: join both pair sides back to ``sa``, intersect the
+    arrays, keep pairs scoring >= threshold. Candidates are a recall set —
+    capping/banding upstream can only lose pairs, never misscore one that
+    reaches this gate. Shared by the capped shingle-join path and the
+    LSH pipeline path."""
+    a = sa.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a"))
+    b = sa.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sh_b"))
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+    )
+    return (
+        verified.withColumn(
             "jaccard",
             F.col("common").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
@@ -514,10 +524,24 @@ def dedup_pipeline(
     text_col: str = "text",
     threshold: float = JACCARD_THRESHOLD,
     df_cap: int | None = None,
+    candidate_source: str = "jaccard",
+    band_cap: int | None = None,
 ) -> dict[str, DataFrame]:
     """Production dedup entry point: run candidate generation + exact
     Jaccard verification ONCE and serve BOTH downstream decisions from the
     persisted pair set.
+
+    ``candidate_source``:
+      * ``"jaccard"`` (default) — shingle-postings candidate generation
+        with exact verification: every >= threshold pair is found (modulo
+        the documented ``df_cap`` hot-shingle trade). Right up to the
+        scale where the per-shingle postings expansion gets expensive.
+      * ``"lsh"`` — the 100 TB path: MinHash band agreement proposes
+        candidates (``band_cap`` bounds degenerate bands), then the SAME
+        exact-Jaccard gate verifies them. Probabilistic recall
+        (a >= threshold pair missing every band is lost — ~`1-(1-j^r)^b`),
+        but candidate volume stays sub-quadratic no matter how the corpus
+        clusters; surviving pairs carry true Jaccard scores either way.
 
     The registered ``dedup_keep_list`` and ``neardup_components`` queries
     are deliberately self-contained (each prices its own full lineage for
@@ -536,7 +560,15 @@ def dedup_pipeline(
     unpersist()`` when done (or write it to the lake as the artifact)."""
     from tomixpanel_spark.operators.identity import connected_components
 
-    pairs = near_dup_pairs(df, id_col, text_col, threshold, df_cap).persist()
+    if candidate_source == "lsh":
+        sa = shingle_arrays_for(df, id_col, text_col)
+        sig = sa.select("doc_id", *minhash_columns())
+        cand = lsh_pairs_from_signatures(sig, band_cap)
+        pairs = verify_pairs_exact(cand, sa, threshold).persist()
+    elif candidate_source == "jaccard":
+        pairs = near_dup_pairs(df, id_col, text_col, threshold, df_cap).persist()
+    else:
+        raise ValueError(f"unknown candidate_source: {candidate_source!r}")
     drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     keep = df.select(id_col).join(drops, id_col, "left_anti").select(id_col)
     comp = connected_components(pairs.select("doc_a", "doc_b"), a="doc_a", b="doc_b")
