@@ -184,6 +184,31 @@ class TestHttpSink:
         assert set(rec) == {"event", "properties"}
         assert "$insert_id" in rec["properties"]
 
+    def test_target_rows_per_task_fills_batches(self, spark, stub):
+        """A tiny record set spread over many partitions must NOT fan out
+        as one under-filled POST per partition: target_rows_per_task
+        counts + coalesces so requests pack to the batch caps."""
+        from tomixpanel_spark.sinks.http import (
+            HttpSink,
+            HttpSinkConfig,
+            mp_event_record,
+            summarize_receipts,
+        )
+
+        df = _events_df(spark, 500).repartition(32)
+        cfg = HttpSinkConfig(url=stub.url, gzip=True)
+        baseline = HttpSink(cfg, mp_event_record).send(df)
+        assert summarize_receipts(baseline)["imported"] == 500
+        sprayed = len(stub.requests)
+        assert sprayed >= 16  # under-filled fan-out without the knob
+
+        stub.requests.clear()
+        packed = HttpSink(cfg, mp_event_record).send(df, target_rows_per_task=250)
+        assert summarize_receipts(packed)["imported"] == 500
+        assert len(stub.requests) == 2
+        sizes = sorted(r["n"] for r in stub.requests)
+        assert sum(sizes) == 500 and min(sizes) >= 200  # packed, near-even
+
     def test_retry_then_success(self, spark):
         from tomixpanel_spark.sinks.http import (
             HttpSink,

@@ -95,14 +95,36 @@ class HttpSink:
         self.to_record = to_record
         self.transport = transport or urllib_transport
 
-    def send(self, df: DataFrame, concurrency: Optional[int] = None) -> DataFrame:
+    def send(
+        self,
+        df: DataFrame,
+        concurrency: Optional[int] = None,
+        target_rows_per_task: Optional[int] = None,
+    ) -> DataFrame:
         """Returns the receipt DataFrame (lazy — an action on it drives the
-        send). One POST task stream per partition."""
+        send). One POST task stream per partition.
+
+        Partition count IS the request concurrency, and each partition
+        packs its own batches — a tiny record set spread over many
+        partitions fans out as under-filled POSTs (one per partition
+        instead of one per ``max_records``). ``target_rows_per_task``
+        opts into the bulk-load fix: persist + count the records (the
+        sink drives an action, giving up laziness for sizing) and
+        coalesce to ``ceil(n / target)`` partitions so batches fill.
+        Sensible target: ``cfg.max_records`` (each task sends ~one full
+        batch) or a small multiple of it for fewer, longer request
+        streams."""
         from tomixpanel_spark.session import ship_package
 
         ship_package(df.sparkSession)
         if concurrency:
             df = df.repartition(concurrency)
+        elif target_rows_per_task:
+            df = df.persist()
+            n = df.count()
+            want = max(1, -(-n // target_rows_per_task))  # ceil div
+            if want < df.rdd.getNumPartitions():
+                df = df.coalesce(want)
         cfg, to_record, transport = self.cfg, self.to_record, self.transport
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
