@@ -65,6 +65,75 @@ class TestGreedyPackingOptimality:
             assert len(merged) > max_bytes
 
 
+class TestMediaHeaderParsers:
+    """decode_payload runs inside executor Python workers over untrusted
+    bytes — it must classify or raise cleanly (ValueError /
+    NotImplementedError), never crash with an index/struct error."""
+
+    @given(st.binary(max_size=64))
+    @settings(max_examples=300, deadline=None)
+    def test_arbitrary_bytes_never_crash_unexpectedly(self, payload):
+        from tomixpanel_spark.operators.multimodal import decode_payload
+
+        try:
+            meta = decode_payload(payload, "")
+            assert isinstance(meta, dict) and "n_frames" in meta
+        except (ValueError, NotImplementedError):
+            pass
+
+    @given(
+        st.integers(1, 2**31 - 1),
+        st.integers(1, 2**31 - 1),
+        st.sampled_from([1, 2, 4, 8, 16]),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_png_header_roundtrip(self, w, h, depth):
+        import struct
+
+        from tomixpanel_spark.operators.multimodal import decode_payload
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", w, h)
+            + bytes([depth, 0, 0, 0, 0])
+            + b"\x00" * 4
+        )
+        meta = decode_payload(png, "image/png")
+        assert (meta["width"], meta["height"], meta["bit_depth"]) == (w, h, depth)
+
+    @given(
+        st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+        st.integers(1, 8),
+        st.sampled_from([8, 16, 24, 32]),
+        st.integers(0, 2000),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_wav_header_roundtrip(self, rate, channels, bits, frames):
+        import struct
+
+        from tomixpanel_spark.operators.multimodal import decode_payload
+
+        block = channels * (bits // 8)
+        data = b"\x00" * (frames * block)
+        wav = (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+        meta = decode_payload(wav, "audio/wav")
+        assert meta["sample_rate"] == rate
+        assert meta["channels"] == channels
+        assert meta["n_frames"] == frames
+
+
 class TestRewriteEquivalence:
     """Property checks that the round-4 performance rewrites compute the
     SAME function as their naive forms on randomized inputs (the oracle

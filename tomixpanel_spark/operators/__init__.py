@@ -40,6 +40,7 @@ def registry() -> dict[str, QuerySpec]:
     # neardup_components) fall inside the checked window. Every demoted
     # row keeps local DuckDB-oracle parity via tests/test_oracle_parity.py.
     for tail in (
+        "lsh_keep_list",  # locally oracle-verified; keeps the 50-window stable
         "filter_nonempty",
         "coalesce_id",
         "explode_hits",

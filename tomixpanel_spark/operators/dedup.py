@@ -583,6 +583,42 @@ def dedup_pipeline(
     return {"pairs": pairs, "keep_list": keep, "components": components}
 
 
+def lsh_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup flow as ONE oracle-checkable query: MinHash band
+    agreement proposes candidates, exact Jaccard verifies them, the
+    pairwise drop-higher-id policy emits the keep list. Differs from
+    ``dedup_keep_list`` only in candidate generation (sub-quadratic band
+    buckets instead of shingle postings) — the verification gate and the
+    policy are the same code."""
+    sa = _shingle_arrays(spark, sf_dir)
+    sig = sa.select("doc_id", *minhash_columns())
+    cand = lsh_pairs_from_signatures(sig)
+    verified = verify_pairs_exact(cand, sa, JACCARD_THRESHOLD)
+    drops = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(drops, "doc_id", "left_anti").select("doc_id")
+
+
+_LSH_KEEP_LIST_SQL = f"""
+WITH sh AS ({_SQL_SHINGLE_ROWS}),
+sig AS (SELECT doc_id, {_MINHASH_MINS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_EXPRS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+lists AS (SELECT doc_id, list(sh) AS ls, COUNT(*) AS n FROM sh GROUP BY doc_id),
+ver AS (
+  SELECT doc_a, doc_b, len(list_intersect(la.ls, lb.ls)) AS common, la.n AS na, lb.n AS nb
+  FROM cand JOIN lists la ON doc_a = la.doc_id JOIN lists lb ON doc_b = lb.doc_id),
+drops AS (
+  SELECT DISTINCT doc_b AS doc_id FROM ver
+  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= {JACCARD_THRESHOLD})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+
+
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: connected components over the
     verified Jaccard pair graph, keep the minimum doc_id per cluster.
@@ -708,6 +744,9 @@ REGISTRY = {
     "minhash_lsh_pairs": QuerySpec(minhash_lsh_pairs, _MINHASH_LSH_SQL, "ext:dedup"),
     "simhash": QuerySpec(simhash, _SIMHASH_SQL, "ext:dedup"),
     "dedup_keep_list": QuerySpec(dedup_keep_list, _DEDUP_KEEP_LIST_SQL, "ext:dedup e2e"),
+    "lsh_keep_list": QuerySpec(
+        lsh_keep_list, _LSH_KEEP_LIST_SQL, "ext:dedup e2e via LSH candidates"
+    ),
     "decontam_overlap": QuerySpec(decontam_overlap, _DECONTAM_SQL, "ext:dedup decontamination"),
     "neardup_components": QuerySpec(
         neardup_components, _NEARDUP_COMPONENTS_SQL, "ext:dedup transitive clustering"
