@@ -104,6 +104,51 @@ class TestStreamingExactDedup:
         assert state_rows[-1] < max(state_rows)
 
 
+class TestStreamingMergeEdges:
+    def test_edges_dedupe_across_batches_and_match_batch_path(self, spark, tmp_path):
+        from tomixpanel_spark.streaming.dedup import streaming_merge_edges
+        from tomixpanel_spark.transforms.amplitude import amp_merges
+
+        rows_b1 = [
+            {"user_id": "u1", "device_id": "d1"},
+            {"user_id": "u2", "device_id": "d2"},
+            {"user_id": "", "device_id": "d9"},  # falsy user: no edge
+        ]
+        rows_b2 = [
+            {"user_id": "u1", "device_id": "d1"},  # repeat edge, must dedupe
+            {"user_id": "u1", "device_id": "d3"},
+            {"user_id": "u3", "device_id": None},  # null device: no edge
+        ]
+        in_dir = tmp_path / "ev"
+        _write_batches(in_dir, [("b1", rows_b1), ("b2", rows_b2)])
+        stream = (
+            spark.readStream.schema("user_id string, device_id string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = streaming_merge_edges(stream, run_time_ms=42)
+        collected = []
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r["id_a"], r["id_b"], r["insert_id"], r["time_ms"]) for r in collected}
+
+        batch_df = spark.createDataFrame(
+            [(r["user_id"], r["device_id"]) for r in rows_b1 + rows_b2],
+            "user_id string, device_id string",
+        )
+        want = {
+            (r["id_a"], r["id_b"], r["insert_id"], r["time_ms"])
+            for r in amp_merges(batch_df, run_time_ms=42).collect()
+        }
+        assert got == want  # same edges, same canonical ids, deduped once
+
+
 class TestStreamingSignatures:
     def test_stream_signatures_equal_batch(self, spark, tmp_path):
         """Lambda-split contract: signatures computed on the stream are

@@ -71,3 +71,42 @@ def streaming_minhash_signatures(
     return staged_shingles(stream, id_col, text_col).select(
         "doc_id", *minhash_columns()
     )
+
+
+def streaming_merge_edges(
+    stream: DataFrame,
+    run_time_ms: int = 0,
+    ts_col: Optional[str] = None,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming form of ``transforms.amplitude.amp_merges`` (M5): emit
+    each user_id<->device_id identity edge ONCE as events flow in, keyed
+    by the same canonical insert_id the batch path dedupes on — so online
+    and backfill edges land in one idempotent /import stream. The batch
+    path's ``.distinct()`` becomes ``dropDuplicates`` on the canonical
+    hash (watermark-bounded when ``ts_col`` is given: an edge re-observed
+    after the horizon re-emits, which the sink's idempotent $merge
+    semantics absorb)."""
+    from tomixpanel_spark.functions.canonical import canonical_insert_id
+
+    both = (
+        F.col("user_id").isNotNull()
+        & (F.col("user_id").cast("string") != "")
+        & F.col("device_id").isNotNull()
+        & (F.col("device_id").cast("string") != "")
+    )
+    edge = stream.filter(both).select(
+        F.col("user_id").alias("id_a"),
+        F.col("device_id").alias("id_b"),
+        canonical_insert_id(
+            F.lit("$merge"), F.col("user_id"), F.col("device_id")
+        ).alias("insert_id"),
+        F.lit(run_time_ms).cast("bigint").alias("time_ms"),
+        *([F.col(ts_col)] if ts_col else []),
+    )
+    if ts_col is not None:
+        deduped = edge.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+            ["insert_id"]
+        )
+        return deduped.drop(ts_col)
+    return edge.dropDuplicates(["insert_id"])
