@@ -53,6 +53,14 @@ def test_lsh_pairs_postings_shape_no_join(spark):
     assert join_strategies(df) == []
 
 
+def test_funnel_single_shuffle_no_joins(spark):
+    """Funnel is three CHAINED window minimums over one user_id exchange —
+    never the per-step groupBy+join-back form (which re-evaluates step
+    k's lineage 4-k times and shuffles 6x at any scale)."""
+    df = REG["funnel"].fn(spark, SF_ORACLE)
+    assert join_strategies(df) == []
+
+
 def test_minhash_signature_no_join_no_agg_exchange(spark):
     """Signature is a narrow projection after the parallelism repartition —
     exactly one user exchange, no join."""

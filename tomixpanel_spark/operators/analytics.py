@@ -56,24 +56,41 @@ FROM (
 def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 3-step funnel view -> click -> purchase: users counted at
     each stage, each later step strictly after the user's previous-step
-    time. Per-user step tables are tiny aggregates; at 100 TB the joins
-    hash on user_id and AQE broadcasts the shrinking step tables."""
+    time.
+
+    Shape: ONE exchange. The per-user step times chain as window minimums
+    over the same ``partitionBy(user_id)`` spec — Catalyst stacks the
+    three Window operators on a single shuffle (each step's condition
+    references the previous step's window value, so they chain as
+    projections, not re-partitions). The per-user reduce then rides the
+    same partitioning (no second exchange) and the 3-row stage unpivot is
+    a 1-row aggregate stack. The old form (per-step groupBy + join back)
+    evaluated step k's lineage 4-k times and shuffled 6x at any scale."""
     ev = table(spark, sf_dir, "events")
-
-    def first_after(event_type: str, prev: DataFrame | None, prev_col: str | None):
-        e = ev.filter(F.col("event_type") == event_type)
-        if prev is None:
-            return e.groupBy("user_id").agg(F.min("ts").alias("t1"))
-        j = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_col))
-        return j.groupBy("user_id").agg(F.min("ts").alias(prev_col + "x"))
-
-    s1 = first_after("view", None, None)
-    s2 = first_after("click", s1, "t1").withColumnRenamed("t1x", "t2")
-    s3 = first_after("purchase", s2, "t2").withColumnRenamed("t2x", "t3")
-    return (
-        s1.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("1_view").alias("stage"), "n_users")
-        .unionByName(s2.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("2_click").alias("stage"), "n_users"))
-        .unionByName(s3.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("3_purchase").alias("stage"), "n_users"))
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    e1 = ev.select("user_id", "event_type", "ts", t1.alias("t1"))
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    e2 = e1.select("user_id", "event_type", "ts", "t1", t2.alias("t2"))
+    t3 = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+    ).over(w)
+    e3 = e2.select("user_id", "t1", "t2", t3.alias("t3"))
+    per_user = e3.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+    return counts.select(
+        F.stack(
+            F.lit(3),
+            F.lit("1_view"), F.col("n1"),
+            F.lit("2_click"), F.col("n2"),
+            F.lit("3_purchase"), F.col("n3"),
+        ).alias("stage", "n_users")
     )
 
 
