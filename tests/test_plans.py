@@ -61,6 +61,13 @@ def test_funnel_single_shuffle_no_joins(spark):
     assert join_strategies(df) == []
 
 
+def test_retention_no_self_join(spark):
+    """The first-seen cohort attaches as a window minimum — the self-join
+    form scans events twice and shuffles both join sides."""
+    df = REG["retention"].fn(spark, SF_ORACLE)
+    assert join_strategies(df) == []
+
+
 def test_minhash_signature_no_join_no_agg_exchange(spark):
     """Signature is a narrow projection after the parallelism repartition —
     exactly one user exchange, no join."""

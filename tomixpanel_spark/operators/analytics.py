@@ -6,10 +6,10 @@ reference has no query layer; ours is Spark's own).
 All are classic one-or-two-shuffle shapes:
   * sessionize — gap-based sessionization via window lag + running sum
     (one shuffle on user_id, then narrow).
-  * funnel — ordered multi-step conversion via per-step min-time joins
-    (step tables are per-user aggregates; joins are small-keyed).
-  * retention — first-seen cohort x day-offset distinct users (two hash
-    aggregates).
+  * funnel — ordered multi-step conversion via CHAINED window minimums
+    over one user_id exchange (no per-step joins, no lineage recompute).
+  * retention — first-seen cohort attached as a window minimum (no
+    self-join), then the cohort x offset distinct-count aggregate.
 """
 
 from __future__ import annotations
@@ -108,13 +108,18 @@ UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
 
 def retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen date; for each day
-    offset 0..7, distinct returning users."""
+    offset 0..7, distinct returning users.
+
+    The first-seen date attaches as a window minimum over user_id instead
+    of a self-join back to a per-user aggregate — one scan of events and
+    one user_id exchange (the join form scanned events twice and shuffled
+    both join sides), then the cohort x offset distinct-count exchange."""
     ev = table(spark, sf_dir, "events")
-    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
-    j = ev.join(first, "user_id").select(
+    cohort = F.min(F.to_date("ts")).over(Window.partitionBy("user_id"))
+    j = ev.select(
         "user_id",
-        F.col("cohort").cast("string").alias("cohort_date"),
-        F.datediff(F.to_date("ts"), F.col("cohort")).cast("bigint").alias("day_offset"),
+        cohort.cast("string").alias("cohort_date"),
+        F.datediff(F.to_date("ts"), cohort).cast("bigint").alias("day_offset"),
     )
     return (
         j.filter(F.col("day_offset") <= 7)
