@@ -18,5 +18,60 @@ Design stance (see ARCHITECTURE.md):
 
 from tomixpanel_spark.session import get_spark, session_builder
 
-__all__ = ["get_spark", "session_builder"]
+
+def __getattr__(name):
+    # Lazy re-exports of the main user-facing operator APIs (keeps package
+    # import light: operators pull in pandas/pyarrow machinery).
+    lazy = {
+        "dedup_pipeline": ("tomixpanel_spark.operators.dedup", "dedup_pipeline"),
+        "near_dup_pairs": ("tomixpanel_spark.operators.dedup", "near_dup_pairs"),
+        "connected_components": (
+            "tomixpanel_spark.operators.identity",
+            "connected_components",
+        ),
+        "extract_metadata": (
+            "tomixpanel_spark.operators.multimodal",
+            "extract_metadata",
+        ),
+        "transform_media": ("tomixpanel_spark.operators.multimodal", "transform_media"),
+        "amplitude_to_mixpanel": (
+            "tomixpanel_spark.transforms.amplitude",
+            "amplitude_to_mixpanel",
+        ),
+        "ga_events": ("tomixpanel_spark.transforms.ga", "ga_events"),
+        "streaming_exact_dedup": (
+            "tomixpanel_spark.streaming.dedup",
+            "streaming_exact_dedup",
+        ),
+        "streaming_minhash_signatures": (
+            "tomixpanel_spark.streaming.dedup",
+            "streaming_minhash_signatures",
+        ),
+        "streaming_merge_edges": (
+            "tomixpanel_spark.streaming.dedup",
+            "streaming_merge_edges",
+        ),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "get_spark",
+    "session_builder",
+    "dedup_pipeline",
+    "near_dup_pairs",
+    "connected_components",
+    "extract_metadata",
+    "transform_media",
+    "amplitude_to_mixpanel",
+    "ga_events",
+    "streaming_exact_dedup",
+    "streaming_minhash_signatures",
+    "streaming_merge_edges",
+]
 __version__ = "0.1.0"
