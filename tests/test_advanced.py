@@ -274,6 +274,49 @@ class TestMultimodalTransform:
         assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
 
 
+class TestAsofJoin:
+    def test_semantics_ties_and_no_match(self, spark):
+        """Inclusive at-or-before: a right row AT the left time matches;
+        earlier rights are superseded; keys with no prior right get nulls."""
+        from tomixpanel_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (3, 50, "d")],
+            "k long, t long, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, 10, 100), (1, 15, 150), (2, 6, 60)],
+            "k long, rt long, v long",
+        )
+        out = {
+            (r["k"], r["t"]): r["v"]
+            for r in asof_join(left, right, on="k", left_time="t", right_time="rt").collect()
+        }
+        assert out[(1, 10)] == 100  # tie at t=10 is inclusive
+        assert out[(1, 20)] == 150  # latest at-or-before, not first
+        assert out[(2, 5)] is None  # right row is AFTER the left time
+        assert out[(3, 50)] is None  # key never seen on the right
+
+    def test_column_collision_rejected(self, spark):
+        from tomixpanel_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 1, 1)], "k long, t long, v long")
+        right = spark.createDataFrame([(1, 1, 2)], "k long, rt long, v long")
+        with pytest.raises(ValueError):
+            asof_join(left, right, on="k", left_time="t", right_time="rt")
+
+    def test_plan_is_single_exchange_no_join(self, spark):
+        """The composition must stay union+window: one key exchange, no
+        join operator (a range-condition join would be a per-key cross
+        product Spark can only post-filter)."""
+        from tests.conftest import SF_ORACLE
+        from tomixpanel_spark.operators import registry
+        from tomixpanel_spark.plans.audit import join_strategies
+
+        df = registry()["asof_latest_order"].fn(spark, SF_ORACLE)
+        assert join_strategies(df) == []
+
+
 class TestDedupPipeline:
     def test_one_candidate_pass_serves_both_outputs(self, spark, monkeypatch):
         """dedup_pipeline must generate+verify pairs ONCE (persisted) and

