@@ -217,8 +217,66 @@ GROUP BY from_event, to_event
 """
 
 
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (the TimescaleDB continuous-aggregate
+    shape): hourly buckets aggregate from raw events ONCE, and the daily
+    grain rolls up FROM THE HOURLY PARTIALS — 100-1000x fewer rows into
+    the second aggregate instead of a second raw scan. At 100 TB this is
+    the difference between maintaining N granularities for N scans and
+    paying the raw scan once (sums/counts are re-aggregable; averages
+    derive from sum/count at read time; quantiles would need mergeable
+    sketches). Sums stay DECIMAL through both levels so the hourly->daily
+    re-aggregation is exact and engine-portable, cast to double only at
+    the output edge."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(24,6)")).alias("sum_dec"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket"),
+        "event_type",
+    ).agg(F.sum("n").alias("n"), F.sum("sum_dec").alias("sum_dec"))
+
+    def shape(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.col("bucket").cast("string").alias("bucket_start"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+
+    return shape(hourly, "hour").unionByName(shape(daily, "day"))
+
+
+_HYPERTABLE_ROLLUP_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(24,6))) AS sum_dec
+  FROM events GROUP BY 1, 2),
+daily AS (
+  SELECT date_trunc('day', bucket) AS bucket, event_type,
+         SUM(n) AS n, SUM(sum_dec) AS sum_dec
+  FROM hourly GROUP BY 1, 2)
+SELECT 'hour' AS grain, CAST(bucket AS VARCHAR) AS bucket_start, event_type,
+       CAST(n AS BIGINT) AS n, CAST(sum_dec AS DOUBLE) AS sum_value
+FROM hourly
+UNION ALL
+SELECT 'day', CAST(CAST(bucket AS TIMESTAMP) AS VARCHAR), event_type,
+       CAST(n AS BIGINT), CAST(sum_dec AS DOUBLE)
+FROM daily
+"""
+
+
 REGISTRY = {
     "sessionize": QuerySpec(sessionize, _SESSIONIZE_SQL, "analytics"),
+    "hypertable_rollup": QuerySpec(
+        hypertable_rollup, _HYPERTABLE_ROLLUP_SQL, "custom operator: continuous-aggregate rollup"
+    ),
     "funnel": QuerySpec(funnel, _FUNNEL_SQL, "analytics"),
     "retention": QuerySpec(retention, _RETENTION_SQL, "analytics"),
     "value_quantiles": QuerySpec(value_quantiles, _VALUE_QUANTILES_SQL, "analytics"),
