@@ -317,6 +317,32 @@ class TestAsofJoin:
         assert join_strategies(df) == []
 
 
+class TestCountMinSketch:
+    def test_estimates_never_undercount(self, spark):
+        """CMS can only over-count (collisions add, min over rows bounds
+        the noise) — every estimate must be >= the exact frequency."""
+        from tests.conftest import SF_SMALL
+        from tomixpanel_spark.functions.text import tokens as tok
+        from tomixpanel_spark.operators import registry
+        from tomixpanel_spark.operators.base import table
+
+        exact = {
+            r["token"]: r["n"]
+            for r in table(spark, SF_SMALL, "documents")
+            .select(F.explode(tok("text")).alias("token"))
+            .groupBy("token")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        est = {
+            r["token"]: r["est_n"]
+            for r in registry()["cms_heavy_hitters"].fn(spark, SF_SMALL).collect()
+        }
+        assert set(est) == set(exact)
+        assert all(est[t] >= exact[t] for t in exact)
+
+
 class TestRangeJoin:
     def test_containment_inclusive_and_bin_crossing(self, spark):
         """Boundary times match (inclusive both ends) and an interval

@@ -44,6 +44,7 @@ def registry() -> dict[str, QuerySpec]:
     # neardup_components) fall inside the checked window. Every demoted
     # row keeps local DuckDB-oracle parity via tests/test_oracle_parity.py.
     for tail in (
+        "cms_heavy_hitters",  # locally oracle-verified; keeps the 50-window stable
         "hypertable_rollup",  # locally oracle-verified; keeps the 50-window stable
         "asof_latest_order",  # locally oracle-verified; keeps the 50-window stable
         "range_join_active_windows",  # locally oracle-verified; keeps the 50-window stable

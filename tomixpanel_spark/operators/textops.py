@@ -205,8 +205,81 @@ FROM d GROUP BY bucket, tier
 """
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(row: int, token) -> F.Column:
+    """Deterministic md5-derived bucket for sketch row ``row`` — identical
+    arithmetic in DuckDB, so sketches (and their over-estimates) are
+    engine-equal."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}:"), token)), 1, 8), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(CMS_WIDTH))
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch term frequencies: the mergeable-sketch shape for
+    heavy-hitter detection over a token stream.
+
+    Build: one hash aggregate whose output is the FIXED-SIZE sketch
+    (depth x width = 1024 cells) no matter the vocabulary — at 100 TB the
+    shuffle carries ~1k rows per partition where an exact top-k carries
+    the vocab. Estimate: min over depth rows of the token's cell — here
+    evaluated for the full (small) vocab to make the query
+    oracle-checkable; production queries the sketch for candidate terms
+    only. Estimates can only over-count (collisions add), and both
+    engines hash identically, so over-counts match exactly too."""
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    cells = None
+    for r in range(CMS_DEPTH):
+        c = toks.select(F.lit(r).alias("row"), _cms_bucket(r, F.col("token")).alias("bucket"))
+        cells = c if cells is None else cells.unionByName(c)
+    sketch = cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    vocab = toks.distinct()
+    probes = None
+    for r in range(CMS_DEPTH):
+        p = vocab.select(
+            "token", F.lit(r).alias("row"), _cms_bucket(r, F.col("token")).alias("bucket")
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("token")
+        .agg(F.min("c").cast("bigint").alias("est_n"))
+    )
+    return est
+
+
+_CMS_CELLS = " UNION ALL ".join(
+    f"SELECT {r} AS row, CAST('0x' || substr(md5('{r}:' || token), 1, 8) AS BIGINT) % {CMS_WIDTH} AS bucket FROM occ"
+    for r in range(CMS_DEPTH)
+)
+_CMS_PROBES = " UNION ALL ".join(
+    f"SELECT token, {r} AS row, CAST('0x' || substr(md5('{r}:' || token), 1, 8) AS BIGINT) % {CMS_WIDTH} AS bucket FROM vocab"
+    for r in range(CMS_DEPTH)
+)
+_CMS_SQL = f"""
+WITH occ AS (SELECT unnest({_SQL_WORDS}) AS token FROM documents),
+cells AS ({_CMS_CELLS}),
+sketch AS (SELECT row, bucket, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT token FROM occ),
+probes AS ({_CMS_PROBES})
+SELECT p.token, CAST(min(s.c) AS BIGINT) AS est_n
+FROM probes p JOIN sketch s ON p.row = s.row AND p.bucket = s.bucket
+GROUP BY p.token
+"""
+
+
 REGISTRY = {
     "explode_hits": QuerySpec(explode_hits, _EXPLODE_HITS_SQL, "M1"),
+    "cms_heavy_hitters": QuerySpec(
+        cms_heavy_hitters, _CMS_SQL, "custom operator: count-min sketch"
+    ),
     "token_count": QuerySpec(token_count, _TOKEN_COUNT_SQL, "ext:text"),
     "word_freq": QuerySpec(word_freq, _WORD_FREQ_SQL, "ext:text"),
     "lang_id": QuerySpec(lang_id, _LANG_ID_SQL, "ext:text"),
