@@ -170,6 +170,23 @@ def test_decontam_falls_back_to_shuffle_join_above_gate(spark, monkeypatch):
     assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
 
 
+def test_driver_window_keeps_rich_queries_visible():
+    """The external correctness gate samples the FIRST 50 registry
+    entries. Registry edits must not silently evict the high-information
+    rows (e2e transforms, graph ops, round-4 extensions) from that
+    window — new queries go to the tail unless deliberately promoted."""
+    names = list(REG)
+    window = set(names[:50])
+    must_be_visible = {
+        "amp_transform", "ga_transform", "custom_dims", "identity_components",
+        "union_all", "stratified_sample", "mixture_stats", "decontam_overlap",
+        "neardup_components", "dedup_keep_list", "minhash_lsh_pairs",
+        "tpch_q1", "tpch_q5", "pushdown_filter", "sessionize", "funnel",
+    }
+    missing = must_be_visible - window
+    assert not missing, f"evicted from the driver's 50-row window: {sorted(missing)}"
+
+
 def test_ensure_parallel_skips_already_split_sources(spark):
     """The defensive repartition must be CONDITIONAL: a 1-partition toy
     scan spreads to defaultParallelism, but an already-split source (any
