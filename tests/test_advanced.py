@@ -506,3 +506,72 @@ class TestSimilarityEdgeIds:
         assert out, "no rows from ann_ivf_topk on sparse ids"
         assert {r["q_id"] for r in out} == {3, 7}
         assert all(r["neighbor_id"] != r["q_id"] for r in out)
+
+
+class TestKmvSketch:
+    def test_estimate_close_to_exact(self, spark):
+        """KMV with k=64 on ~150 distinct ids per group: the estimate is
+        approximate by design but must land within the sketch's standard
+        error envelope (~1/sqrt(k-1) ~ 13%; allow 3 sigma)."""
+        from tests.conftest import SF_ORACLE
+        from tomixpanel_spark.operators import registry
+        from tomixpanel_spark.operators.base import table
+
+        exact = {
+            r["event_type"]: r["n"]
+            for r in table(spark, SF_ORACLE, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        est = {
+            r["event_type"]: r["est_distinct"]
+            for r in registry()["kmv_distinct"].fn(spark, SF_ORACLE).collect()
+        }
+        assert set(est) == set(exact)
+        for t, n in exact.items():
+            rel = abs(est[t] - n) / n
+            assert rel < 0.40, f"{t}: est {est[t]:.1f} vs exact {n} ({rel:.0%})"
+
+
+class TestGopherQuality:
+    def test_keep_flag_discriminates(self, spark):
+        """The gates must actually split the corpus (a filter that keeps
+        or drops everything verifies nothing)."""
+        from tests.conftest import SF_ORACLE
+        from tomixpanel_spark.operators import registry
+
+        rows = registry()["gopher_quality"].fn(spark, SF_ORACLE).collect()
+        kept = sum(1 for r in rows if r["keep"])
+        assert 0 < kept < len(rows)
+
+    def test_features_bounded(self, spark):
+        from tests.conftest import SF_ORACLE
+        from tomixpanel_spark.operators import registry
+
+        for r in registry()["gopher_quality"].fn(spark, SF_ORACLE).collect():
+            assert 0.0 <= r["dup_word_frac"] <= 1.0
+            assert 0.0 <= r["top_bigram_frac"] <= 1.0
+
+
+class TestPiiRedact:
+    def test_redaction_removes_every_match(self, spark):
+        """Post-redaction text must contain zero residual PII matches and
+        the placeholder tokens must appear exactly count-many times."""
+        import re
+
+        from tests.conftest import SF_ORACLE
+        from tomixpanel_spark.functions.text import PII_PASSES
+        from tomixpanel_spark.operators import registry
+
+        rows = registry()["pii_redact"].fn(spark, SF_ORACLE).collect()
+        assert any(r["n_emails"] > 0 for r in rows)
+        assert any(r["n_ips"] > 0 for r in rows)
+        assert any(r["n_phones"] > 0 for r in rows)
+        pats = [re.compile(p) for p, _ in PII_PASSES]
+        for r in rows:
+            for pat in pats:
+                assert not pat.search(r["redacted"]), (r["doc_id"], pat.pattern)
+            assert r["redacted"].count("<EMAIL>") == r["n_emails"]
+            assert r["redacted"].count("<IP>") == r["n_ips"]
+            assert r["redacted"].count("<PHONE>") == r["n_phones"]

@@ -52,6 +52,24 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, gram))
 
 
+def bigrams(words: Column) -> Column:
+    """All adjacent word bigrams ('w1 w2' strings) from a MATERIALIZED token
+    array column, with repeats (repetition measurement needs multiplicity,
+    unlike shingles' array_distinct). Takes the array, not raw text: a
+    transform(idx, element_at(tokens(text), i)) formulation re-runs the
+    regex split per element — quadratic per document. zip_with over two
+    slices is linear. Empty array for docs shorter than 2 tokens."""
+    n = F.size(words)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, F.lit(1), n - 1),
+            F.slice(words, F.lit(2), n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def stopword_count(text: Column | str) -> Column:
     """Number of tokens that are pinned stopwords."""
     return F.size(F.filter(tokens(text), lambda t: F.lower(t).isin(*STOPWORDS)))
@@ -91,6 +109,38 @@ def lang_guess(text: Column | str) -> Column:
     head = F.slice(tokens(c), 1, 40)
     hits = F.size(F.filter(head, lambda t: F.lower(t).isin(*STOPWORDS)))
     return F.when(hits >= 2, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+# PII patterns pinned to the Java-regex / RE2 common subset (no lookaround,
+# no backreferences) so Spark and the DuckDB oracle match identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\b555-\d{4}\b"
+# Replacement order matters (email strips its host before the IP pass ever
+# sees dotted digits); both engines apply the same fixed order.
+PII_PASSES = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_IPV4, "<IP>"),
+    (PII_PHONE, "<PHONE>"),
+)
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (pre-redaction)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_emails": F.regexp_count(c, F.lit(PII_EMAIL)).cast("bigint"),
+        "n_ips": F.regexp_count(c, F.lit(PII_IPV4)).cast("bigint"),
+        "n_phones": F.regexp_count(c, F.lit(PII_PHONE)).cast("bigint"),
+    }
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Redact all PII categories in the pinned pass order."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, token in PII_PASSES:
+        c = F.regexp_replace(c, pat, token)
+    return c
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -44,6 +44,10 @@ def registry() -> dict[str, QuerySpec]:
     # neardup_components) fall inside the checked window. Every demoted
     # row keeps local DuckDB-oracle parity via tests/test_oracle_parity.py.
     for tail in (
+        "gopher_quality",  # locally oracle-verified; keeps the 50-window stable
+        "pii_redact",  # locally oracle-verified; keeps the 50-window stable
+        "kmv_distinct",  # locally oracle-verified; keeps the 50-window stable
+        "topk_per_group",  # locally oracle-verified; keeps the 50-window stable
         "cms_heavy_hitters",  # locally oracle-verified; keeps the 50-window stable
         "hypertable_rollup",  # locally oracle-verified; keeps the 50-window stable
         "asof_latest_order",  # locally oracle-verified; keeps the 50-window stable

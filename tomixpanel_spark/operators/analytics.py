@@ -272,8 +272,70 @@ FROM daily
 """
 
 
+KMV_K = 64
+_KMV_SCALE = float(1 << 48)  # hashes are 12 md5 hex digits -> [0, 2^48)
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch: per event_type,
+    estimate |distinct user_id| from the k smallest values of a uniform
+    hash of the ids. Mergeable (union of min-sets, re-take k smallest),
+    fixed size O(k) per group no matter the cardinality — the
+    approximate-distinct shape a 100 TB pipeline uses where an exact
+    distinct would shuffle every id.
+
+    Estimator: exact count when fewer than k distinct hashes exist, else
+    (k-1) / normalized kth-minimum (Bar-Yossef et al. 2002). The hash is
+    md5-derived, so DuckDB reproduces the ESTIMATE (including its error)
+    bit-for-bit — the sketch itself is oracle-checked, not just its
+    neighborhood.
+
+    Scale shape: distinct (group, hash) hash-agg with map-side partials,
+    then a group-keyed window to keep the k minima (shuffle carries
+    distinct hashes only), then a tiny per-group aggregate. A production
+    variant would pre-prune map-side with an approximate kth-min
+    threshold; the plan here is the same two-exchange shape."""
+    ev = table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    mins = h.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KMV_K)
+    s = mins.groupBy("event_type").agg(
+        F.max("hv").alias("hk"), F.count(F.lit(1)).alias("m")
+    )
+    est = F.when(F.col("m") < KMV_K, F.col("m").cast("double")).otherwise(
+        F.lit(float(KMV_K - 1)) / (F.col("hk").cast("double") / F.lit(_KMV_SCALE))
+    )
+    return s.select("event_type", est.alias("est_distinct"))
+
+
+_KMV_DISTINCT_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS hv
+  FROM events),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM h),
+s AS (
+  SELECT event_type, max(hv) AS hk, COUNT(*) AS m
+  FROM r WHERE rk <= {KMV_K} GROUP BY 1)
+SELECT event_type,
+  CASE WHEN m < {KMV_K} THEN CAST(m AS DOUBLE)
+       ELSE {float(KMV_K - 1)} / (CAST(hk AS DOUBLE) / {_KMV_SCALE})
+  END AS est_distinct
+FROM s
+"""
+
+
 REGISTRY = {
     "sessionize": QuerySpec(sessionize, _SESSIONIZE_SQL, "analytics"),
+    "kmv_distinct": QuerySpec(
+        kmv_distinct, _KMV_DISTINCT_SQL, "custom operator: KMV distinct sketch"
+    ),
     "hypertable_rollup": QuerySpec(
         hypertable_rollup, _HYPERTABLE_ROLLUP_SQL, "custom operator: continuous-aggregate rollup"
     ),

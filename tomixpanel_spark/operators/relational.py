@@ -286,6 +286,36 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price within each priority class — the rank-and-
+    filter shape (row_number over a per-group sort, keep rk <= k).
+    Deterministic tie-break on o_orderkey. At scale Spark pushes a
+    per-partition top-k (WindowGroupLimit) below the shuffle, so the
+    exchange carries at most k rows per group per map partition, not the
+    whole table."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+_TOPK_PER_GROUP_SQL = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders)
+WHERE rk <= 3
+"""
+
+
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer running order total (window frame sum). DECIMAL inside
     the frame keeps the running sum exact => deterministic under any
@@ -398,6 +428,7 @@ REGISTRY = {
     "rollup_orders": QuerySpec(rollup_orders, _ROLLUP_ORDERS_SQL, "free surface"),
     "pivot_status": QuerySpec(pivot_status, _PIVOT_STATUS_SQL, "free surface"),
     "window_running": QuerySpec(window_running, _WINDOW_RUNNING_SQL, "free surface"),
+    "topk_per_group": QuerySpec(topk_per_group, _TOPK_PER_GROUP_SQL, "free surface"),
     "semi_join": QuerySpec(semi_join, _SEMI_JOIN_SQL, "free surface"),
     "part_revenue": QuerySpec(part_revenue, _PART_REVENUE_SQL, "free surface"),
     "supplier_balance": QuerySpec(supplier_balance, _SUPPLIER_BALANCE_SQL, "free surface"),

@@ -13,13 +13,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tomixpanel_spark.functions.text import (
+    PII_PASSES,
     STOPWORDS,
+    bigrams,
     fingerprint,
     lang_guess,
+    pii_counts,
+    pii_scrub,
     quality_features,
     tokens,
 )
-from tomixpanel_spark.operators.base import QuerySpec, table
+from tomixpanel_spark.operators.base import QuerySpec, ensure_parallel, table
 
 # DuckDB-side mirrors of the token expressions (single-space corpus).
 _SQL_WORDS = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -205,6 +209,172 @@ FROM d GROUP BY bucket, tier
 """
 
 
+# Gopher-style quality gates (Rae et al. 2021 §A1.1 adapted to the
+# single-line fixture corpus: line-level rules become word-level
+# repetition rules, which is what discriminates here). Pinned so the
+# oracle mirrors them verbatim.
+GOPHER_MIN_WORDS = 20
+GOPHER_MWL_LO, GOPHER_MWL_HI = 3.0, 10.0
+GOPHER_MAX_DUP_WORD = 0.6
+GOPHER_MAX_TOP_BIGRAM = 0.15
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality filter: cheap narrow features
+    (word count, mean word length, duplicate-word fraction) plus the
+    repetition feature that needs an aggregate — the fraction of tokens
+    covered by the document's most-repeated bigram — combined into a
+    keep/drop gate.
+
+    Scale shape: narrow features are pure codegen projections; the
+    top-bigram feature is explode -> (doc_id, bigram) hash agg ->
+    (doc_id) hash agg, then a doc_id-keyed join back. Both aggregates
+    have map-side partials; shuffle volume is one row per distinct
+    (doc, bigram), never all-pairs. At 100 TB the join is a co-partitioned
+    shuffle join on the dedup key (doc_id) — the same shape AQE handles
+    with skew splitting if one doc is pathological."""
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    # Materialize the token array ONCE; every feature (and the bigram
+    # explode) reads the array column instead of re-running the regex split.
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        tokens("text").alias("words"),
+    )
+    n = F.size("words").cast("bigint")
+    narrow = base.select(
+        "doc_id",
+        n.alias("n_words"),
+        ((F.col("n_chars") - n + 1).cast("double") / n.cast("double")).alias(
+            "mean_word_len"
+        ),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("words")).cast("double") / n.cast("double")
+        ).alias("dup_word_frac"),
+    )
+    bg = base.select("doc_id", F.explode(bigrams(F.col("words"))).alias("bigram"))
+    top = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bg"))
+    )
+    feat = narrow.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "dup_word_frac",
+        F.coalesce(
+            (F.col("max_bg") * 2).cast("double") / F.col("n_words").cast("double"),
+            F.lit(0.0),
+        ).alias("top_bigram_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MWL_LO)
+        & (F.col("mean_word_len") <= GOPHER_MWL_HI)
+        & (F.col("dup_word_frac") <= GOPHER_MAX_DUP_WORD)
+        & (F.col("top_bigram_frac") <= GOPHER_MAX_TOP_BIGRAM)
+    )
+    return feat.withColumn("keep", keep)
+
+
+_GOPHER_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_WORDS} AS words,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents),
+narrow AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(n_chars - len(words) + 1 AS DOUBLE) / CAST(len(words) AS DOUBLE) AS mean_word_len,
+    1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS dup_word_frac,
+    list_transform(generate_series(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i + 1]) AS bgs
+  FROM t),
+bg AS (SELECT doc_id, unnest(bgs) AS bigram FROM narrow),
+top AS (
+  SELECT doc_id, max(c) AS max_bg
+  FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT n.doc_id, n.n_words, n.mean_word_len, n.dup_word_frac,
+  COALESCE(CAST(2 * top.max_bg AS DOUBLE) / CAST(n.n_words AS DOUBLE), 0.0)
+    AS top_bigram_frac,
+  (n.n_words >= {GOPHER_MIN_WORDS}
+   AND n.mean_word_len >= {GOPHER_MWL_LO} AND n.mean_word_len <= {GOPHER_MWL_HI}
+   AND n.dup_word_frac <= {GOPHER_MAX_DUP_WORD}
+   AND COALESCE(CAST(2 * top.max_bg AS DOUBLE) / CAST(n.n_words AS DOUBLE), 0.0)
+       <= {GOPHER_MAX_TOP_BIGRAM}) AS keep
+FROM narrow n LEFT JOIN top USING (doc_id)
+"""
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over document text. The synthetic corpus
+    carries no organic PII, so the query appends a deterministic contact
+    trailer derived from doc_id (identical expression in the oracle) —
+    the point is engine-parity of the detection regexes and of the fixed
+    redaction pass order on text that DOES contain matches.
+
+    Scale shape: pure narrow projection (regexp_count / regexp_replace are
+    codegen'd JVM expressions) — zero shuffles, linear scan."""
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    trailer = F.concat(
+        F.when(
+            F.pmod(did, 3) == 0,
+            F.concat(F.lit(" contact d"), did.cast("string"), F.lit("@mail.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(did, 4) == 0,
+            F.concat(
+                F.lit(" from 192.168."),
+                F.pmod(did, 256).cast("string"),
+                F.lit("."),
+                F.pmod(did, 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(did, 5) == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad(F.pmod(did, 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    full = F.concat(F.col("text"), trailer)
+    counts = pii_counts(full)
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        pii_scrub(full).alias("redacted"),
+    )
+
+
+# DuckDB mirrors: RE2 needs the same pattern strings; the 'g' flag makes
+# regexp_replace global like Spark's.
+_PII_TRAILER_SQL = (
+    "(CASE WHEN doc_id % 3 = 0 THEN ' contact d' || CAST(doc_id AS VARCHAR) || '@mail.org' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)"
+)
+_PII_SQL_REDACT = "full_text"
+for _pat, _tok in PII_PASSES:
+    _PII_SQL_REDACT = (
+        f"regexp_replace({_PII_SQL_REDACT}, '{_pat}', '{_tok}', 'g')"
+    )
+_PII_REDACT_SQL = f"""
+WITH t AS (SELECT doc_id, text || {_PII_TRAILER_SQL} AS full_text FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(full_text, '{PII_PASSES[0][0]}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(full_text, '{PII_PASSES[1][0]}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(full_text, '{PII_PASSES[2][0]}')) AS BIGINT) AS n_phones,
+  {_PII_SQL_REDACT} AS redacted
+FROM t
+"""
+
+
 CMS_DEPTH = 4
 CMS_WIDTH = 256
 
@@ -287,4 +457,8 @@ REGISTRY = {
     "doc_fingerprint": QuerySpec(doc_fingerprint, _DOC_FINGERPRINT_SQL, "ext:text"),
     "stratified_sample": QuerySpec(stratified_sample, _STRATIFIED_SAMPLE_SQL, "ext:text sampling"),
     "mixture_stats": QuerySpec(mixture_stats, _MIXTURE_STATS_SQL, "ext:text mixture"),
+    "gopher_quality": QuerySpec(
+        gopher_quality, _GOPHER_QUALITY_SQL, "ext:text quality filter"
+    ),
+    "pii_redact": QuerySpec(pii_redact, _PII_REDACT_SQL, "ext:text PII scrub"),
 }
