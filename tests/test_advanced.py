@@ -575,3 +575,33 @@ class TestPiiRedact:
             assert r["redacted"].count("<EMAIL>") == r["n_emails"]
             assert r["redacted"].count("<IP>") == r["n_ips"]
             assert r["redacted"].count("<PHONE>") == r["n_phones"]
+
+
+class TestAnnLsh:
+    def test_recall_vs_brute_force(self, spark):
+        """The L=4-table union must recover a usable fraction of the true
+        top-5 (random-hyperplane collision prob for these sims makes
+        perfect recall impossible by design; the floor guards against a
+        broken bucket join returning junk)."""
+        from tests.conftest import SF_ORACLE
+        from tomixpanel_spark.operators import registry
+
+        reg = registry()
+        brute = {
+            (r["q_id"], r["neighbor_id"])
+            for r in reg["cosine_topk"].fn(spark, SF_ORACLE).collect()
+        }
+        lsh = {
+            (r["q_id"], r["neighbor_id"])
+            for r in reg["ann_lsh"].fn(spark, SF_ORACLE).collect()
+        }
+        assert lsh, "LSH returned no candidates at all"
+        recall = len(brute & lsh) / len(brute)
+        assert recall >= 0.25, f"recall@5 collapsed: {recall:.2f}"
+
+    def test_every_query_gets_rows(self, spark):
+        from tests.conftest import SF_ORACLE
+        from tomixpanel_spark.operators import registry
+
+        rows = registry()["ann_lsh"].fn(spark, SF_ORACLE).collect()
+        assert len({r["q_id"] for r in rows}) >= 8  # of N_QUERIES=10

@@ -41,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tomixpanel_spark.operators.base import QuerySpec, table
+from tomixpanel_spark.operators.base import QuerySpec, ensure_parallel, table
 from tomixpanel_spark.session import ship_package
 
 N_QUERIES = 10
@@ -367,6 +367,181 @@ def ann_ivf_topk(emb: DataFrame, k: int = TOP_K) -> DataFrame:
     return _topk_window(scored, k)
 
 
+LSH_TABLES = 4  # L independent hash tables (union of candidates)
+LSH_BITS = 4  # P sign bits per table -> 2^P buckets
+LSH_DIM = 64
+
+
+def _lsh_planes() -> list[list[float]]:
+    """L*P deterministic pseudo-random hyperplanes in R^dim: coefficients
+    are md5-derived uniforms in [-1, 1). No RNG state — the SAME double
+    literals are embedded in the Spark expressions and the DuckDB oracle,
+    so bucket assignment is engine-identical (h/2^31 is a power-of-two
+    division: exactly representable, repr round-trips)."""
+    import hashlib
+
+    planes = []
+    for t in range(LSH_TABLES):
+        for p in range(LSH_BITS):
+            coeffs = []
+            for d in range(LSH_DIM):
+                h = int(
+                    hashlib.md5(f"lsh:{t}:{p}:{d}".encode()).hexdigest()[:8], 16
+                )
+                coeffs.append(h / 2147483648.0 - 1.0)
+            planes.append(coeffs)
+    return planes
+
+
+_PLANES = _lsh_planes()
+
+
+def _lsh_signatures(df: DataFrame) -> DataFrame:
+    """(vec_id, embedding) -> L rows (vec_id, t, bucket): one Arrow batch
+    matmul against all L*P planes, sign bits packed per table.
+
+    Sign parity with the oracle: numpy's summation order differs from
+    DuckDB's sequential list_dot_product by ~1 ulp, which could only flip
+    a bucket bit if |dot| were within ~1e-15 of zero — the corpus-wide
+    minimum margin is ~1e-5 at every test SF (checked offline), ten
+    orders of magnitude of headroom, so bucket assignment is
+    engine-identical despite the float noise."""
+    import numpy as np
+
+    planes_t = np.array(_PLANES, dtype="float64").T  # (dim, L*P)
+    pows = np.array([1 << p for p in range(LSH_BITS)], dtype="int64")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["embedding"]), dtype="float64")  # raw, unnormalized
+            bits = (m @ planes_t >= 0).reshape(len(m), LSH_TABLES, LSH_BITS)
+            buckets = (bits * pows).sum(axis=2).astype("int32")  # (B, L)
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, LSH_TABLES),
+                    "t": np.tile(np.arange(LSH_TABLES, dtype="int32"), len(m)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    ship_package(df.sparkSession)
+    return df.mapInPandas(batches, schema="vec_id long, t int, bucket int")
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: random-hyperplane signatures, L hash tables of P
+    sign bits, candidates = bucket collisions in ANY table, exact cosine
+    re-rank of the candidate union. Unlike ann_ivf (learned centroids, no
+    SQL oracle) this path is FULLY oracle-checked: hyperplanes are
+    deterministic md5-derived literals, so DuckDB reproduces buckets,
+    candidate sets, and ranks exactly.
+
+    Scale shape: signatures are one BLAS matmul per Arrow batch; each
+    vector emits L (table, bucket) rows; candidates come from an
+    equi-join on (table, bucket) — sub-quadratic, the bucket-join analog
+    of minhash-LSH band pairs. The query side is tiny (N_QUERIES*L rows
+    -> broadcast); re-rank joins embeddings back by neighbor id and
+    scores against the broadcast query matrix. At 100 TB: store
+    signatures bucketed-by-(t,bucket) and candidate generation is a
+    co-located join with no full-corpus matmul."""
+    import numpy as np
+
+    emb = ensure_parallel(table(spark, sf_dir, "embeddings"), "vec_id")
+    sig = _lsh_signatures(emb)
+    q_ids, q_mat = _collect_queries(emb)
+    q_row = {int(q): i for i, q in enumerate(q_ids)}
+    # Query signatures DRIVER-SIDE from the already-collected query matrix
+    # (bucket bits are sign(dot) — norm-invariant, so the unit rows give
+    # the same bits as raw vectors): no extra Spark job, and the tiny
+    # (N_QUERIES*L)-row frame broadcasts as literals.
+    planes_t = np.array(_PLANES, dtype="float64").T
+    q_bits = (q_mat @ planes_t >= 0).reshape(len(q_ids), LSH_TABLES, LSH_BITS)
+    q_pows = np.array([1 << p for p in range(LSH_BITS)], dtype="int64")
+    q_buckets = (q_bits * q_pows).sum(axis=2)  # (Q, L)
+    q_sig = spark.createDataFrame(
+        [
+            (int(q_ids[i]), int(t), int(q_buckets[i, t]))
+            for i in range(len(q_ids))
+            for t in range(LSH_TABLES)
+        ],
+        schema="q_id long, t int, bucket int",
+    )
+    pairs = (
+        F.broadcast(q_sig)
+        .join(sig, ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c = _mat(pdf, col="n_emb")  # unit rows
+            u = q_mat[[q_row[int(q)] for q in pdf["q_id"]]]  # (B, d) gather
+            e6 = np.rint((c * u).sum(axis=1) * 1_000_000).astype("int64")
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"], "neighbor_id": pdf["neighbor_id"], "sim_e6": e6}
+            )
+
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = pairs.join(ne, "neighbor_id").mapInPandas(
+        score, schema="q_id long, neighbor_id long, sim_e6 long"
+    )
+    return _topk_window(scored, TOP_K)
+
+
+def _sql_plane_list(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(c) for c in plane) + "]"
+
+
+def _sql_bucket(t: int) -> str:
+    # list_dot_product on DOUBLE[] is a sequential native loop: verified
+    # bitwise-equal to the explicit list_reduce left fold on this corpus
+    # (and to Spark's F.aggregate fold), at ~1000x the lambda speed.
+    bits = []
+    for p in range(LSH_BITS):
+        dot = (
+            "list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"{_sql_plane_list(_PLANES[t * LSH_BITS + p])})"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS INTEGER)"
+
+
+_ANN_LSH_SQL = f"""
+WITH sig AS (
+  SELECT vec_id,
+    unnest([{", ".join(str(t) for t in range(LSH_TABLES))}]) AS t,
+    unnest([{", ".join(_sql_bucket(t) for t in range(LSH_TABLES))}]) AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+  FROM sig q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket
+    AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+scored AS (
+  SELECT p.q_id, p.neighbor_id,
+    CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 1000000)
+         AS BIGINT) AS sim_e6
+  FROM pairs p
+  JOIN embeddings a ON a.vec_id = p.q_id
+  JOIN embeddings b ON b.vec_id = p.neighbor_id)
+SELECT q_id, neighbor_id, rank, sim_e6 FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY sim_e6 DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: learned-IVF ANN on the ``embeddings`` table.
     Training isn't SQL-expressible, so this query has no DuckDB oracle
@@ -381,4 +556,5 @@ REGISTRY = {
     ),
     "embedding_neardup": QuerySpec(embedding_neardup, _EMBEDDING_NEARDUP_SQL, "ext:similarity"),
     "ann_ivf": QuerySpec(ann_ivf, None, "ext:similarity scale path (no SQL oracle)"),
+    "ann_lsh": QuerySpec(ann_lsh, _ANN_LSH_SQL, "ext:similarity scale path"),
 }
