@@ -173,7 +173,9 @@ class TestMultimodalDecode:
         from tomixpanel_spark.operators.multimodal import decode_payload, extract_metadata
 
         with pytest.raises(NotImplementedError):
-            decode_payload(b"\xff\xd8\xff jpegbytes", "image/jpeg")
+            decode_payload(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+        with pytest.raises(ValueError):
+            decode_payload(b"\xff\xd8\xff jpegbytes", "image/jpeg")  # no SOF marker
         with pytest.raises(ValueError):
             decode_payload(b"\x89PNG....", "image/png")  # truncated signature
 
@@ -260,13 +262,47 @@ class TestMultimodalTransform:
         assert by_id[2]["n_frames"] == 4  # 16 data bytes / block_align 4
         assert by_id[2]["features"] == [44100.0, 2.0, 16.0]
 
+    def test_default_decoder_parses_real_jpeg_and_mp3_headers(self, spark):
+        """JPEG SOF-marker walk and MP3 frame-header scan are REAL stdlib
+        parsing: transform_media with the DEFAULT decoder, no injection."""
+        import struct
+
+        from tomixpanel_spark.operators.multimodal import transform_media
+
+        jpeg = (
+            b"\xff\xd8"  # SOI
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+            + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65  # DQT
+            + b"\xff\xc4" + struct.pack(">H", 12) + b"\x00" * 10  # DHT (not a SOF!)
+            + b"\xff\xc0" + struct.pack(">H", 17)  # SOF0: baseline
+            + bytes([8]) + struct.pack(">HH", 480, 640) + bytes([3])
+            + b"\x00" * 9
+            + b"\xff\xda" + struct.pack(">H", 8) + b"\x00" * 6  # SOS
+        )
+        # ID3v2 tag (syncsafe size 0x80 -> 128 pad bytes) then an MPEG1
+        # Layer III frame header: 44.1 kHz, joint-stereo.
+        mp3 = (
+            b"ID3\x03\x00\x00" + bytes([0, 0, 0x01, 0x00]) + b"\x00" * 128
+            + bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * 32
+        )
+        df = spark.createDataFrame(
+            [(1, "image/jpeg", bytearray(jpeg)), (2, "audio/mp3", bytearray(mp3))],
+            "item_id long, media_type string, payload binary",
+        )
+        by_id = {r["item_id"]: r for r in transform_media(df).collect()}
+        assert (by_id[1]["width"], by_id[1]["height"]) == (640, 480)
+        assert by_id[1]["features"] == [640.0, 480.0, 8.0]
+        assert by_id[2]["width"] is None
+        assert by_id[2]["features"][0] == 44100.0
+        assert by_id[2]["features"][1] == 2.0
+
     def test_default_decoder_still_raises_for_codec_formats(self, spark):
         import pytest as _pytest
 
         from tomixpanel_spark.operators.multimodal import transform_media
 
         df = spark.createDataFrame(
-            [(1, "image/jpeg", bytearray(b"\xff\xd8\xff jpegbytes"))],
+            [(1, "video/mp4", bytearray(b"\x00\x00\x00\x18ftypmp42"))],
             "item_id long, media_type string, payload binary",
         )
         with _pytest.raises(Exception) as ei:

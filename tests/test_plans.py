@@ -205,6 +205,26 @@ def test_ensure_parallel_skips_already_split_sources(spark):
     assert exchange_count(ensure_parallel(already)) == exchange_count(already)
 
 
+def test_salted_join_partitions_on_key_and_salt(spark):
+    """With broadcast off (the large-x-large regime salting exists for),
+    the join exchange must hash on (event_type, __salt) — 8 reducers per
+    hot key instead of one."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REG["salted_join_stats"].fn(spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan
+        joins = join_strategies(df)
+        assert joins and "BroadcastHashJoin" not in joins
+        import re
+
+        m = re.search(r"hashpartitioning\(event_type[^)]*__salt", plan)
+        assert m, "join exchange does not partition on (event_type, __salt)"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_stratified_sample_is_narrow(spark):
     """Deterministic sampling is a pure projection+filter: no join, at
     most the one exchange AQE may report for the final collect."""

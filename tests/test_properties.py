@@ -133,6 +133,60 @@ class TestMediaHeaderParsers:
         assert meta["channels"] == channels
         assert meta["n_frames"] == frames
 
+    @given(
+        st.integers(1, 65535),
+        st.integers(1, 65535),
+        st.sampled_from([0xC0, 0xC1, 0xC2]),  # baseline / ext-seq / progressive
+        st.integers(0, 60),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_jpeg_sof_roundtrip(self, w, h, sof_marker, pad_segments):
+        import struct
+
+        from tomixpanel_spark.operators.multimodal import decode_payload
+
+        # arbitrary-length marker walk before the SOF: APPn segments of
+        # varying size, plus a DHT that must NOT be mistaken for a SOF
+        body = b"\xff\xd8"
+        for i in range(pad_segments % 4):
+            seg = b"\x00" * (i * 7)
+            body += bytes([0xFF, 0xE0 + i]) + struct.pack(">H", 2 + len(seg)) + seg
+        body += b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x00\x00"
+        body += (
+            bytes([0xFF, sof_marker])
+            + struct.pack(">H", 11)
+            + bytes([8])
+            + struct.pack(">HH", h, w)
+            + bytes([1])
+            + b"\x00" * 5
+        )
+        meta = decode_payload(body, "image/jpeg")
+        assert (meta["width"], meta["height"]) == (w, h)
+
+    @given(
+        st.sampled_from([(3, 0, 44100), (3, 1, 48000), (2, 0, 22050), (0, 2, 8000)]),
+        st.sampled_from([0, 1, 2, 3]),  # channel mode
+        st.integers(0, 200),  # ID3v2 tag size
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_mp3_frame_header_roundtrip(self, vr, mode, id3_size):
+        from tomixpanel_spark.operators.multimodal import decode_payload
+
+        version, sr_idx, want_rate = vr
+        payload = b""
+        if id3_size:
+            payload += b"ID3\x03\x00\x00" + bytes(
+                [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+                 (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+            ) + b"\x00" * id3_size
+        b1 = 0xE0 | (version << 3) | (1 << 1)  # sync tail + version + Layer III
+        b2 = 0x90 | (sr_idx << 2)
+        b3 = mode << 6
+        payload += bytes([0xFF, b1, b2, b3]) + b"\x00" * 8
+        meta = decode_payload(payload, "audio/mp3")
+        assert meta["sample_rate"] == want_rate
+        assert meta["channels"] == (1 if mode == 3 else 2)
+
 
 class TestRewriteEquivalence:
     """Property checks that the round-4 performance rewrites compute the

@@ -44,6 +44,7 @@ def registry() -> dict[str, QuerySpec]:
     # neardup_components) fall inside the checked window. Every demoted
     # row keeps local DuckDB-oracle parity via tests/test_oracle_parity.py.
     for tail in (
+        "salted_join_stats",  # locally oracle-verified; keeps the 50-window stable
         "ann_lsh",  # locally oracle-verified; keeps the 50-window stable
         "gopher_quality",  # locally oracle-verified; keeps the 50-window stable
         "pii_redact",  # locally oracle-verified; keeps the 50-window stable

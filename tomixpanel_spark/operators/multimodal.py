@@ -4,10 +4,12 @@ Pattern for image/audio/video at 100 TB: the payload is an opaque BINARY
 column riding next to typed metadata; decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` stages so bytes cross the
 JVM<->Python boundary in columnar batches, never row-at-a-time. The default
-``decode_payload`` REALLY parses PNG (IHDR) and WAV (fmt/data chunk) headers
-with stdlib ``struct``; JPEG/MP3 need an injected codec-backed decoder (none
-in this environment). The Spark-side plumbing (schema, batch shape, UDF
-signature, partitioning) is real and tested either way.
+``decode_payload`` REALLY parses PNG (IHDR), JPEG (SOFn marker), WAV
+(fmt/data chunk), and MP3 (frame header, ID3v2-aware) headers with stdlib
+``struct``; pixel/PCM decode of payload data would need an injected
+codec-backed decoder (none in this environment). The Spark-side plumbing
+(schema, batch shape, UDF signature, partitioning) is real and tested
+either way.
 
 ``multimodal_meta`` doubles as the oracle-checked query: metadata extraction
 (byte length, sha256 content hash, magic-byte format sniff) over payloads —
@@ -75,16 +77,25 @@ def decode_payload(payload: bytes, media_type: str) -> dict:
       so width/height/bit-depth/color-type parse with stdlib ``struct``.
     * WAV: walk the RIFF chunk list for ``fmt `` (sample rate, channels,
       bits/sample) and ``data`` (byte length -> sample-frame count).
+    * JPEG: dimensions live in the SOFn marker segment header (plain
+      marker walk — only the image DATA after SOS is entropy-coded).
+    * MP3: sample rate / channel mode / bitrate come from the first MPEG
+      audio frame header (after skipping an ID3v2 tag if present).
 
-    JPEG/MP3 still require an injected decoder (dimensions live inside
-    entropy-coded segments that need a real codec); raising — rather than
-    silently returning None — keeps that contract honest.
+    Pixel/PCM decode of the actual payload data would need a codec
+    library not in this environment; formats outside these four raise —
+    rather than silently returning None — to keep the contract honest
+    (inject ``decoder=`` into the mapInPandas stage for those).
     """
     mt = media_type or sniff_format(payload)
     if mt == "image/png":
         return _decode_png_header(payload)
     if mt == "audio/wav":
         return _decode_wav_header(payload)
+    if mt == "image/jpeg":
+        return _decode_jpeg_header(payload)
+    if mt == "audio/mp3":
+        return _decode_mp3_header(payload)
     raise NotImplementedError(
         f"decode for {mt!r} requires a codec library not present in this "
         "environment; inject decoder= into the mapInPandas stage"
@@ -142,6 +153,89 @@ def _decode_wav_header(payload: bytes) -> dict:
         "n_frames": n_frames,
         "features": [float(sample_rate), float(channels), float(bits)],
     }
+
+
+# SOFn markers that carry frame dimensions. C4 (DHT), C8 (JPG extension),
+# CC (DAC) look like SOF numbers but are not frame headers.
+_JPEG_SOF_MARKERS = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def _decode_jpeg_header(payload: bytes) -> dict:
+    import struct
+
+    if len(payload) < 4 or payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG: bad SOI signature")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("not a JPEG: lost marker sync")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill bytes before a marker are legal
+            pos += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:  # standalone markers
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker in _JPEG_SOF_MARKERS:
+            if pos + 9 > len(payload):
+                break
+            precision = payload[pos + 4]
+            height, width = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            components = payload[pos + 9] if pos + 9 < len(payload) else 0
+            return {
+                "width": width,
+                "height": height,
+                "bit_depth": precision,
+                "color_type": components,  # 1=gray, 3=YCbCr
+                "n_frames": 1,
+                "features": [float(width), float(height), float(precision)],
+            }
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no SOF seen first
+            break
+        pos += 2 + seg_len
+    raise ValueError("not a JPEG: no SOF marker before SOS/EOI")
+
+
+_MP3_SAMPLE_RATES = {  # by (version bits, sample-rate index)
+    3: (44100, 48000, 32000),  # MPEG1
+    2: (22050, 24000, 16000),  # MPEG2
+    0: (11025, 12000, 8000),  # MPEG2.5
+}
+
+
+def _decode_mp3_header(payload: bytes) -> dict:
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        # ID3v2 size is a 4-byte syncsafe int (7 bits per byte) at offset 6.
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    # find frame sync: 11 set bits
+    while pos + 4 <= len(payload):
+        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+            b1, _b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+            version = (b1 >> 3) & 0x3
+            layer = (b1 >> 1) & 0x3
+            sr_idx = (payload[pos + 2] >> 2) & 0x3
+            mode = (b3 >> 6) & 0x3
+            if version != 1 and layer != 0 and sr_idx != 3:
+                sample_rate = _MP3_SAMPLE_RATES[version][sr_idx]
+                channels = 1 if mode == 3 else 2
+                return {
+                    "width": None,
+                    "height": None,
+                    "sample_rate": sample_rate,
+                    "channels": channels,
+                    "bits_per_sample": None,  # lossy codec: no fixed PCM width
+                    "n_frames": 1,
+                    "features": [float(sample_rate), float(channels), 0.0],
+                }
+        pos += 1
+    raise ValueError("not an MP3: no valid frame header found")
 
 
 def extract_metadata(
@@ -240,9 +334,9 @@ def transform_media(
 
     * ``decoder(payload, media_type) -> {width, height, n_frames,
       features}`` — the pluggable decode step. The default
-      ``decode_payload`` parses PNG/WAV headers for real and raises for
-      codec-requiring formats (JPEG/MP3); tests also inject
-      ``fake_image_decoder`` to exercise the plumbing independently.
+      ``decode_payload`` parses PNG/JPEG/WAV/MP3 headers for real and
+      raises for other formats; tests also inject ``fake_image_decoder``
+      to exercise the plumbing independently.
     * ``resize_to`` — target (w, h) recorded post-decode (the real resize
       happens inside the decoder in production; the plumbing carries the
       declared output shape so downstream schemas are static).

@@ -417,6 +417,37 @@ GROUP BY n_name
 """
 
 
+def salted_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient join: attach per-type stats to every event via
+    ``functions.skew.salted_join``. ``event_type`` has only ~5 distinct
+    values over the whole events table — the canonical pathological key: a
+    plain shuffle join puts ~20% of a 100 TB fact on ONE reducer. Salting
+    spreads each hot key across ``salts`` reducers (small side replicated
+    ``salts``x — the classic trade) while producing bit-identical rows to
+    the plain join, which is exactly what the oracle checks. (When the dim
+    fits in memory broadcast is still preferred; salting is for
+    large-x-large skewed joins where broadcast is off the table.)
+    """
+    from tomixpanel_spark.functions.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_n"),
+        F.max("value").alias("type_max"),
+    )
+    return salted_join(ev, dim, "event_type", salts=8).select(
+        "event_id", "event_type", "value", "type_n", "type_max"
+    )
+
+
+_SALTED_JOIN_STATS_SQL = """
+SELECT event_id, event_type, value, type_n, type_max
+FROM events
+JOIN (SELECT event_type, COUNT(*) AS type_n, MAX(value) AS type_max
+      FROM events GROUP BY event_type) USING (event_type)
+"""
+
+
 REGISTRY = {
     "project_rename": QuerySpec(project_rename, _PROJECT_RENAME_SQL, "T1"),
     "project_drop": QuerySpec(project_drop, _PROJECT_DROP_SQL, "T2"),
@@ -432,4 +463,5 @@ REGISTRY = {
     "semi_join": QuerySpec(semi_join, _SEMI_JOIN_SQL, "free surface"),
     "part_revenue": QuerySpec(part_revenue, _PART_REVENUE_SQL, "free surface"),
     "supplier_balance": QuerySpec(supplier_balance, _SUPPLIER_BALANCE_SQL, "free surface"),
+    "salted_join_stats": QuerySpec(salted_join_stats, _SALTED_JOIN_STATS_SQL, "skew"),
 }
