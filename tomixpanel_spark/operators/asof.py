@@ -34,14 +34,19 @@ def asof_join(
     on: str,
     left_time: str,
     right_time: str,
+    right_tiebreak: tuple[str, ...] = (),
 ) -> DataFrame:
     """Left as-of join: all ``left`` columns plus ``right``'s value
     columns (everything but ``on``/``right_time``) taken from the latest
     right row with ``right_time <= left_time`` for the same ``on`` key;
     nulls when no such row exists.
 
-    Right side should be unique per (key, time) — pre-aggregate it (e.g.
-    ``max_by``) if it isn't, or "latest" is not well defined.
+    If the right side has several rows per (key, time), pass
+    ``right_tiebreak`` columns: the row sorting LAST under them
+    (ascending) wins — resolved inside the one window sort this operator
+    already pays, so no pre-aggregation exchange is needed. Without a
+    tiebreak, pre-aggregate the right side (e.g. ``max_by``) or "latest"
+    is not well defined.
     """
     left_cols = [c for c in left.columns if c != on]
     value_cols = [c for c in right.columns if c not in (on, right_time)]
@@ -64,10 +69,16 @@ def asof_join(
         *[F.col(c) for c in value_cols],
     )
     u = l_half.unionByName(r_half)
-    # right rows sort BEFORE left rows at equal time -> inclusive <=
+    # right rows sort BEFORE left rows at equal time -> inclusive <=;
+    # tiebreak columns order right rows among themselves only (left rows
+    # all share __r=0, so their null tiebreak values never interleave)
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__r").desc())
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__r").desc(),
+            *[F.col(c).asc() for c in right_tiebreak],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
@@ -86,31 +97,25 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered query: each event joined to the user's latest order
     at-or-before the event time. Order times are synthesized into the
     events' range with deterministic modular rules (both engines derive
-    the identical right side); orders pre-aggregate per (user, time) with
-    max_by so "latest" is unambiguous."""
+    the identical right side). Ties per (user, time) resolve to the max
+    orderkey via the window tiebreak — the oracle pre-aggregates with
+    max_by instead, so the hash match also proves the in-sort tiebreak
+    equals an explicit pre-aggregation (one exchange saved here)."""
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = table(spark, sf_dir, "orders")
-    r = (
-        orders.select(
-            F.pmod("o_custkey", F.lit(150)).cast("bigint").alias("user_id"),
-            F.expr(
-                "timestampadd(HOUR, cast(o_orderkey % 720 as int), "
-                "timestamp'2024-01-01 00:00:00')"
-            ).alias("ts_r"),
-            "o_orderkey",
-            "o_totalprice",
-        )
-        .groupBy("user_id", "ts_r")
-        .agg(
-            F.max("o_orderkey").alias("order_key"),
-            F.round(F.max_by("o_totalprice", "o_orderkey") * 100)
-            .cast("bigint")
-            .alias("total_c"),
-        )
+    r = orders.select(
+        F.pmod("o_custkey", F.lit(150)).cast("bigint").alias("user_id"),
+        F.expr(
+            "timestampadd(HOUR, cast(o_orderkey % 720 as int), "
+            "timestamp'2024-01-01 00:00:00')"
+        ).alias("ts_r"),
+        F.col("o_orderkey").alias("order_key"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_c"),
     )
-    return asof_join(ev, r, on="user_id", left_time="ts", right_time="ts_r").select(
-        "event_id", "user_id", "order_key", "total_c"
-    )
+    return asof_join(
+        ev, r, on="user_id", left_time="ts", right_time="ts_r",
+        right_tiebreak=("order_key",),
+    ).select("event_id", "user_id", "order_key", "total_c")
 
 
 _ASOF_SQL = """

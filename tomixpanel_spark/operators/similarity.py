@@ -439,61 +439,64 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5-derived literals, so DuckDB reproduces buckets,
     candidate sets, and ranks exactly.
 
-    Scale shape: signatures are one BLAS matmul per Arrow batch; each
-    vector emits L (table, bucket) rows; candidates come from an
-    equi-join on (table, bucket) — sub-quadratic, the bucket-join analog
-    of minhash-LSH band pairs. The query side is tiny (N_QUERIES*L rows
-    -> broadcast); re-rank joins embeddings back by neighbor id and
-    scores against the broadcast query matrix. At 100 TB: store
-    signatures bucketed-by-(t,bucket) and candidate generation is a
-    co-located join with no full-corpus matmul."""
+    Scale shape (query-lookup regime, tiny query set): the query buckets
+    ride in the UDF closure, so bucket-match + exact re-rank FUSE into a
+    single mapInPandas pass over the corpus — a map-side bucket join with
+    zero shuffles before the final top-k exchange, which itself carries
+    at most k rows per query per batch (local top-k inside the stage).
+    Candidate matching is one (B, Q, L) broadcast compare per Arrow
+    batch; scoring is one BLAS matmul. For the corpus-x-corpus or
+    large-query-set regime this closure no longer fits; then signatures
+    (``_lsh_signatures``) are stored bucketed-by-(t, bucket) and
+    candidate generation becomes the co-located equi-join on
+    (t, bucket) — the bucket-join analog of minhash-LSH band pairs."""
     import numpy as np
 
     emb = ensure_parallel(table(spark, sf_dir, "embeddings"), "vec_id")
-    sig = _lsh_signatures(emb)
     q_ids, q_mat = _collect_queries(emb)
-    q_row = {int(q): i for i, q in enumerate(q_ids)}
     # Query signatures DRIVER-SIDE from the already-collected query matrix
     # (bucket bits are sign(dot) — norm-invariant, so the unit rows give
-    # the same bits as raw vectors): no extra Spark job, and the tiny
-    # (N_QUERIES*L)-row frame broadcasts as literals.
+    # the same bits as raw vectors): no extra Spark job.
     planes_t = np.array(_PLANES, dtype="float64").T
     q_bits = (q_mat @ planes_t >= 0).reshape(len(q_ids), LSH_TABLES, LSH_BITS)
     q_pows = np.array([1 << p for p in range(LSH_BITS)], dtype="int64")
     q_buckets = (q_bits * q_pows).sum(axis=2)  # (Q, L)
-    q_sig = spark.createDataFrame(
-        [
-            (int(q_ids[i]), int(t), int(q_buckets[i, t]))
-            for i in range(len(q_ids))
-            for t in range(LSH_TABLES)
-        ],
-        schema="q_id long, t int, bucket int",
-    )
-    pairs = (
-        F.broadcast(q_sig)
-        .join(sig, ["t", "bucket"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
-    )
 
-    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not len(pdf):
                 continue
-            c = _mat(pdf, col="n_emb")  # unit rows
-            u = q_mat[[q_row[int(q)] for q in pdf["q_id"]]]  # (B, d) gather
-            e6 = np.rint((c * u).sum(axis=1) * 1_000_000).astype("int64")
-            yield pd.DataFrame(
-                {"q_id": pdf["q_id"], "neighbor_id": pdf["neighbor_id"], "sim_e6": e6}
+            m = np.array(list(pdf["embedding"]), dtype="float64")  # raw
+            bits = (m @ planes_t >= 0).reshape(len(m), LSH_TABLES, LSH_BITS)
+            buckets = (bits * q_pows).sum(axis=2)  # (B, L), sign parity
+            # per _lsh_signatures' margin note
+            match = (buckets[:, None, :] == q_buckets[None, :, :]).any(axis=2)
+            norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+            norms[norms == 0.0] = 1.0
+            sims = (m / norms) @ q_mat.T  # (B, Q) one BLAS call
+            e6 = np.rint(sims * 1_000_000).astype("int64")
+            ids = pdf["vec_id"].to_numpy()
+            out = []
+            for qi in range(len(q_ids)):
+                idx = np.nonzero(match[:, qi] & (ids != q_ids[qi]))[0]
+                if len(idx) > TOP_K:  # local top-k: <=k rows reach the shuffle
+                    order = np.lexsort((ids[idx], -e6[idx, qi]))
+                    idx = idx[order[:TOP_K]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(len(idx), q_ids[qi], dtype="int64"),
+                            "neighbor_id": ids[idx],
+                            "sim_e6": e6[idx, qi],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"q_id": [], "neighbor_id": [], "sim_e6": []}
             )
 
-    ne = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
-    )
-    scored = pairs.join(ne, "neighbor_id").mapInPandas(
-        score, schema="q_id long, neighbor_id long, sim_e6 long"
-    )
+    ship_package(spark)
+    scored = emb.mapInPandas(batches, schema="q_id long, neighbor_id long, sim_e6 long")
     return _topk_window(scored, TOP_K)
 
 

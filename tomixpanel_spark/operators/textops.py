@@ -226,23 +226,47 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by the document's most-repeated bigram — combined into a
     keep/drop gate.
 
-    Scale shape: narrow features are pure codegen projections; the
-    top-bigram feature is explode -> (doc_id, bigram) hash agg ->
-    (doc_id) hash agg, then a doc_id-keyed join back. Both aggregates
-    have map-side partials; shuffle volume is one row per distinct
-    (doc, bigram), never all-pairs. At 100 TB the join is a co-partitioned
-    shuffle join on the dedup key (doc_id) — the same shape AQE handles
-    with skew splitting if one doc is pathological."""
+    Scale shape: EVERY feature — including the top-bigram repetition
+    feature — is a pure narrow codegen projection, zero exchanges: the
+    most-repeated-bigram count is the longest equal-run in the SORTED
+    per-doc bigram array, a linear ``aggregate`` fold over ``array_sort``
+    instead of explode -> two hash aggs -> join-back (which shuffled one
+    row per distinct (doc, bigram) and re-joined on doc_id). Per-doc work
+    is O(k log k) in the doc's own token count — embarrassingly parallel
+    at any corpus size, with nothing crossing the wire but the feature
+    row."""
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
-    # Materialize the token array ONCE; every feature (and the bigram
-    # explode) reads the array column instead of re-running the regex split.
+    # Materialize the token array ONCE; every feature reads the array
+    # column instead of re-running the regex split.
     base = docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars"),
         tokens("text").alias("words"),
     )
     n = F.size("words").cast("bigint")
-    narrow = base.select(
+    # longest equal-run in the sorted bigram array == max bigram count;
+    # nullif(0) reproduces the no-bigram case (single-word/empty docs)
+    max_bg = F.nullif(
+        F.aggregate(
+            F.array_sort(bigrams(F.col("words"))),
+            F.named_struct(
+                F.lit("prev"), F.lit(""), F.lit("run"), F.lit(0), F.lit("best"), F.lit(0)
+            ),
+            lambda acc, x: F.named_struct(
+                F.lit("prev"),
+                x,
+                F.lit("run"),
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+                F.lit("best"),
+                F.greatest(
+                    acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+                ),
+            ),
+            lambda acc: acc.best,
+        ),
+        F.lit(0),
+    )
+    feat = base.select(
         "doc_id",
         n.alias("n_words"),
         ((F.col("n_chars") - n + 1).cast("double") / n.cast("double")).alias(
@@ -252,21 +276,8 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0)
             - F.size(F.array_distinct("words")).cast("double") / n.cast("double")
         ).alias("dup_word_frac"),
-    )
-    bg = base.select("doc_id", F.explode(bigrams(F.col("words"))).alias("bigram"))
-    top = (
-        bg.groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("max_bg"))
-    )
-    feat = narrow.join(top, "doc_id", "left").select(
-        "doc_id",
-        "n_words",
-        "mean_word_len",
-        "dup_word_frac",
         F.coalesce(
-            (F.col("max_bg") * 2).cast("double") / F.col("n_words").cast("double"),
+            (max_bg * 2).cast("double") / n.cast("double"),
             F.lit(0.0),
         ).alias("top_bigram_frac"),
     )
@@ -404,21 +415,29 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = table(spark, sf_dir, "documents").select(
         F.explode(tokens("text")).alias("token")
     )
-    cells = None
-    for r in range(CMS_DEPTH):
-        c = toks.select(F.lit(r).alias("row"), _cms_bucket(r, F.col("token")).alias("bucket"))
-        cells = c if cells is None else cells.unionByName(c)
-    sketch = cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
-
-    vocab = toks.distinct()
-    probes = None
-    for r in range(CMS_DEPTH):
-        p = vocab.select(
-            "token", F.lit(r).alias("row"), _cms_bucket(r, F.col("token")).alias("bucket")
+    # One explode of a DEPTH-element struct array instead of a DEPTH-way
+    # union of full re-scans: the corpus is tokenized ONCE per consumer
+    # (the union form re-tokenized it DEPTH times per side — 8x total).
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"), _cms_bucket(r, F.col("token")).alias("bucket")
+                )
+                for r in range(CMS_DEPTH)
+            ]
         )
-        probes = p if probes is None else probes.unionByName(p)
+    ).alias("rb")
+    sketch = (
+        toks.select(rb)
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     est = (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        toks.distinct()
+        .select("token", rb)
+        .select("token", "rb.row", "rb.bucket")
+        .join(F.broadcast(sketch), ["row", "bucket"])
         .groupBy("token")
         .agg(F.min("c").cast("bigint").alias("est_n"))
     )
