@@ -191,3 +191,69 @@ class TestStreamingSignatures:
         }
         got = {tuple(r) for r in collected}
         assert got == want and len(got) == 20
+
+
+class TestStreamingCountMin:
+    def test_microbatch_merge_equals_batch_sketch(self, spark, tmp_path):
+        """Mergeability, the sketch contract: cell-wise merging per-batch
+        partial sketches across micro-batches yields EXACTLY the batch
+        sketch of the union, and point estimates match the batch query's
+        md5 arithmetic (never under the true count)."""
+        from tomixpanel_spark.operators.textops import cms_sketch
+        from tomixpanel_spark.streaming.sketches import StreamingCountMin
+
+        rows = [
+            {"doc_id": i, "text": f"alpha beta w{i % 4} gamma alpha tail{i % 7}"}
+            for i in range(30)
+        ]
+        in_dir = tmp_path / "docs"
+        _write_batches(in_dir, [("b1", rows[:13]), ("b2", rows[13:])])
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        cms = StreamingCountMin()
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(cms.update_batch)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert cms.n_batches >= 2  # really exercised the merge path
+
+        batch_df = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+        )
+        import numpy as np
+
+        want = np.zeros_like(cms.cells)
+        for r in cms_sketch(batch_df).collect():
+            want[r["row"], r["bucket"]] = r["c"]
+        assert (cms.cells == want).all()
+
+        # estimates: >= truth, == truth for tokens with collision-free rows
+        true_alpha = sum(2 for _ in rows)  # "alpha" appears twice per doc
+        assert cms.estimate("alpha") >= true_alpha
+        assert cms.estimate("beta") >= len(rows)
+        # a token never ingested can only hit collision mass
+        assert cms.estimate("zzz-never-seen") >= 0
+
+    def test_parallel_merge_order_irrelevant(self, spark):
+        from tomixpanel_spark.streaming.sketches import StreamingCountMin
+
+        a_rows = [(1, "x y z x"), (2, "y z")]
+        b_rows = [(3, "z q"), (4, "x q q")]
+        df_a = spark.createDataFrame(a_rows, "doc_id long, text string")
+        df_b = spark.createDataFrame(b_rows, "doc_id long, text string")
+        ab, ba = StreamingCountMin(), StreamingCountMin()
+        a1, b1 = StreamingCountMin(), StreamingCountMin()
+        a1.update_batch(df_a); b1.update_batch(df_b)
+        ab.merge(a1).merge(b1)
+        b2, a2 = StreamingCountMin(), StreamingCountMin()
+        b2.update_batch(df_b); a2.update_batch(df_a)
+        ba.merge(b2).merge(a2)
+        assert (ab.cells == ba.cells).all()
+        assert ab.estimate("q") == 3 or ab.estimate("q") >= 3

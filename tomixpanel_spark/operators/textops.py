@@ -400,25 +400,12 @@ def _cms_bucket(row: int, token) -> F.Column:
     return F.pmod(h, F.lit(CMS_WIDTH))
 
 
-def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min-sketch term frequencies: the mergeable-sketch shape for
-    heavy-hitter detection over a token stream.
-
-    Build: one hash aggregate whose output is the FIXED-SIZE sketch
-    (depth x width = 1024 cells) no matter the vocabulary — at 100 TB the
-    shuffle carries ~1k rows per partition where an exact top-k carries
-    the vocab. Estimate: min over depth rows of the token's cell — here
-    evaluated for the full (small) vocab to make the query
-    oracle-checkable; production queries the sketch for candidate terms
-    only. Estimates can only over-count (collisions add), and both
-    engines hash identically, so over-counts match exactly too."""
-    toks = table(spark, sf_dir, "documents").select(
-        F.explode(tokens("text")).alias("token")
-    )
-    # One explode of a DEPTH-element struct array instead of a DEPTH-way
-    # union of full re-scans: the corpus is tokenized ONCE per consumer
-    # (the union form re-tokenized it DEPTH times per side — 8x total).
-    rb = F.explode(
+def _cms_rb() -> F.Column:
+    """token -> exploded DEPTH-element (row, bucket) struct column. One
+    explode of a small struct array instead of a DEPTH-way union of full
+    re-scans: the corpus is tokenized ONCE per consumer (the union form
+    re-tokenized it DEPTH times per side — 8x total)."""
+    return F.explode(
         F.array(
             *[
                 F.struct(
@@ -428,14 +415,41 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     ).alias("rb")
-    sketch = (
-        toks.select(rb)
+
+
+def cms_sketch(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents -> the fixed-size count-min sketch (row, bucket, c).
+
+    One hash aggregate whose output is DEPTH x WIDTH cells no matter the
+    vocabulary — at 100 TB the shuffle carries ~1k rows per partition
+    where an exact top-k carries the vocab. Sketch cells are plain sums,
+    so sketches MERGE by cell-wise addition: partials from partitions,
+    batches, or streaming micro-batches combine in any order to exactly
+    the sketch of the union (see ``streaming.sketches``)."""
+    toks = docs.select(F.explode(tokens(text_col)).alias("token"))
+    return (
+        toks.select(_cms_rb())
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch term frequencies: the mergeable-sketch shape for
+    heavy-hitter detection over a token stream.
+
+    Build: ``cms_sketch`` (fixed-size hash agg). Estimate: min over depth
+    rows of the token's cell — here evaluated for the full (small) vocab
+    to make the query oracle-checkable; production queries the sketch for
+    candidate terms only. Estimates can only over-count (collisions add),
+    and both engines hash identically, so over-counts match exactly
+    too."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    sketch = cms_sketch(docs)
     est = (
         toks.distinct()
-        .select("token", rb)
+        .select("token", _cms_rb())
         .select("token", "rb.row", "rb.bucket")
         .join(F.broadcast(sketch), ["row", "bucket"])
         .groupBy("token")
