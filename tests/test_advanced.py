@@ -641,3 +641,65 @@ class TestAnnLsh:
 
         rows = registry()["ann_lsh"].fn(spark, SF_ORACLE).collect()
         assert len({r["q_id"] for r in rows}) >= 8  # of N_QUERIES=10
+
+
+class TestSequencePacking:
+    def test_ffd_capacity_and_coverage(self, spark):
+        """No bin exceeds capacity (except a single oversize doc's own
+        bin); every doc packed exactly once; bin_fill is consistent."""
+        import random
+
+        from tomixpanel_spark.operators.packing import pack_sequences
+
+        rng = random.Random(11)
+        rows = [(i, rng.randrange(1, 900)) for i in range(500)] + [(9999, 5000)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = pack_sequences(df, capacity=1024, partitions=4).collect()
+        assert sorted(r["doc_id"] for r in out) == sorted(i for i, _ in rows)
+        fills = {}
+        for r in out:
+            fills.setdefault(r["bin_id"], 0)
+            fills[r["bin_id"]] += r["n_tokens"]
+        for r in out:
+            assert fills[r["bin_id"]] == r["bin_fill"]  # reported == actual
+            if r["n_tokens"] <= 1024:
+                assert fills[r["bin_id"]] <= 1024
+        # the oversize doc sits alone in its bin
+        big = next(r for r in out if r["doc_id"] == 9999)
+        assert fills[big["bin_id"]] == 5000
+
+    def test_deterministic_and_partition_local(self, spark):
+        from tomixpanel_spark.operators.packing import pack_sequences
+
+        rows = [(i, 10 + (i * 37) % 200) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        a = sorted(map(tuple, pack_sequences(df, 256, partitions=4).collect()))
+        b = sorted(map(tuple, pack_sequences(df, 256, partitions=4).collect()))
+        assert a == b
+        # bin ids are partition-namespaced: distinct million-blocks
+        blocks = {t[2] // 1_000_000 for t in a}
+        assert len(blocks) > 1  # multiple partitions actually packed
+
+    def test_balanced_shards_balance(self, spark):
+        """The hard invariant: within every size bucket, per-shard doc
+        counts differ by at most 1 (round-robin), so each shard gets the
+        same mix of size classes. Token-total spread is the statistical
+        consequence — ~O(1/sqrt(docs_per_shard)) — so at sf0.01's ~60
+        docs/shard we only bound it loosely; it tightens with corpus
+        size."""
+        from tomixpanel_spark.operators import registry
+        from tomixpanel_spark.operators.packing import SIZE_BUCKET_WIDTH
+
+        out = registry()["balanced_shards"].fn(spark, "/root/testdata/sf0.01").collect()
+        per_bucket: dict = {}
+        totals: dict = {}
+        for r in out:
+            b = r["n_tokens"] // SIZE_BUCKET_WIDTH
+            per_bucket.setdefault(b, {}).setdefault(r["shard"], 0)
+            per_bucket[b][r["shard"]] += 1
+            totals[r["shard"]] = totals.get(r["shard"], 0) + r["n_tokens"]
+        for b, counts in per_bucket.items():
+            assert max(counts.values()) - min(counts.values()) <= 1, (b, counts)
+        assert len(totals) > 1
+        lo, hi = min(totals.values()), max(totals.values())
+        assert (hi - lo) / hi < 0.12, totals

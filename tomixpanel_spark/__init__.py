@@ -51,6 +51,14 @@ def __getattr__(name):
             "tomixpanel_spark.streaming.dedup",
             "streaming_merge_edges",
         ),
+        "pack_sequences": ("tomixpanel_spark.operators.packing", "pack_sequences"),
+        "salted_join": ("tomixpanel_spark.functions.skew", "salted_join"),
+        "asof_join": ("tomixpanel_spark.operators.asof", "asof_join"),
+        "range_join": ("tomixpanel_spark.operators.ranges", "range_join"),
+        "StreamingCountMin": (
+            "tomixpanel_spark.streaming.sketches",
+            "StreamingCountMin",
+        ),
     }
     if name in lazy:
         import importlib

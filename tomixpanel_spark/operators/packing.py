@@ -1,0 +1,156 @@
+"""Sequence packing for training shards: assign documents to fixed token
+budgets.
+
+Two operators, two regimes:
+
+* ``balanced_shards`` — token-BALANCED k-way sharding (equalize total
+  tokens per output shard, e.g. per training-data file). Scale-parallel
+  by construction: docs are first bucketed by SIZE CLASS with fixed bucket
+  boundaries (a narrow projection), then round-robin'd across shards
+  within each size bucket (a window per bucket, so the sort parallelism
+  is #buckets, never a single global sort). Similar-size docs spread
+  evenly over shards, which bounds the shard-total spread by
+  ~(#buckets x max_bucket_width). Deterministic and SQL-expressible —
+  the registered query is hash-checked against DuckDB.
+
+* ``pack_sequences`` — capacity-TRUE bin packing (no bin over
+  ``capacity`` tokens unless a single document alone exceeds it). Greedy
+  first-fit-decreasing, which needs per-bin running state, so it runs as
+  an Arrow-batched ``applyInPandas`` stage packing WITHIN each hash
+  partition; bin ids are namespaced by partition so bins never cross the
+  wire. Partition-local packing is the production shape: at 100 TB a
+  global FFD is a serial scan, while per-partition FFD wastes at most one
+  partial bin per partition (bounded, and amortized to nothing at real
+  partition sizes). Properties (capacity respected, every doc packed
+  exactly once, determinism) are pinned by tests/test_advanced.py.
+
+Reference parity: none — the reference ships batches by COUNT (2000) and
+BYTES (2 MB, load/sendEventsToMixpanel.js:15-16); token-budget packing is
+part of the training-pipeline extension surface, but K1/K2's greedy
+byte-packing is the same family of policy applied at the sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tomixpanel_spark.operators.base import QuerySpec, table
+from tomixpanel_spark.functions.text import tokens
+
+N_SHARDS = 8
+# tokens per size class: narrow buckets bound the within-bucket size
+# variance the round-robin can't see (docs in one bucket differ by at
+# most WIDTH-1 tokens, so each shard's total is within ~WIDTH of fair
+# share per bucket-remainder)
+SIZE_BUCKET_WIDTH = 4
+
+
+def balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: documents -> (doc_id, n_tokens, shard) with
+    token-balanced shards. Size-bucket then round-robin; both engines
+    evaluate the identical windows, so assignments hash-match."""
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    ).withColumn(
+        # explicit floor: DuckDB's CAST(double AS BIGINT) rounds where
+        # Spark's truncates, so a bare divide-and-cast diverges
+        "bucket",
+        F.floor(F.col("n_tokens") / SIZE_BUCKET_WIDTH).cast("bigint"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("n_tokens").desc(), "doc_id")
+    # start each bucket's round-robin at a bucket-dependent offset: with a
+    # fixed start, every bucket's remainder rows land on the LOW shards
+    # and the bias accumulates across buckets
+    return sized.select(
+        "doc_id",
+        "n_tokens",
+        F.pmod(F.row_number().over(w) - 1 + F.col("bucket"), F.lit(N_SHARDS))
+        .cast("bigint")
+        .alias("shard"),
+    )
+
+
+_BALANCED_SHARDS_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+  CAST((row_number() OVER (PARTITION BY CAST(floor(n_tokens / {SIZE_BUCKET_WIDTH}.0) AS BIGINT)
+                           ORDER BY n_tokens DESC, doc_id) - 1
+        + CAST(floor(n_tokens / {SIZE_BUCKET_WIDTH}.0) AS BIGINT)) % {N_SHARDS} AS BIGINT) AS shard
+FROM sized
+"""
+
+
+def pack_sequences(
+    sized: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(id, size) -> (id, size, bin_id, bin_fill) via first-fit-decreasing
+    within each hash partition.
+
+    ``bin_id`` is globally unique (partition-namespaced); ``bin_fill`` is
+    the bin's total AFTER packing. A document larger than ``capacity``
+    gets its own bin (never silently dropped or split). Deterministic:
+    partitioning is a hash of the id column and FFD order is
+    (size desc, id)."""
+    df = sized.select(
+        F.col(id_col).alias("doc_id"), F.col(size_col).cast("bigint").alias("n_tokens")
+    )
+    if partitions:
+        df = df.repartition(partitions, "doc_id")
+    part = df.withColumn("__pid", F.spark_partition_id())
+
+    def pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # mapInPandas hands ONE partition per iterator: buffering it here
+        # is exactly the operator's stated memory bound (FFD needs the
+        # partition's full size list), and costs no shuffle — unlike a
+        # groupBy(partition_id).applyInPandas, which would re-shuffle rows
+        # to where they already are.
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        pid = int(pdf["__pid"].iloc[0])
+        fills: list[int] = []
+        assign = []
+        for sz in pdf["n_tokens"]:
+            sz = int(sz)
+            for b, fill in enumerate(fills):  # first fit
+                if fill + sz <= capacity:
+                    fills[b] = fill + sz
+                    assign.append(b)
+                    break
+            else:
+                fills.append(sz)  # new bin (oversize doc -> own bin)
+                assign.append(len(fills) - 1)
+        out = pdf.assign(
+            bin_id=[pid * 1_000_000 + b for b in assign],
+            bin_fill=[fills[b] for b in assign],
+        )
+        yield out[["doc_id", "n_tokens", "bin_id", "bin_fill"]]
+
+    from tomixpanel_spark.session import ship_package
+
+    ship_package(sized.sparkSession)
+    return part.mapInPandas(
+        pack, schema="doc_id long, n_tokens long, bin_id long, bin_fill long"
+    )
+
+
+REGISTRY = {
+    "balanced_shards": QuerySpec(
+        balanced_shards, _BALANCED_SHARDS_SQL, "ext:text training-shard balance"
+    ),
+}
