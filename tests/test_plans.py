@@ -205,6 +205,17 @@ def test_ensure_parallel_skips_already_split_sources(spark):
     assert exchange_count(ensure_parallel(already)) == exchange_count(already)
 
 
+def test_hypertable_rollup_single_scan_expand(spark):
+    """Both grains must come from ONE raw scan via GROUPING SETS (Expand
+    before the partial agg) — the union-of-lineages form reads the raw
+    table twice because exchange reuse does not fire across the two
+    aggregates."""
+    df = REG["hypertable_rollup"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
 def test_salted_join_partitions_on_key_and_salt(spark):
     """With broadcast off (the large-x-large regime salting exists for),
     the join exchange must hash on (event_type, __salt) — 8 reducers per

@@ -233,38 +233,45 @@ GROUP BY from_event, to_event
 
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity time rollup (the TimescaleDB continuous-aggregate
-    shape): hourly buckets aggregate from raw events ONCE, and the daily
-    grain rolls up FROM THE HOURLY PARTIALS — 100-1000x fewer rows into
-    the second aggregate instead of a second raw scan. At 100 TB this is
-    the difference between maintaining N granularities for N scans and
-    paying the raw scan once (sums/counts are re-aggregable; averages
-    derive from sum/count at read time; quantiles would need mergeable
-    sketches). Sums stay DECIMAL through both levels so the hourly->daily
-    re-aggregation is exact and engine-portable, cast to double only at
-    the output edge."""
-    ev = table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    capability): hourly AND daily grains from ONE raw scan.
+
+    Physical shape: GROUPING SETS ((day, hour, type), (day, type)) — the
+    expand node doubles rows BEFORE the partial aggregate, so the single
+    shuffle carries only hourly+daily cells, and the raw table is read
+    once. (The naive hourly-then-daily lineage union LOOKS like it rolls
+    daily from hourly partials, but Spark resolves each union branch
+    independently — exchange reuse does not fire across the differing
+    aggregates — so it executes TWO full raw scans; verified on the
+    physical plan.) Sums stay DECIMAL so hourly cells and daily cells
+    agree exactly with re-aggregation (the persisted-artifact variant —
+    materialize hourly with ``derived()``/``sinks.lake`` and fold daily
+    from it incrementally — relies on that same re-aggregability; counts
+    and DECIMAL sums are mergeable, averages derive at read time,
+    quantiles would need mergeable sketches). Cast to double only at the
+    output edge."""
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day_b"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_b"),
+        "event_type",
+        "value",
+    )
+    agg = ev.groupingSets(
+        [["day_b", "hour_b", "event_type"], ["day_b", "event_type"]],
+        "day_b",
+        "hour_b",
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(24,6)")).alias("sum_dec"),
+        F.grouping("hour_b").alias("__is_day"),
     )
-    daily = hourly.groupBy(
-        F.date_trunc("day", F.col("bucket")).alias("bucket"),
+    return agg.select(
+        F.when(F.col("__is_day") == 1, F.lit("day")).otherwise(F.lit("hour")).alias("grain"),
+        F.coalesce(F.col("hour_b"), F.col("day_b")).cast("string").alias("bucket_start"),
         "event_type",
-    ).agg(F.sum("n").alias("n"), F.sum("sum_dec").alias("sum_dec"))
-
-    def shape(df: DataFrame, grain: str) -> DataFrame:
-        return df.select(
-            F.lit(grain).alias("grain"),
-            F.col("bucket").cast("string").alias("bucket_start"),
-            "event_type",
-            F.col("n").cast("bigint").alias("n"),
-            F.col("sum_dec").cast("double").alias("sum_value"),
-        )
-
-    return shape(hourly, "hour").unionByName(shape(daily, "day"))
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
 
 
 _HYPERTABLE_ROLLUP_SQL = """
