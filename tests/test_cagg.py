@@ -1,0 +1,145 @@
+"""Incrementally-maintained continuous aggregate: micro-batch merge
+equals the batch aggregate of the full input, partition-pruned writes,
+replay idempotence."""
+
+from __future__ import annotations
+
+import json
+import os
+import time as _time
+
+from pyspark.sql import functions as F
+
+
+def _write_batches(in_dir, batches):
+    in_dir.mkdir()
+    now = _time.time()
+    for i, (name, lines) in enumerate(batches):
+        p = in_dir / f"{name}.ndjson"
+        p.write_text("\n".join(json.dumps(x) for x in lines))
+        os.utime(p, (now - 120 + i * 60,) * 2)
+
+
+def _rows():
+    # three days of events, value carries 6-decimal precision
+    out = []
+    i = 0
+    for day in (1, 2, 3):
+        for hour in (0, 5, 23):
+            for k in ("click", "view"):
+                for _ in range(3):
+                    i += 1
+                    out.append(
+                        {
+                            "ts": f"2024-03-0{day} {hour:02d}:{i % 60:02d}:00",
+                            "event_type": k,
+                            "value": i + 0.125,
+                        }
+                    )
+    return out
+
+
+class TestContinuousAggregate:
+    def test_microbatch_merge_equals_batch_aggregate(self, spark, tmp_path):
+        from tomixpanel_spark.streaming.cagg import ContinuousAggregate
+
+        rows = _rows()
+        in_dir = tmp_path / "landing"
+        _write_batches(in_dir, [("b1", rows[:20]), ("b2", rows[20:40]), ("b3", rows[40:])])
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        cagg = ContinuousAggregate(str(tmp_path / "store"))
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(cagg.update_batch)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        batch_df = spark.createDataFrame(
+            [(r["ts"], r["event_type"], r["value"]) for r in rows],
+            "ts string, event_type string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        want_hourly = {
+            (str(r["bucket"]), r["key"]): (r["n"], str(r["sum_dec"]))
+            for r in batch_df.groupBy(
+                F.date_trunc("hour", "ts").alias("bucket"),
+                F.col("event_type").alias("key"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(24,6)")).alias("sum_dec"),
+            )
+            .collect()
+        }
+        got_hourly = {
+            (str(r["bucket"]), r["key"]): (r["n"], str(r["sum_dec"]))
+            for r in cagg.hourly(spark).collect()
+        }
+        assert got_hourly == want_hourly  # exact, DECIMAL-for-DECIMAL
+
+        # daily grain rolls from stored partials and matches daily-from-raw
+        want_daily = {
+            (str(r["bucket"]), r["key"]): (r["n"], str(r["sum_dec"]))
+            for r in batch_df.groupBy(
+                F.date_trunc("day", "ts").alias("bucket"),
+                F.col("event_type").alias("key"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("value").cast("decimal(24,6)")).alias("sum_dec"),
+            )
+            .collect()
+        }
+        got_daily = {
+            (str(r["bucket"]), r["key"]): (r["n"], str(r["sum_dec"]))
+            for r in cagg.daily(spark).collect()
+        }
+        assert got_daily == want_daily
+
+        # the store is day-partitioned (partition pruning on merge reads)
+        days = [e for e in os.listdir(tmp_path / "store") if e.startswith("day=")]
+        assert len(days) == 3
+
+    def test_replayed_batch_is_skipped(self, spark, tmp_path):
+        """foreachBatch is at-least-once: re-delivering an already-merged
+        batch_id must not double-count."""
+        from tomixpanel_spark.streaming.cagg import ContinuousAggregate
+
+        df = spark.createDataFrame(
+            [("2024-03-01 10:00:00", "click", 1.0)] * 5,
+            "ts string, event_type string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        cagg = ContinuousAggregate(str(tmp_path / "store"))
+        cagg.update_batch(df, batch_id=0)
+        cagg.update_batch(df, batch_id=0)  # replay
+        [row] = cagg.hourly(spark).collect()
+        assert row["n"] == 5  # not 10
+        cagg.update_batch(df, batch_id=1)  # a NEW batch does merge
+        [row] = cagg.hourly(spark).collect()
+        assert row["n"] == 10
+
+    def test_merge_touches_only_affected_partitions(self, spark, tmp_path):
+        """A batch for day 2 must leave day 1's partition files untouched
+        (dynamic partition overwrite + pruned read)."""
+        from tomixpanel_spark.streaming.cagg import ContinuousAggregate
+
+        def df_for(day):
+            return spark.createDataFrame(
+                [(f"2024-03-0{day} 10:00:00", "click", 1.0)] * 3,
+                "ts string, event_type string, value double",
+            ).withColumn("ts", F.to_timestamp("ts"))
+
+        cagg = ContinuousAggregate(str(tmp_path / "store"))
+        cagg.update_batch(df_for(1), batch_id=0)
+        d1 = tmp_path / "store" / "day=2024-03-01"
+        before = {p: os.path.getmtime(d1 / p) for p in os.listdir(d1) if p.endswith(".parquet")}
+        _time.sleep(1.1)
+        cagg.update_batch(df_for(2), batch_id=1)
+        after = {p: os.path.getmtime(d1 / p) for p in os.listdir(d1) if p.endswith(".parquet")}
+        assert before == after  # day 1 files untouched by a day-2 batch

@@ -59,6 +59,10 @@ def __getattr__(name):
             "tomixpanel_spark.streaming.sketches",
             "StreamingCountMin",
         ),
+        "ContinuousAggregate": (
+            "tomixpanel_spark.streaming.cagg",
+            "ContinuousAggregate",
+        ),
     }
     if name in lazy:
         import importlib

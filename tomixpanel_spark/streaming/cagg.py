@@ -1,0 +1,150 @@
+"""Incrementally-maintained continuous aggregate (the persisted-artifact
+leg of the hypertable story).
+
+``operators.analytics.hypertable_rollup`` answers multi-grain questions
+in one scan; THIS module maintains the hourly partial store as data
+lands, so the raw stream is aggregated exactly once ever:
+
+  * per micro-batch, the batch aggregates to hourly partial cells
+    (count + DECIMAL sum — the re-aggregable pair; averages derive at
+    read time);
+  * the store is parquet partitioned by day; a batch only reads and
+    rewrites the day-partitions it touches (partition pruning on read,
+    dynamic partition overwrite on write) — per-batch cost is
+    proportional to the batch's time spread, never the store size;
+  * coarser grains (daily, weekly) roll up FROM THE STORED HOURLY
+    PARTIALS — counts and DECIMAL sums merge exactly, so
+    daily-from-partials equals daily-from-raw bit-for-bit (asserted by
+    tests against a direct batch aggregate of the full input);
+  * replays are safe: foreachBatch is at-least-once, so the store keeps
+    the last applied batch_id and skips batches it has already merged —
+    the standard idempotent-sink pattern, required because merge is not
+    idempotent (a replayed batch would double-count).
+
+Reference parity: the reference recomputes summary totals per run (M8);
+an incrementally-maintained aggregate is part of the scale extension
+surface (TimescaleDB continuous aggregates / materialized-view
+maintenance re-expressed as foreachBatch + partition-pruned merge).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ContinuousAggregate:
+    """Hourly (bucket, event_type) -> (n, sum_dec) partial store.
+
+    ``update_batch`` is a ``foreachBatch`` hook; ``hourly()`` /
+    ``daily()`` are the read paths.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        ts_col: str = "ts",
+        key_col: str = "event_type",
+        value_col: str = "value",
+    ) -> None:
+        self.path = path
+        self.ts_col = ts_col
+        self.key_col = key_col
+        self.value_col = value_col
+
+    # -- idempotence bookkeeping ------------------------------------------
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_cagg_meta.json")
+
+    def _last_batch_id(self) -> int:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)["batch_id"]
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def _commit_batch_id(self, batch_id: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, self._meta_path())
+
+    # -- write path -------------------------------------------------------
+    # The store's sum type is PINNED: Spark widens SUM(decimal(p,s)) to
+    # (p+10,s), so without the cast-back each merge generation would write
+    # a different parquet decimal width and mixed-generation reads fail.
+    # (28,6) leaves 12 integer digits of headroom over any batch sum.
+    SUM_TYPE = "decimal(28,6)"
+
+    def _batch_partials(self, df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.date_trunc("hour", F.col(self.ts_col)).alias("bucket"),
+                F.col(self.key_col).alias("key"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(self.value_col).cast("decimal(24,6)"))
+                .cast(self.SUM_TYPE)
+                .alias("sum_dec"),
+            )
+            .withColumn("day", F.to_date("bucket"))
+        )
+
+    def update_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Merge one micro-batch into the store. Reads ONLY the day
+        partitions the batch touches; rewrites only those."""
+        if batch_id <= self._last_batch_id():
+            return  # replayed batch: already merged
+        spark = batch_df.sparkSession
+        partials = self._batch_partials(batch_df)
+        store_exists = os.path.isdir(self.path) and any(
+            e.startswith("day=") for e in os.listdir(self.path)
+        )
+        if store_exists:
+            days = [r["day"] for r in partials.select("day").distinct().collect()]
+            existing = spark.read.parquet(self.path).filter(F.col("day").isin(days))
+            partials = (
+                existing.unionByName(partials)
+                .groupBy("bucket", "key", "day")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("sum_dec").cast(self.SUM_TYPE).alias("sum_dec"),
+                )
+            )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                partials.write.mode("overwrite")
+                .partitionBy("day")
+                .parquet(self.path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        self._commit_batch_id(batch_id)
+
+    # -- read paths -------------------------------------------------------
+    def hourly(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path).select(
+            "bucket",
+            "key",
+            F.col("n").cast("bigint").alias("n"),
+            "sum_dec",
+        )
+
+    def daily(self, spark: SparkSession) -> DataFrame:
+        """Daily grain from the stored hourly partials — never re-reads
+        the raw stream; exact because n/sum_dec are re-aggregable."""
+        return (
+            self.hourly(spark)
+            .groupBy(F.date_trunc("day", F.col("bucket")).alias("bucket"), "key")
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("sum_dec").cast(self.SUM_TYPE).alias("sum_dec"),
+            )
+        )
