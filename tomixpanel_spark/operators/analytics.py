@@ -352,8 +352,47 @@ FROM s
 """
 
 
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the DAU/WAU family).
+
+    Spark windows cannot COUNT(DISTINCT) over a range frame, and a
+    per-day self-join over the trailing range re-scans the activity
+    table 7x. The scale-correct shape is CONTRIBUTION EXPLODE: dedup to
+    (user, active_day) once, explode each row onto the <=7 window-days
+    it contributes to, then one hash aggregate of count-distinct users
+    per window-day. Cost: one dedup shuffle + a 7x narrow row multiply +
+    one agg shuffle — each linear in activity, independent of window
+    length relative to the join form. Trailing windows that extend past
+    the last observed day are emitted too (both engines agree on the
+    full set)."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("bucket_day"),
+    )
+    return contrib.groupBy("bucket_day").agg(
+        F.count_distinct("user_id").alias("active_7d")
+    )
+
+
+_ROLLING_ACTIVE_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+contrib AS (
+  SELECT user_id, CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                                              CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                                              INTERVAL 1 DAY)) AS DATE) AS bucket_day
+  FROM ud)
+SELECT bucket_day, COUNT(DISTINCT user_id) AS active_7d
+FROM contrib GROUP BY 1
+"""
+
+
 REGISTRY = {
     "sessionize": QuerySpec(sessionize, _SESSIONIZE_SQL, "analytics"),
+    "rolling_active_users": QuerySpec(
+        rolling_active_users, _ROLLING_ACTIVE_SQL, "analytics: sliding distinct"
+    ),
     "kmv_distinct": QuerySpec(
         kmv_distinct, _KMV_DISTINCT_SQL, "custom operator: KMV distinct sketch"
     ),

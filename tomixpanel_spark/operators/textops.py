@@ -9,7 +9,7 @@ per partition)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tomixpanel_spark.functions.text import (
@@ -390,6 +390,59 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf.
+
+    Scoring uses the RATIONAL idf surrogate N/df instead of ln(N/df), in
+    pure integer arithmetic (score_e6 = tf * 1e6 * N div df): libm's ln
+    differs across engines by ULPs, which can flip a rounding or a rank;
+    integers are bit-exact everywhere, and N/df is a monotone transform
+    of the usual idf so the per-term ordering story is unchanged (the
+    tf multiplication weights rare terms more aggressively than ln —
+    acceptable for keyword extraction, documented here).
+
+    Scale shape: tf = one hash agg over (doc, token) pairs; df = one hash
+    agg over the tf output (already unique per doc-token, so COUNT(*) is
+    document frequency); df joins back BROADCAST while vocabularies fit
+    (hash join on token otherwise — AQE decides from runtime size); the
+    final top-k is the rank-and-filter window, per-doc partitioned. No
+    scan reads text twice: both aggs and the join derive from the single
+    tokenized lineage."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; the corpus row count is cheap + exact
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        F.expr(f"tf * 1000000L * {n_docs} div df").alias("score_e6"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_e6").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "score_e6", "rk")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_WORDS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         (tf.tf * 1000000 * (SELECT n_docs FROM n)) // idf.df AS score_e6
+  FROM tf JOIN idf USING (token))
+SELECT doc_id, token, CAST(score_e6 AS BIGINT) AS score_e6, rk
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score_e6 DESC, token) AS BIGINT) AS rk
+      FROM scored)
+WHERE rk <= 3
+"""
+
+
 def _cms_bucket(row: int, token) -> F.Column:
     """Deterministic md5-derived bucket for sketch row ``row`` — identical
     arithmetic in DuckDB, so sketches (and their over-estimates) are
@@ -494,4 +547,5 @@ REGISTRY = {
         gopher_quality, _GOPHER_QUALITY_SQL, "ext:text quality filter"
     ),
     "pii_redact": QuerySpec(pii_redact, _PII_REDACT_SQL, "ext:text PII scrub"),
+    "tfidf_keywords": QuerySpec(tfidf_keywords, _TFIDF_SQL, "ext:text tf-idf"),
 }
