@@ -134,8 +134,46 @@ FROM events e ASOF LEFT JOIN r
 """
 
 
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase attributed
+    to the user's latest click at-or-before it (null when none). Pure
+    reuse of ``asof_join`` — same single exchange + window sort; the
+    in-sort tiebreak (max event_id among same-instant clicks) is proved
+    against the oracle's explicit max_by pre-aggregation, like
+    ``asof_latest_order``."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ts_c"),
+        F.col("event_id").alias("click_id"),
+        F.unix_millis("ts").alias("click_ms"),
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts_c",
+        right_tiebreak=("click_id",),
+    ).select("event_id", "user_id", "click_id", "click_ms")
+
+
+_ATTRIBUTION_SQL = """
+WITH c AS (
+  SELECT user_id, ts AS ts_c, max(event_id) AS click_id,
+         epoch_ms(ts) AS click_ms
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, c.click_id, c.click_ms
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts_c
+"""
+
+
 REGISTRY = {
     "asof_latest_order": QuerySpec(
         asof_latest_order, _ASOF_SQL, "custom operator: as-of join (union+window)"
+    ),
+    "attribution_last_touch": QuerySpec(
+        attribution_last_touch, _ATTRIBUTION_SQL, "analytics: last-touch attribution"
     ),
 }

@@ -177,6 +177,36 @@ WHERE h < CASE bucket WHEN 'en' THEN {SAMPLE_RATES_E4['en']} ELSE {SAMPLE_RATES_
 """
 
 
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep probability
+    proportional to a per-document weight (token count here, capped at
+    90%) through the same portable md5 hash as ``stratified_sample`` —
+    keep iff h < min(n_tokens * 100, 9000). The shape a curriculum /
+    quality-mixing pipeline uses to up-weight good documents without RNG
+    state: pure narrow projection+filter, zero shuffles, identical
+    output on any cluster or partitioning, and any weight column slots
+    in for the token proxy."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        _portable_hash_e4("doc_id").alias("h"),
+    )
+    p = F.least(F.col("n_tokens") * 100, F.lit(9000))
+    return d.filter(F.col("h") < p).select("doc_id", "n_tokens")
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+    CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 AS h
+  FROM documents)
+SELECT doc_id, n_tokens FROM d
+WHERE h < least(n_tokens * 100, 9000)
+"""
+
+
 def mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture reporting: per (language bucket, length tier) document
     and token totals — the numbers a training-data pipeline balances
@@ -548,4 +578,7 @@ REGISTRY = {
     ),
     "pii_redact": QuerySpec(pii_redact, _PII_REDACT_SQL, "ext:text PII scrub"),
     "tfidf_keywords": QuerySpec(tfidf_keywords, _TFIDF_SQL, "ext:text tf-idf"),
+    "weighted_sample": QuerySpec(
+        weighted_sample, _WEIGHTED_SAMPLE_SQL, "ext:text weighted sampling"
+    ),
 }
