@@ -177,6 +177,56 @@ WHERE h < CASE bucket WHEN 'en' THEN {SAMPLE_RATES_E4['en']} ELSE {SAMPLE_RATES_
 """
 
 
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 20
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (embedding / RAG prep): split
+    each document into CHUNK_TOKENS-token windows every CHUNK_STRIDE
+    tokens, keeping provenance (doc_id, chunk_idx) and the chunk's own
+    token count.
+
+    Scale shape: tokenize once, explode a computed offset range, slice
+    the token array per offset — all narrow codegen (no shuffle, no UDF);
+    output rows ~ tokens/stride per doc. Zero-token docs yield no chunks
+    (explicit filter, same as the oracle's WHERE)."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("words")).withColumn(
+        "n", F.size("words")
+    )
+    ci = F.explode(
+        F.sequence(F.lit(0), F.expr(f"(n - 1) div {CHUNK_STRIDE}"))
+    ).alias("ci")
+    chunk = F.slice(F.col("words"), F.col("ci") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+    return (
+        base.filter(F.col("n") > 0)
+        .select("doc_id", "words", ci)
+        .select(
+            "doc_id",
+            F.col("ci").cast("bigint").alias("chunk_idx"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        )
+    )
+
+
+_CHUNK_DOCS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words, len({_SQL_WORDS}) AS n FROM documents),
+c AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, CAST((n - 1) // {CHUNK_STRIDE} AS BIGINT))) AS ci
+  FROM w WHERE n > 0)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+  array_to_string(list_slice(words, ci * {CHUNK_STRIDE} + 1,
+                             ci * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ') AS chunk_text,
+  CAST(len(list_slice(words, ci * {CHUNK_STRIDE} + 1,
+                      ci * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS BIGINT) AS chunk_tokens
+FROM c
+"""
+
+
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic sampling: keep probability
     proportional to a per-document weight (token count here, capped at
@@ -580,5 +630,8 @@ REGISTRY = {
     "tfidf_keywords": QuerySpec(tfidf_keywords, _TFIDF_SQL, "ext:text tf-idf"),
     "weighted_sample": QuerySpec(
         weighted_sample, _WEIGHTED_SAMPLE_SQL, "ext:text weighted sampling"
+    ),
+    "chunk_documents": QuerySpec(
+        chunk_documents, _CHUNK_DOCS_SQL, "ext:text chunking"
     ),
 }
