@@ -703,3 +703,41 @@ class TestSequencePacking:
         assert len(totals) > 1
         lo, hi = min(totals.values()), max(totals.values())
         assert (hi - lo) / hi < 0.12, totals
+
+
+class TestLshSignatureTablePath:
+    def test_signature_join_candidates_match_fused_path(self, spark):
+        """The bucketed-signature-table path (corpus-x-corpus regime) and
+        the fused closure-match path (query-lookup regime) must agree on
+        the candidate set: equi-join on (t, bucket) == any-table bucket
+        match in the UDF."""
+        from pyspark.sql import functions as F
+
+        from tomixpanel_spark.operators.base import table
+        from tomixpanel_spark.operators.similarity import (
+            LSH_TABLES,
+            N_QUERIES,
+            _lsh_signatures,
+            ann_lsh,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        sig = _lsh_signatures(table(spark, sf, "embeddings"))
+        q_sig = sig.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), "t", "bucket"
+        )
+        join_pairs = {
+            (r["q_id"], r["vec_id"])
+            for r in q_sig.join(sig, ["t", "bucket"])
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id")
+            .distinct()
+            .collect()
+        }
+        fused = ann_lsh(spark, sf)
+        # ann_lsh emits top-k of the candidates; every emitted pair must
+        # be a join-path candidate, and for queries with < k candidates
+        # the sets coincide exactly
+        fused_pairs = {(r["q_id"], r["neighbor_id"]) for r in fused.collect()}
+        assert fused_pairs <= join_pairs
+        assert sig.count() == table(spark, sf, "embeddings").count() * LSH_TABLES

@@ -41,6 +41,13 @@ class ContinuousAggregate:
 
     ``update_batch`` is a ``foreachBatch`` hook; ``hourly()`` /
     ``daily()`` are the read paths.
+
+    ``path`` must be DRIVER-ACCESSIBLE (local disk, NFS, or a fuse
+    mount): the store-exists probe and the batch_id meta file use plain
+    filesystem IO. For an object store, swap ``_last_batch_id`` /
+    ``_commit_batch_id`` / the exists check for the store's API (the
+    Spark read/write calls themselves already take any Hadoop-supported
+    URI).
     """
 
     def __init__(
