@@ -481,28 +481,50 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf multiplication weights rare terms more aggressively than ln —
     acceptable for keyword extraction, documented here).
 
-    Scale shape: tf = one hash agg over (doc, token) pairs; df = one hash
-    agg over the tf output (already unique per doc-token, so COUNT(*) is
-    document frequency); df joins back BROADCAST while vocabularies fit
-    (hash join on token otherwise — AQE decides from runtime size); the
-    final top-k is the rank-and-filter window, per-doc partitioned. No
-    scan reads text twice: both aggs and the join derive from the single
-    tokenized lineage."""
+    Scale shape: ONE tokenized lineage, three keyed exchanges of the
+    (doc, token) pair set, nothing else. tf = hash agg on (doc, token);
+    document frequency = COUNT(*) OVER (PARTITION BY token) on the tf
+    rows — tf rows are unique per doc-token, so the window count IS df,
+    and expressing it as a window keeps a single lineage (the
+    aggregate-then-broadcast-join form re-evaluates the corpus tokenize
+    to build the broadcast side: Spark has no cross-branch subexpression
+    reuse — measured, it doubled the query's cost; with a PERSISTED tf
+    artifact the broadcast-join form wins instead). N folds in as a
+    broadcast 1-row aggregate, not a driver count job. Top-k per doc is
+    a hash aggregate (collect scored structs, array_sort, slice 3,
+    posexplode) rather than a rank window: same exchange on doc_id, but
+    only each doc's own list sorts and only 3 rows per doc survive."""
     docs = table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar; the corpus row count is cheap + exact
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_, "token").select(
-        "doc_id",
-        "token",
-        F.expr(f"tf * 1000000L * {n_docs} div df").alias("score_e6"),
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+        .crossJoin(n)
+        .select(
+            "doc_id",
+            "token",
+            F.expr("tf * 1000000L * n_docs div df").alias("score_e6"),
+        )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score_e6").desc(), "token")
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 3)
-        .select("doc_id", "token", "score_e6", "rk")
+    top3 = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("score_e6")).alias("ns"), "token"))
+                ),
+                1,
+                3,
+            ).alias("top")
+        )
+        .select("doc_id", F.posexplode("top").alias("pos", "t"))
+    )
+    return top3.select(
+        "doc_id",
+        F.col("t.token").alias("token"),
+        (-F.col("t.ns")).alias("score_e6"),
+        (F.col("pos") + 1).cast("bigint").alias("rk"),
     )
 
 
