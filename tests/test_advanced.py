@@ -741,3 +741,27 @@ class TestLshSignatureTablePath:
         fused_pairs = {(r["q_id"], r["neighbor_id"]) for r in fused.collect()}
         assert fused_pairs <= join_pairs
         assert sig.count() == table(spark, sf, "embeddings").count() * LSH_TABLES
+
+
+class TestLptShards:
+    def test_balance_coverage_determinism(self, spark):
+        import random
+
+        from tomixpanel_spark.operators.packing import lpt_shards
+
+        rng = random.Random(5)
+        rows = [(i, rng.randrange(1, 400)) for i in range(600)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = lpt_shards(df, n_shards=8, partitions=4).collect()
+        assert sorted(r["doc_id"] for r in out) == [i for i, _ in rows]
+        totals = {}
+        for r in out:
+            totals[r["shard"]] = totals.get(r["shard"], 0) + r["n_tokens"]
+        assert set(totals) == set(range(8))
+        lo, hi = min(totals.values()), max(totals.values())
+        # LPT from 4 partitions: spread bounded by ~partitions x max item,
+        # far tighter than oblivious round-robin on this distribution
+        assert hi - lo <= 4 * 400, totals
+        assert (hi - lo) / hi < 0.12, totals
+        out2 = lpt_shards(df, n_shards=8, partitions=4).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -298,3 +298,87 @@ class TestRewriteEquivalence:
         # ordering contract: doc_a < doc_b always
         bad = capped.filter(F.col("doc_a") >= F.col("doc_b")).count()
         assert bad == 0
+
+
+class TestJoinOperatorsVsBruteForce:
+    """asof_join and range_join re-express semantics engines ship natively;
+    beyond the DuckDB oracle (one dataset), these pin them against a
+    literal Python brute force on randomized inputs."""
+
+    @given(st.integers(0, 2**32 - 1))
+    @settings(max_examples=12, deadline=None)
+    def test_asof_join_matches_brute_force(self, spark, seed):
+        import random
+
+        from tomixpanel_spark.operators.asof import asof_join
+
+        rng = random.Random(seed)
+        left_rows = [
+            (i, f"k{rng.randrange(4)}", rng.randrange(0, 50)) for i in range(30)
+        ]
+        right_rows = [
+            (f"k{rng.randrange(4)}", rng.randrange(0, 50), rng.randrange(1000))
+            for _ in range(25)
+        ]
+        left = spark.createDataFrame(left_rows, "lid long, k string, t long")
+        right = spark.createDataFrame(right_rows, "k string, rt long, val long")
+        got = {
+            (r["lid"], r["val"])
+            for r in asof_join(
+                left, right, on="k", left_time="t", right_time="rt",
+                right_tiebreak=("val",),
+            ).collect()
+        }
+        want = set()
+        for lid, k, t in left_rows:
+            cand = [(rt, val) for (rk, rt, val) in right_rows if rk == k and rt <= t]
+            if cand:
+                rt_max = max(rt for rt, _ in cand)
+                val = max(v for rt, v in cand if rt == rt_max)  # tiebreak: last
+                want.add((lid, val))
+            else:
+                want.add((lid, None))
+        assert got == want
+
+    @given(st.integers(0, 2**32 - 1))
+    @settings(max_examples=8, deadline=None)
+    def test_range_join_matches_brute_force(self, spark, seed):
+        import random
+
+        from pyspark.sql import functions as F
+        from tomixpanel_spark.operators.ranges import range_join
+
+        rng = random.Random(seed)
+        day = 86_400
+        base = 1_700_000_000
+        pts = [
+            (i, f"k{rng.randrange(3)}", base + rng.randrange(0, 10 * day))
+            for i in range(25)
+        ]
+        ivs = []
+        for j in range(20):
+            s = base + rng.randrange(0, 10 * day)
+            ivs.append((j, f"k{rng.randrange(3)}", s, s + rng.randrange(0, 3 * day)))
+        points = spark.createDataFrame(pts, "pid long, k string, pt long").select(
+            "pid", "k", F.timestamp_seconds("pt").alias("pt")
+        )
+        intervals = spark.createDataFrame(
+            ivs, "iid long, k string, s long, e long"
+        ).select(
+            "iid", "k",
+            F.timestamp_seconds("s").alias("s"), F.timestamp_seconds("e").alias("e"),
+        )
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(
+                points, intervals, on="k", point_time="pt", start="s", end="e",
+                bin_width_s=day,
+            ).collect()
+        }
+        want = {
+            (pid, iid)
+            for (pid, pk, pt) in pts
+            for (iid, ik, s, e) in ivs
+            if pk == ik and s <= pt <= e
+        }
+        assert got == want

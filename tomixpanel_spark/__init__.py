@@ -52,6 +52,7 @@ def __getattr__(name):
             "streaming_merge_edges",
         ),
         "pack_sequences": ("tomixpanel_spark.operators.packing", "pack_sequences"),
+        "lpt_shards": ("tomixpanel_spark.operators.packing", "lpt_shards"),
         "salted_join": ("tomixpanel_spark.functions.skew", "salted_join"),
         "asof_join": ("tomixpanel_spark.operators.asof", "asof_join"),
         "range_join": ("tomixpanel_spark.operators.ranges", "range_join"),

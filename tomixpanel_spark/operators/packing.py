@@ -149,6 +149,54 @@ def pack_sequences(
     )
 
 
+def lpt_shards(
+    sized: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Longest-processing-time greedy sharding: (id, size) -> (id, size,
+    shard) with each item assigned to the currently least-loaded of
+    ``n_shards`` shards, largest items first.
+
+    Tighter balance than ``balanced_shards``' oblivious round-robin (the
+    classic LPT bound: within 4/3 of optimal makespan) but needs running
+    heap state, so it is NOT SQL-expressible — property-tested instead of
+    oracle-checked. Runs partition-local like ``pack_sequences``: each
+    partition LPT-balances its OWN contribution across the same global
+    shard ids, and a sum of balanced parts is balanced, so no global sort
+    or coordination is needed. Deterministic: hash partitioning on the id
+    plus (size desc, id) order, ties in load broken by shard index."""
+    import heapq
+
+    df = sized.select(
+        F.col(id_col).alias("doc_id"), F.col(size_col).cast("bigint").alias("n_tokens")
+    )
+    if partitions:
+        df = df.repartition(partitions, "doc_id")
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        heap = [(0, s) for s in range(n_shards)]  # (load, shard)
+        out = []
+        for sz in pdf["n_tokens"]:
+            load, s = heapq.heappop(heap)
+            out.append(s)
+            heapq.heappush(heap, (load + int(sz), s))
+        yield pdf.assign(shard=out)[["doc_id", "n_tokens", "shard"]]
+
+    from tomixpanel_spark.session import ship_package
+
+    ship_package(sized.sparkSession)
+    return df.mapInPandas(assign, schema="doc_id long, n_tokens long, shard long")
+
+
 REGISTRY = {
     "balanced_shards": QuerySpec(
         balanced_shards, _BALANCED_SHARDS_SQL, "ext:text training-shard balance"
