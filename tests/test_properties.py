@@ -340,6 +340,24 @@ class TestJoinOperatorsVsBruteForce:
                 want.add((lid, None))
         assert got == want
 
+        got_fwd = {
+            (r["lid"], r["val"])
+            for r in asof_join(
+                left, right, on="k", left_time="t", right_time="rt",
+                right_tiebreak=("val",), direction="forward",
+            ).collect()
+        }
+        want_fwd = set()
+        for lid, k, t in left_rows:
+            cand = [(rt, val) for (rk, rt, val) in right_rows if rk == k and rt >= t]
+            if cand:
+                rt_min = min(rt for rt, _ in cand)
+                val = max(v for rt, v in cand if rt == rt_min)
+                want_fwd.add((lid, val))
+            else:
+                want_fwd.add((lid, None))
+        assert got_fwd == want_fwd
+
     @given(st.integers(0, 2**32 - 1))
     @settings(max_examples=8, deadline=None)
     def test_range_join_matches_brute_force(self, spark, seed):

@@ -35,19 +35,25 @@ def asof_join(
     left_time: str,
     right_time: str,
     right_tiebreak: tuple[str, ...] = (),
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: all ``left`` columns plus ``right``'s value
-    columns (everything but ``on``/``right_time``) taken from the latest
-    right row with ``right_time <= left_time`` for the same ``on`` key;
-    nulls when no such row exists.
+    columns (everything but ``on``/``right_time``) taken from the
+    matched right row for the same ``on`` key; nulls when none exists.
+    ``direction="backward"`` (default) matches the LATEST right row with
+    ``right_time <= left_time``; ``direction="forward"`` the EARLIEST
+    with ``right_time >= left_time`` (the next-reading / next-quote
+    shape) — same single exchange + window, just a reversed time sort.
 
     If the right side has several rows per (key, time), pass
     ``right_tiebreak`` columns: the row sorting LAST under them
     (ascending) wins — resolved inside the one window sort this operator
     already pays, so no pre-aggregation exchange is needed. Without a
-    tiebreak, pre-aggregate the right side (e.g. ``max_by``) or "latest"
-    is not well defined.
+    tiebreak, pre-aggregate the right side (e.g. ``max_by``) or the
+    match is not well defined.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_cols = [c for c in left.columns if c != on]
     value_cols = [c for c in right.columns if c not in (on, right_time)]
     overlap = set(left_cols) & set(value_cols)
@@ -69,13 +75,16 @@ def asof_join(
         *[F.col(c) for c in value_cols],
     )
     u = l_half.unionByName(r_half)
-    # right rows sort BEFORE left rows at equal time -> inclusive <=;
-    # tiebreak columns order right rows among themselves only (left rows
-    # all share __r=0, so their null tiebreak values never interleave)
+    # right rows sort BEFORE left rows at equal time -> inclusive <= / >=
+    # (forward mode just walks time DESCENDING, so "carried last right
+    # row" is the earliest at-or-after one); tiebreak columns order right
+    # rows among themselves only (left rows all share __r=0, so their
+    # null tiebreak values never interleave)
+    t_ord = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy("__k")
         .orderBy(
-            F.col("__t").asc(),
+            t_ord,
             F.col("__r").desc(),
             *[F.col(c).asc() for c in right_tiebreak],
         )
