@@ -765,3 +765,36 @@ class TestLptShards:
         assert (hi - lo) / hi < 0.12, totals
         out2 = lpt_shards(df, n_shards=8, partitions=4).collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+class TestSimhashPairs:
+    def test_equals_brute_force_all_pairs(self, spark):
+        """Pigeonhole makes 4x8-bit banding LOSSLESS for hamming <= 3:
+        the banded candidate path must equal the full quadratic scan, not
+        merely contain it."""
+        from tomixpanel_spark.operators.dedup import (
+            SIMHASH_HAM_MAX,
+            simhash,
+            simhash_pairs,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash(spark, sf).collect()}
+        ids = sorted(sigs)
+        want = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= SIMHASH_HAM_MAX
+        }
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_pairs(spark, sf).collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_band_cap_bounds_hot_buckets(self, spark):
+        from tomixpanel_spark.operators.dedup import simhash_pairs
+
+        sf = "/root/testdata/sf0.001"
+        assert simhash_pairs(spark, sf, band_cap=1).count() == 0

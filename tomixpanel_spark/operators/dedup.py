@@ -485,6 +485,79 @@ v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM t GROUP BY doc_id)
 SELECT doc_id, CAST({_SIMHASH_RECON} AS BIGINT) AS simhash FROM v
 """
 
+SIMHASH_BANDS = 4  # 8 bits each over the 32-bit signature
+SIMHASH_HAM_MAX = 3  # pigeonhole: hamming <= 3 => >= 1 of 4 bands equal
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str, band_cap: int | None = None) -> DataFrame:
+    """SimHash near-dup PAIR decision: candidates from 8-bit band
+    collisions over the 32-bit signature, verified by exact Hamming
+    distance <= SIMHASH_HAM_MAX on the signatures themselves (SimHash IS
+    the sketch — no second look at the text, unlike the Jaccard paths).
+    Pigeonhole guarantees recall: hamming <= 3 differing bits cannot
+    touch all 4 bands, so every qualifying pair collides somewhere.
+
+    Scale shape mirrors ``lsh_pairs_from_signatures``: signatures are a
+    narrow aggregate; candidates come from postings lists per (band_idx,
+    band value) — collect, cap (``band_cap``, the hot-band guard for
+    degenerate corpora), intra-list expansion of ordered pairs — so no
+    self-join and no quadratic blowup inside a hot bucket; verification
+    is one xor+bit_count per candidate."""
+    sig = simhash(spark, sf_dir)
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("b"),
+                    F.shiftright("simhash", i * 8).bitwiseAND(F.lit(0xFF)).alias("band"),
+                )
+                for i in range(SIMHASH_BANDS)
+            ]
+        )
+    ).alias("rb")
+    postings = (
+        sig.select(F.struct("doc_id", "simhash").alias("ds"), rb)
+        .groupBy("rb.b", "rb.band")
+        .agg(F.array_sort(F.collect_list("ds")).alias("ds"))
+    )
+    if band_cap is not None:
+        postings = postings.filter(F.size("ds") <= band_cap)
+    pairs = postings.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b)))"
+                )
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash")))
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= SIMHASH_HAM_MAX).distinct()
+
+
+_SIMHASH_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {i} AS b, (simhash >> {i * 8}) & 255 AS band FROM sig"
+    for i in range(SIMHASH_BANDS)
+)
+_SIMHASH_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest({_SQL_WORDS}) AS token FROM documents)),
+v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM t GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({_SIMHASH_RECON} AS BIGINT) AS simhash FROM v),
+bands AS ({_SIMHASH_BANDS_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands c ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id
+WHERE bit_count(xor(a.simhash, c.simhash)) <= {SIMHASH_HAM_MAX}
+"""
+
 
 
 
@@ -743,6 +816,7 @@ REGISTRY = {
     "minhash_signature": QuerySpec(minhash_signature, _MINHASH_SIGNATURE_SQL, "ext:dedup"),
     "minhash_lsh_pairs": QuerySpec(minhash_lsh_pairs, _MINHASH_LSH_SQL, "ext:dedup"),
     "simhash": QuerySpec(simhash, _SIMHASH_SQL, "ext:dedup"),
+    "simhash_pairs": QuerySpec(simhash_pairs, _SIMHASH_PAIRS_SQL, "ext:dedup"),
     "dedup_keep_list": QuerySpec(dedup_keep_list, _DEDUP_KEEP_LIST_SQL, "ext:dedup e2e"),
     "lsh_keep_list": QuerySpec(
         lsh_keep_list, _LSH_KEEP_LIST_SQL, "ext:dedup e2e via LSH candidates"
