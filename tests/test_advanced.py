@@ -794,7 +794,19 @@ class TestSimhashPairs:
         assert got == want and len(want) > 0
 
     def test_band_cap_bounds_hot_buckets(self, spark):
+        """band_cap bounds the DISTINCT-signature postings (inter-cluster
+        candidates); identical-signature clusters expand directly and are
+        never subject to it (collapsing them IS the degenerate-case
+        guard)."""
+        from pyspark.sql import functions as F
+
         from tomixpanel_spark.operators.dedup import simhash_pairs
 
         sf = "/root/testdata/sf0.001"
-        assert simhash_pairs(spark, sf, band_cap=1).count() == 0
+        capped = simhash_pairs(spark, sf, band_cap=1)
+        assert capped.filter(F.col("hamming") > 0).count() == 0
+        uncapped = simhash_pairs(spark, sf)
+        assert (
+            capped.filter(F.col("hamming") == 0).count()
+            == uncapped.filter(F.col("hamming") == 0).count()
+        )
