@@ -56,6 +56,10 @@ def __getattr__(name):
         "salted_join": ("tomixpanel_spark.functions.skew", "salted_join"),
         "asof_join": ("tomixpanel_spark.operators.asof", "asof_join"),
         "range_join": ("tomixpanel_spark.operators.ranges", "range_join"),
+        "embedding_decontam_pairs": (
+            "tomixpanel_spark.operators.similarity",
+            "embedding_decontam_pairs",
+        ),
         "StreamingCountMin": (
             "tomixpanel_spark.streaming.sketches",
             "StreamingCountMin",

@@ -46,6 +46,7 @@ def registry() -> dict[str, QuerySpec]:
     # neardup_components) fall inside the checked window. Every demoted
     # row keeps local DuckDB-oracle parity via tests/test_oracle_parity.py.
     for tail in (
+        "embedding_decontam",  # locally oracle-verified; keeps the 50-window stable
         "simhash_pairs",  # locally oracle-verified; keeps the 50-window stable
         "chunk_documents",  # locally oracle-verified; keeps the 50-window stable
         "weighted_sample",  # locally oracle-verified; keeps the 50-window stable

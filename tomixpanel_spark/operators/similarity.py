@@ -261,6 +261,55 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(table(spark, sf_dir, "embeddings"))
 
 
+def embedding_decontam_pairs(
+    train: DataFrame,
+    held_out: DataFrame,
+    threshold_e6: int = NEARDUP_E6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Public API: embedding-space benchmark decontamination — every
+    (train, held-out) pair with cosine >= threshold, the semantic
+    companion to the shingle-overlap ``decontam_overlap``.
+
+    Scale shape: the held-out side is a benchmark suite — small by
+    definition — so its unit matrix rides in the UDF closure and the
+    100 TB train side streams through ONE Arrow-batched mapInPandas (a
+    BLAS matmul per batch, only above-threshold rows surviving to the
+    output); no join, no shuffle. A held-out set too big for a closure
+    belongs in ``embedding_neardup_pairs``' blocked cogroup instead.
+    """
+    pdf = held_out.select(id_col, vec_col).toPandas().sort_values(id_col)
+    ids = pdf[id_col].to_numpy(dtype="int64")
+    mat = _mat(pdf, col=vec_col)
+    cand = train.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")
+    )
+    return _scored_pairs(cand, ids, mat, local_k=None, threshold_e6=threshold_e6).select(
+        F.col("neighbor_id").alias("train_id"),
+        F.col("q_id").alias("eval_id"),
+        "sim_e6",
+    )
+
+
+def embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: label 0 plays the held-out benchmark, every
+    other label the training corpus; emit contaminated (train, eval)
+    pairs at the near-dup threshold."""
+    emb = ensure_parallel(table(spark, sf_dir, "embeddings"), "vec_id")
+    held = emb.filter(F.col("label") == 0)
+    train = emb.filter(F.col("label") != 0)
+    return embedding_decontam_pairs(train, held)
+
+
+_EMBEDDING_DECONTAM_SQL = f"""
+SELECT a.vec_id AS train_id, b.vec_id AS eval_id, {_SQL_SIM} AS sim_e6
+FROM (SELECT * FROM embeddings WHERE label <> 0) a
+JOIN (SELECT * FROM embeddings WHERE label = 0) b ON true
+WHERE {_SQL_SIM} >= {NEARDUP_E6}
+"""
+
+
 _EMBEDDING_NEARDUP_SQL = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_SQL_SIM} AS sim_e6
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -558,6 +607,9 @@ REGISTRY = {
         cosine_topk_partitioned, _COSINE_TOPK_PART_SQL, "ext:similarity"
     ),
     "embedding_neardup": QuerySpec(embedding_neardup, _EMBEDDING_NEARDUP_SQL, "ext:similarity"),
+    "embedding_decontam": QuerySpec(
+        embedding_decontam, _EMBEDDING_DECONTAM_SQL, "ext:similarity decontamination"
+    ),
     "ann_ivf": QuerySpec(ann_ivf, None, "ext:similarity scale path (no SQL oracle)"),
     "ann_lsh": QuerySpec(ann_lsh, _ANN_LSH_SQL, "ext:similarity scale path"),
 }
