@@ -19,6 +19,110 @@ from tomixpanel_spark.operators import (
 from tomixpanel_spark.operators.base import QuerySpec, collect_registry
 from tomixpanel_spark.sources import csv as csv_source
 
+# Registry ordering policy
+# ------------------------
+# The external correctness gate samples the FIRST 50 registry entries, so
+# ordering decides which queries get a hard external signal each round.
+# Policy: queries that have NEVER been externally verified come FIRST;
+# after them, rows ordered by how stale their last external check is;
+# long-green rows rotate to the tail. NEW queries must be inserted in the
+# NEVER-CHECKED block (top), never appended past position 50 — ordering a
+# new query out of the checked window is gate evasion, not stability.
+# Two e2e canaries (amp_transform / ga_transform) stay inside the window
+# permanently: they exercise most of the §2 transform surface at once, so
+# a regression anywhere in that stack shows up externally even mid-rotation.
+#
+# Last-external-check provenance (CORRECTNESS_rNN.json):
+#   r6 green -> safe to rotate out this round; r1-r5 green rows that were
+#   re-verified by r6's run keep their r6 tag. Every tail row additionally
+#   has local DuckDB parity in tests/test_oracle_parity.py (all 76 run).
+_ORDER = [
+    # -- never externally checked (r1-r6): promoted to the window ---------
+    "embedding_decontam",
+    "simhash_pairs",
+    "chunk_documents",
+    "weighted_sample",
+    "attribution_last_touch",
+    "rolling_active_users",
+    "tfidf_keywords",
+    "balanced_shards",
+    "salted_join_stats",
+    "ann_lsh",
+    "gopher_quality",
+    "pii_redact",
+    "kmv_distinct",
+    "topk_per_group",
+    "cms_heavy_hitters",
+    "hypertable_rollup",
+    "asof_latest_order",
+    "range_join_active_windows",
+    "lsh_keep_list",
+    # -- rows-only so far (no SQL oracle until now): keep visible ---------
+    "ann_ivf",
+    # -- e2e canaries: permanently inside the window ----------------------
+    "amp_transform",
+    "ga_transform",
+    # -- last checked r6; high-information rows kept inside ---------------
+    "custom_dims",
+    "identity_components",
+    "neardup_components",
+    "dedup_keep_list",
+    "decontam_overlap",
+    "minhash_lsh_pairs",
+    "minhash_signature",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "dedup_exact",
+    "cosine_topk",
+    "cosine_topk_partitioned",
+    "embedding_neardup",
+    "multimodal_meta",
+    "sessionize",
+    "funnel",
+    "retention",
+    "value_quantiles",
+    "set_ops",
+    "event_sequences",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "rollup_orders",
+    "semi_join",
+    "part_revenue",
+    "supplier_balance",
+    "pushdown_filter",
+    # ---- position 50: entries below are OUTSIDE the external window -----
+    # All r6-green (or earlier-green and re-verified green by the local
+    # oracle-parity suite every round); rotated out to make room for the
+    # never-checked block above.
+    "union_all",
+    "pivot_status",
+    "window_running",
+    "map_merge",
+    "time_normalize",
+    "insert_id_md5",
+    "when_chain",
+    "session_bounds",
+    "dedup_by_key",
+    "merge_pairs",
+    "time_shift",
+    "schema_gate",
+    "token_count",
+    "word_freq",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "stratified_sample",
+    "mixture_stats",
+    "filter_nonempty",
+    "coalesce_id",
+    "explode_hits",
+    "count_agg",
+    "csv_scan",
+    "project_rename",
+    "project_drop",
+]
+
 
 def registry() -> dict[str, QuerySpec]:
     reg = collect_registry(
@@ -36,45 +140,14 @@ def registry() -> dict[str, QuerySpec]:
         ranges,
         packing,
     )
-    # The driver's correctness gate samples the FIRST 50 registry entries;
-    # demote seven thin rows whose semantics are redundantly driver- or
-    # pytest-verified elsewhere (project_rename/drop are bare projections;
-    # filter_nonempty/coalesce_id/explode_hits/count_agg are each also
-    # exercised inside the amp/ga transform driver rows; csv_scan's parse
-    # gate is pytest-locked) so the round-4 extension queries
-    # (union_all, stratified_sample, mixture_stats, decontam_overlap,
-    # neardup_components) fall inside the checked window. Every demoted
-    # row keeps local DuckDB-oracle parity via tests/test_oracle_parity.py.
-    for tail in (
-        "embedding_decontam",  # locally oracle-verified; keeps the 50-window stable
-        "simhash_pairs",  # locally oracle-verified; keeps the 50-window stable
-        "chunk_documents",  # locally oracle-verified; keeps the 50-window stable
-        "weighted_sample",  # locally oracle-verified; keeps the 50-window stable
-        "attribution_last_touch",  # locally oracle-verified; keeps the 50-window stable
-        "rolling_active_users",  # locally oracle-verified; keeps the 50-window stable
-        "tfidf_keywords",  # locally oracle-verified; keeps the 50-window stable
-        "balanced_shards",  # locally oracle-verified; keeps the 50-window stable
-        "salted_join_stats",  # locally oracle-verified; keeps the 50-window stable
-        "ann_lsh",  # locally oracle-verified; keeps the 50-window stable
-        "gopher_quality",  # locally oracle-verified; keeps the 50-window stable
-        "pii_redact",  # locally oracle-verified; keeps the 50-window stable
-        "kmv_distinct",  # locally oracle-verified; keeps the 50-window stable
-        "topk_per_group",  # locally oracle-verified; keeps the 50-window stable
-        "cms_heavy_hitters",  # locally oracle-verified; keeps the 50-window stable
-        "hypertable_rollup",  # locally oracle-verified; keeps the 50-window stable
-        "asof_latest_order",  # locally oracle-verified; keeps the 50-window stable
-        "range_join_active_windows",  # locally oracle-verified; keeps the 50-window stable
-        "lsh_keep_list",  # locally oracle-verified; keeps the 50-window stable
-        "filter_nonempty",
-        "coalesce_id",
-        "explode_hits",
-        "count_agg",
-        "csv_scan",
-        "project_rename",
-        "project_drop",
-    ):
-        reg[tail] = reg.pop(tail)
-    return reg
+    missing = [n for n in _ORDER if n not in reg]
+    extra = [n for n in reg if n not in _ORDER]
+    if missing or extra:
+        raise ValueError(
+            f"registry/_ORDER drift: missing={missing} unlisted={extra} — "
+            "add new queries to the NEVER-CHECKED block at the top of _ORDER"
+        )
+    return {n: reg[n] for n in _ORDER}
 
 
 __all__ = ["registry", "QuerySpec"]
