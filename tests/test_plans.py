@@ -170,6 +170,41 @@ def test_decontam_falls_back_to_shuffle_join_above_gate(spark, monkeypatch):
     assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
 
 
+def test_tfidf_df_is_broadcast_join_not_token_window(spark):
+    """Document frequency must come from a map-side-partial
+    groupBy(token).count() broadcast-joined back to tf — NEVER a
+    COUNT(*) OVER (PARTITION BY token) window, which funnels every tf
+    row of a hot token ("the") into one task's sort at corpus scale."""
+    df = REG["tfidf_keywords"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_cms_single_token_lineage(spark):
+    """Sketch cells and vocab probes must both derive from ONE persisted
+    per-token count aggregate — the raw-stream double-tokenize shape
+    scans and explodes the corpus twice."""
+    df = REG["cms_heavy_hitters"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Both branches read the persisted tok_counts: every printed parquet
+    # scan must sit inside an InMemoryRelation's cache-build subtree (the
+    # plan string repeats that subtree once per InMemoryTableScan), so
+    # FileScan occurrences == InMemoryRelation occurrences and at least
+    # two branches consume the cache.
+    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("FileScan parquet") == plan.count("InMemoryRelation")
+
+
+def test_lsh_keep_list_single_shingle_lineage(spark):
+    """Signatures and both exact-verify sides must share one persisted
+    shingle-array projection (the production signatures artifact) —
+    without it the corpus shingles three times in one lineage."""
+    df = REG["lsh_keep_list"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3
+
+
 def test_driver_window_rotation_policy():
     """The external correctness gate samples the FIRST 50 registry
     entries. Ordering policy (operators/__init__.py _ORDER): queries

@@ -715,8 +715,15 @@ def lsh_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise drop-higher-id policy emits the keep list. Differs from
     ``dedup_keep_list`` only in candidate generation (sub-quadratic band
     buckets instead of shingle postings) — the verification gate and the
-    policy are the same code."""
-    sa = _shingle_arrays(spark, sf_dir)
+    policy are the same code.
+
+    The shingle-array projection feeds THREE consumers in this lineage
+    (signatures + both verify sides); Spark has no cross-branch
+    subexpression reuse, so without materialization the corpus shingles
+    three times. Persist it in-query — exactly the signatures artifact a
+    production dedup pipeline writes once (``dedup_pipeline``); per-call
+    persist, Spark LRU-evicts under pressure."""
+    sa = _shingle_arrays(spark, sf_dir).persist()
     sig = sa.select("doc_id", *minhash_columns())
     cand = lsh_pairs_from_signatures(sig)
     verified = verify_pairs_exact(cand, sa, JACCARD_THRESHOLD)

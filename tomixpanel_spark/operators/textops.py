@@ -481,25 +481,37 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf multiplication weights rare terms more aggressively than ln —
     acceptable for keyword extraction, documented here).
 
-    Scale shape: ONE tokenized lineage, three keyed exchanges of the
-    (doc, token) pair set, nothing else. tf = hash agg on (doc, token);
-    document frequency = COUNT(*) OVER (PARTITION BY token) on the tf
-    rows — tf rows are unique per doc-token, so the window count IS df,
-    and expressing it as a window keeps a single lineage (the
-    aggregate-then-broadcast-join form re-evaluates the corpus tokenize
-    to build the broadcast side: Spark has no cross-branch subexpression
-    reuse — measured, it doubled the query's cost; with a PERSISTED tf
-    artifact the broadcast-join form wins instead). N folds in as a
+    Scale shape: ONE tokenized lineage. tf = hash agg on (doc, token),
+    PERSISTED in-query (the standard corpus-stats artifact — vocab x doc
+    sparse counts, far smaller than the token stream). Document frequency
+    is then a map-side-partial ``groupBy(token).count()`` over the
+    persisted tf, broadcast-joined back: tf rows are unique per
+    doc-token, so the count IS df. The broadcast side computes FIRST (its
+    own job), which materializes tf into the cache — the main job reuses
+    it, so the corpus tokenizes exactly once. Why not the single-lineage
+    ``COUNT(*) OVER (PARTITION BY token)`` form: that window funnels
+    every tf row of a hot token ("the") into ONE task's sort — a skew
+    scale-killer at corpus size (and 12x the oracle at sf0.1). The
+    broadcast side is vocab-bounded, not corpus-bounded; corpora with
+    vocabularies past broadcast size pre-prune it (df>1 filter / hash-id
+    vocab) — documented trade, same as the dedup df_cap. N folds in as a
     broadcast 1-row aggregate, not a driver count job. Top-k per doc is
     a hash aggregate (collect scored structs, array_sort, slice 3,
     posexplode) rather than a rank window: same exchange on doc_id, but
-    only each doc's own list sorts and only 3 rows per doc survive."""
+    only each doc's own list sorts and only 3 rows per doc survive.
+
+    The in-query persist is per-call and left to Spark's LRU block
+    eviction (MEMORY_AND_DISK); pipelines that extract keywords
+    repeatedly materialize tf once via ``derived()`` instead."""
     docs = table(spark, sf_dir, "documents")
     n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    )
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+        tf.join(F.broadcast(df_counts), "token")
         .crossJoin(n)
         .select(
             "doc_id",
@@ -593,18 +605,32 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch term frequencies: the mergeable-sketch shape for
     heavy-hitter detection over a token stream.
 
-    Build: ``cms_sketch`` (fixed-size hash agg). Estimate: min over depth
-    rows of the token's cell — here evaluated for the full (small) vocab
-    to make the query oracle-checkable; production queries the sketch for
-    candidate terms only. Estimates can only over-count (collisions add),
-    and both engines hash identically, so over-counts match exactly
-    too."""
+    Build: sketch cells are plain sums, so they can be built from the
+    AGGREGATED per-token counts instead of the raw occurrence stream —
+    cell(r,b) = sum of counts of tokens hashing there, identical value,
+    and the corpus then tokenizes exactly ONCE: a single map-side-partial
+    ``groupBy(token).count()`` (vocab-sized output) feeds BOTH the sketch
+    aggregate and the probe side. ``tok_counts`` is persisted in-query
+    (vocab-bounded, not corpus-bounded) because Spark has no cross-branch
+    subexpression reuse — without it each branch re-tokenizes (the old
+    double-lineage shape, 8x the oracle at sf0.1). ``cms_sketch`` keeps
+    the stream-shaped construction for streaming partials.
+
+    Estimate: min over depth rows of the token's cell — here evaluated
+    for the full (small) vocab to make the query oracle-checkable;
+    production queries the sketch for candidate terms only. Estimates can
+    only over-count (collisions add), and both engines hash identically,
+    so over-counts match exactly too."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("token"))
-    sketch = cms_sketch(docs)
+    tok_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    sketch = (
+        tok_counts.select("cnt", _cms_rb())
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("cnt").alias("c"))
+    )
     est = (
-        toks.distinct()
-        .select("token", _cms_rb())
+        tok_counts.select("token", _cms_rb())
         .select("token", "rb.row", "rb.bucket")
         .join(F.broadcast(sketch), ["row", "bucket"])
         .groupBy("token")
