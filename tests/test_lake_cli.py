@@ -201,3 +201,150 @@ class TestBucketedJoins:
             assert joined.count() == 2000
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestConfigDispatch:
+    """Config-driven paths added in r7: the mixpanel people migration
+    (connectors/mixpanelETL.js:115-182) and the reverse-ETL destination
+    routing (index.js:85-91 -> load/sendOther.js:7-18) — both reachable
+    from a plain job config, no library calls."""
+
+    def _mp_source_opts(self, tmp_path, with_people=True):
+        import json as _json
+
+        from tests.fixtures import mp_engage_page, mp_export_lines
+
+        export = tmp_path / "export.ndjson"
+        export.write_text(mp_export_lines(30))
+        opts = {"path": str(export), "staging_dir": str(tmp_path)}
+        if with_people:
+            pages = [mp_engage_page(0, 10, 10), mp_engage_page(1, 10, 3)]
+            opts["doPeople"] = True
+            # keyed off the cursor form (not a call counter): the paging
+            # loop restarts whenever build() re-runs
+            opts["http_post"] = lambda url, form, headers, _p=pages: _json.dumps(
+                _p[int(form.get("page", 0))]
+            )
+        return opts
+
+    def test_mixpanel_people_path_in_build_and_run(self, spark, tmp_path):
+        from tests.test_sinks_sources import StubServer
+        from tomixpanel_spark import pipeline
+
+        s = StubServer()
+        try:
+            config = {
+                "source": {
+                    "name": "mixpanel",
+                    "options": self._mp_source_opts(tmp_path),
+                },
+                "destination": {
+                    "name": "mixpanel",
+                    "token": "tok",
+                    "options": {"import_url": s.url, "engage_url": s.url},
+                },
+            }
+            plan = pipeline.build(spark, config)
+            assert plan.profiles is not None  # S8 wired into the plan
+            summary = pipeline.run(spark, config)
+            assert summary["events"]["imported"] == 30
+            assert summary["profiles"]["imported"] == 13  # both engage pages
+            prof_req = next(
+                c for c in s.requests if c["records"] and "$set" in c["records"][0]
+            )
+            rec = prof_req["records"][0]
+            assert rec["$token"] == "tok" and rec["$ignore_time"] is True
+            assert rec["$distinct_id"].startswith("mp_user_")
+            assert rec["$set"]["plan"] == "pro"
+        finally:
+            s.stop()
+
+    def test_reverse_amplitude_dispatch_from_config(self, spark, tmp_path):
+        from tests.test_sinks_sources import StubServer
+        from tomixpanel_spark import pipeline
+
+        s = StubServer()
+        try:
+            summary = pipeline.run(
+                spark,
+                {
+                    "source": {
+                        "name": "mixpanel",
+                        "options": self._mp_source_opts(tmp_path),
+                    },
+                    "destination": {
+                        "name": "amplitude",
+                        "api_key": "KEY",
+                        "token": "tok",
+                        "options": {
+                            "httpapi_url": s.url,
+                            "identify_url": s.url,
+                            "pacing_s": 0.0,
+                        },
+                    },
+                },
+                concurrency=1,
+            )
+            assert summary["events"]["imported"] == 30
+            assert summary["users"]["imported"] == 13
+            ev_req = next(
+                c for c in s.requests if c["records"] and "event_type" in c["records"][0]
+            )
+            assert ev_req["envelope"] == {"api_key": "KEY"}  # v2 envelope
+            assert ev_req["n"] <= 2000  # sendOther.js:209 chunk size
+            id_req = next(c for c in s.requests if c["envelope"] and c is not ev_req)
+            assert id_req["envelope"].get("api_key") == "KEY"
+            assert id_req["n"] <= 1000  # sendOther.js:237 chunk size
+            assert id_req["records"][0]["user_id"].startswith("mp_user_")
+        finally:
+            s.stop()
+
+    def test_reverse_woopra_dispatch_from_config(self, spark, tmp_path):
+        from tests.test_sinks_sources import StubServer
+        from tomixpanel_spark import pipeline
+
+        s = StubServer()
+        try:
+            summary = pipeline.run(
+                spark,
+                {
+                    "source": {
+                        "name": "mixpanel",
+                        "options": self._mp_source_opts(tmp_path),
+                    },
+                    "destination": {
+                        "name": "woopra",
+                        "project": "proj",
+                        "username": "u",
+                        "password": "p",
+                        "options": {"url": s.url},
+                    },
+                },
+                concurrency=1,
+            )
+            assert summary["events"]["imported"] == 30
+            assert summary["users"] == {
+                "skipped": "woopra users unsupported upstream"
+            }  # sendOther.js:73-75
+            req = s.requests[0]
+            assert req["method"] == "PUT" and "project=proj" in req["path"]
+            assert req["n"] <= 10000  # sendOther.js:97 chunk size
+        finally:
+            s.stop()
+
+    def test_reverse_requires_mixpanel_source(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from tests.fixtures import csv_text
+        from tomixpanel_spark import pipeline
+
+        csv_path = tmp_path / "in.csv"
+        csv_path.write_text(csv_text())
+        with _pytest.raises(ValueError, match="reverses the mixpanel source"):
+            pipeline.run(
+                spark,
+                {
+                    "source": {"name": "csv", "options": {"path": str(csv_path)}},
+                    "destination": {"name": "amplitude", "api_key": "K"},
+                },
+            )

@@ -119,24 +119,64 @@ def build(spark: SparkSession, config: dict) -> PipelinePlan:
         )
 
     if name == "mixpanel":
-        from tomixpanel_spark.sources.mixpanel import MixpanelExportSource
-        from tomixpanel_spark.sources.staging import valid_records
-        from tomixpanel_spark.transforms.mixpanel import mp_export_events
-
-        source = MixpanelExportSource(
-            api_secret=opts.get("api_secret", ""),
-            from_date=opts.get("from_date", ""),
-            to_date=opts.get("to_date", ""),
-            staging_dir=opts.get("staging_dir", opts.get("path", "")),
-            where=opts.get("where"),
-            events=opts.get("events"),
-            http=opts.get("http"),
+        from tomixpanel_spark.transforms.mixpanel import (
+            mp_engage_profiles,
+            mp_export_events,
         )
-        path = opts.get("path") or source.fetch()
-        raw = valid_records(source.read(spark, path))
-        return PipelinePlan(events=mp_export_events(raw))
+
+        raw = _mixpanel_export_raw(spark, opts)
+        plan = PipelinePlan(events=mp_export_events(raw))
+        # People migration (S8): config.source.options.doPeople pages
+        # /engage and re-imports profiles (connectors/mixpanelETL.js:
+        # 115-182). The profiles stream then rides run()'s /engage sink
+        # (mixpanel destination) or the /identify reverse sink.
+        if opts.get("doPeople") or opts.get("people"):
+            plan.profiles = mp_engage_profiles(
+                _mixpanel_engage_pages(spark, opts), token
+            )
+        return plan
 
     raise ValueError(f"unknown source: {name!r}")
+
+
+def _mixpanel_export_raw(spark: SparkSession, opts: dict) -> DataFrame:
+    """/export fetch+read -> validated raw {event, properties} rows.
+    Shared by the forward (mixpanel->mixpanel) build and the reverse-ETL
+    path, which reshapes the RAW export rows (load/sendOther.js)."""
+    from tomixpanel_spark.sources.mixpanel import MixpanelExportSource
+    from tomixpanel_spark.sources.staging import valid_records
+
+    source = MixpanelExportSource(
+        api_secret=opts.get("api_secret", ""),
+        from_date=opts.get("from_date", ""),
+        to_date=opts.get("to_date", ""),
+        staging_dir=opts.get("staging_dir", opts.get("path", "")),
+        where=opts.get("where"),
+        events=opts.get("events"),
+        http=opts.get("http"),
+    )
+    path = opts.get("path") or source.fetch()
+    return valid_records(source.read(spark, path))
+
+
+def _mixpanel_engage_pages(spark: SparkSession, opts: dict) -> DataFrame:
+    """/engage cursor-paged fetch+read (connectors/mixpanelETL.js:140-182).
+    ``engage_path`` skips the fetch (pre-staged pages); ``http_post`` is
+    the injected transport."""
+    import os
+
+    from tomixpanel_spark.sources.mixpanel import MixpanelEngageSource
+
+    staging = opts.get("engage_staging_dir") or os.path.join(
+        opts.get("staging_dir", opts.get("path", "")) or ".", "engage"
+    )
+    source = MixpanelEngageSource(
+        api_secret=opts.get("api_secret", ""),
+        staging_dir=staging,
+        http_post=opts.get("http_post"),
+    )
+    paths = opts.get("engage_path") or source.fetch_pages()
+    return source.read(spark, paths)
 
 
 def run(
@@ -154,7 +194,14 @@ def run(
     batch receipts as the response log (reference writes eventLogs.json
     etc., connectors/amplitudeETL.js:74-78) — failed receipts double as
     the replayable dead-letter store.
+
+    ``destination.name: "amplitude" | "woopra"`` routes the reverse-ETL
+    path instead (index.js:85-91 -> load/sendOther.js:7-18), matching the
+    reference: only the mixpanel source reverses out.
     """
+    dest_name = str(config.get("destination", {}).get("name", "mixpanel")).lower()
+    if dest_name in ("amplitude", "woopra"):
+        return _run_reverse(spark, config, dest_name, transport, concurrency)
     plan = build(spark, config)
     dest = config.get("destination", {})
     dopts = dest.get("options", {})
@@ -223,4 +270,94 @@ def run(
         summary["merges"] = _load(
             "merges", plan.merges, HttpSink(base, mp_merge_record, transport)
         )
+    return summary
+
+
+def _run_reverse(
+    spark: SparkSession,
+    config: dict,
+    dest_name: str,
+    transport=None,
+    concurrency: Optional[int] = None,
+) -> dict:
+    """Reverse-ETL: mixpanel /export (+ optional /engage people) to
+    Amplitude or Woopra, mirroring load/sendOther.js.
+
+      * amplitude: events -> HTTP API v2 (2,000/batch), users ->
+        /identify (1,000/batch) when source.options.doPeople
+        (sendOther.js:166-258).
+      * woopra: events -> bulk NDJSON PUT (10,000/batch); users are
+        unsupported upstream and recorded as skipped (sendOther.js:73-75).
+
+    The reverse transforms reshape the RAW export rows (event +
+    properties map), so this path reads the source directly rather than
+    going through the canonical event plan."""
+    src = config["source"]
+    if src["name"] != "mixpanel":
+        raise ValueError(
+            f"destination {dest_name!r} only reverses the mixpanel source "
+            "(index.js:85-91)"
+        )
+    opts = src.get("options", {})
+    dest = config.get("destination", {})
+    dopts = dest.get("options", {})
+    from tomixpanel_spark.sinks.http import summarize_receipts
+    from tomixpanel_spark.transforms.mixpanel import (
+        mp_engage_profiles,
+        mp_to_amplitude_events,
+        mp_to_amplitude_users,
+        mp_to_woopra_events,
+    )
+
+    raw = _mixpanel_export_raw(spark, opts)
+    do_people = bool(opts.get("doPeople") or opts.get("people"))
+    summary: dict = {}
+    if dest_name == "amplitude":
+        from tomixpanel_spark.sinks.reverse import (
+            AMPLITUDE_HTTP_API,
+            AMPLITUDE_IDENTIFY_API,
+            amplitude_events_sink,
+            amplitude_users_sink,
+        )
+
+        api_key = dest.get("api_key") or dest.get("token") or ""
+        ev_sink = amplitude_events_sink(
+            api_key,
+            url=dopts.get("httpapi_url", AMPLITUDE_HTTP_API),
+            transport=transport,
+            pacing_s=dopts.get("pacing_s", 2.0),
+        )
+        summary["events"] = summarize_receipts(
+            ev_sink.send(mp_to_amplitude_events(raw), concurrency)
+        )
+        if do_people:
+            profiles = mp_engage_profiles(
+                _mixpanel_engage_pages(spark, opts), dest.get("token")
+            )
+            us_sink = amplitude_users_sink(
+                api_key,
+                url=dopts.get("identify_url", AMPLITUDE_IDENTIFY_API),
+                transport=transport,
+                pacing_s=dopts.get("pacing_s", 2.0),
+            )
+            summary["users"] = summarize_receipts(
+                us_sink.send(mp_to_amplitude_users(profiles), concurrency)
+            )
+        return summary
+
+    from tomixpanel_spark.sinks.reverse import WOOPRA_IMPORT_URL, woopra_sink
+
+    project = dest.get("project") or dest.get("domain") or ""
+    sink = woopra_sink(
+        project,
+        url=dopts.get("url", WOOPRA_IMPORT_URL),
+        transport=transport,
+        username=dest.get("username", dest.get("service_account_user", "")),
+        password=dest.get("password", dest.get("service_account_pass", "")),
+    )
+    summary["events"] = summarize_receipts(
+        sink.send(mp_to_woopra_events(raw, project), concurrency)
+    )
+    if do_people:
+        summary["users"] = {"skipped": "woopra users unsupported upstream"}
     return summary

@@ -24,6 +24,7 @@ from tomixpanel_spark.sinks.http import HttpSink, HttpSinkConfig, Transport
 
 AMPLITUDE_HTTP_API = "https://api2.amplitude.com/2/httpapi"
 AMPLITUDE_IDENTIFY_API = "https://api2.amplitude.com/identify"
+WOOPRA_IMPORT_URL = "https://www.woopra.com/rest/3.0/logs/import"
 AMP_EVENTS_PER_BATCH = 2000
 AMP_USERS_PER_BATCH = 1000
 WOOPRA_PER_BATCH = 10000
@@ -125,7 +126,7 @@ def amplitude_users_sink(
 
 def woopra_sink(
     project: str,
-    url: str,
+    url: str = WOOPRA_IMPORT_URL,
     transport: Optional[Transport] = None,
     username: str = "",
     password: str = "",
