@@ -146,6 +146,33 @@ def main() -> None:
             derived_cached[name] = round(run_once(name), 4)
     os.environ.pop("TOMIX_CACHE_DERIVED", None)
 
+    # Optional oracle leg (TOMIX_BENCH_ORACLE=1): time DuckDB running each
+    # query's oracle SQL in the SAME measurement window under the SAME
+    # best-of-N policy as the Spark headline — min-of-N on one side only
+    # would bias the ratio toward whichever engine got the min treatment.
+    oracle: dict[str, float] = {}
+    if os.environ.get("TOMIX_BENCH_ORACLE"):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {cpus}")
+        for t in ("region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        for name in sorted(reg):
+            sql = reg[name].oracle
+            if sql is None:
+                continue
+            con.execute(sql).fetchall()  # warm (page cache, plan)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            oracle[name] = round(best, 4)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -164,7 +191,17 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "cpus": cpus,
+        # both headline numbers are best-of-3 full runs in one window
+        "timing_policy": "best_of_3_both_engines",
     }
+    if oracle:
+        common = [k for k in oracle if k in timings]
+        out["oracle_queries"] = oracle
+        out["oracle_total"] = round(sum(oracle.values()), 4)
+        out["spark_total_common"] = round(sum(timings[k] for k in common), 4)
+        out["ratio_vs_oracle"] = round(
+            out["spark_total_common"] / max(out["oracle_total"], 1e-9), 3
+        )
     print(json.dumps(out))
     spark.stop()
 

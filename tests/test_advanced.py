@@ -149,20 +149,46 @@ class TestStatefulSessionize:
 
 
 class TestAnnIvf:
-    def test_ivf_close_to_brute_force(self, spark):
-        from tomixpanel_spark.operators.similarity import ann_ivf, cosine_topk
+    def test_ivf_quality_contract(self, spark):
+        """The hard quality signal for the one registry entry without a
+        SQL oracle (centroid training isn't SQL-expressible): (1) a
+        CALIBRATED recall floor at the default nprobe=2 (measured 0.66 on
+        this corpus; 0.6 leaves noise margin while still failing any
+        broken cell assignment), (2) recall is monotone in nprobe, and
+        (3) probing EVERY cell reproduces the brute-force top-k EXACTLY —
+        same BLAS sims, same tie-break, so full-probe IVF == cosine_topk
+        set-for-set, which pins the scoring path against the oracle-
+        checked brute force."""
+        from tomixpanel_spark.operators.base import table
+        from tomixpanel_spark.operators.similarity import (
+            ann_ivf,
+            ann_ivf_topk,
+            cosine_topk,
+        )
 
         sf = "/root/testdata/sf0.001"
         brute = {
             (r["q_id"], r["neighbor_id"]) for r in cosine_topk(spark, sf).collect()
         }
         ivf = {(r["q_id"], r["neighbor_id"]) for r in ann_ivf(spark, sf).collect()}
-        # approximate: nprobe=2 of 16 cells should still recover a solid
-        # fraction of true neighbors, deterministically (fixed seed)
-        recall = len(brute & ivf) / len(brute)
-        assert recall >= 0.3, f"recall {recall}"
+        recall2 = len(brute & ivf) / len(brute)
+        assert recall2 >= 0.6, f"nprobe=2 recall {recall2}"
         ivf2 = {(r["q_id"], r["neighbor_id"]) for r in ann_ivf(spark, sf).collect()}
         assert ivf == ivf2  # deterministic
+
+        emb = table(spark, sf, "embeddings")
+        ivf4 = {
+            (r["q_id"], r["neighbor_id"])
+            for r in ann_ivf_topk(emb, nprobe=4).collect()
+        }
+        recall4 = len(brute & ivf4) / len(brute)
+        assert recall4 >= recall2, f"recall not monotone: {recall4} < {recall2}"
+
+        full = {
+            (r["q_id"], r["neighbor_id"])
+            for r in ann_ivf_topk(emb, nprobe=16).collect()
+        }
+        assert full == brute  # full probe == exact brute force
 
 
 class TestMultimodalDecode:

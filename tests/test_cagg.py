@@ -102,9 +102,9 @@ class TestContinuousAggregate:
         }
         assert got_daily == want_daily
 
-        # the store is day-partitioned (partition pruning on merge reads)
-        days = [e for e in os.listdir(tmp_path / "store") if e.startswith("day=")]
-        assert len(days) == 3
+        # the store is day-partitioned (manifest-pruned merge reads)
+        man = json.loads((tmp_path / "store" / "_cagg_manifest.json").read_text())
+        assert len(man["days"]) == 3
 
     def test_replayed_batch_is_skipped(self, spark, tmp_path):
         """foreachBatch is at-least-once: re-delivering an already-merged
@@ -126,7 +126,7 @@ class TestContinuousAggregate:
 
     def test_merge_touches_only_affected_partitions(self, spark, tmp_path):
         """A batch for day 2 must leave day 1's partition files untouched
-        (dynamic partition overwrite + pruned read)."""
+        (fresh generation dir + manifest-pruned read)."""
         from tomixpanel_spark.streaming.cagg import ContinuousAggregate
 
         def df_for(day):
@@ -137,9 +137,50 @@ class TestContinuousAggregate:
 
         cagg = ContinuousAggregate(str(tmp_path / "store"))
         cagg.update_batch(df_for(1), batch_id=0)
-        d1 = tmp_path / "store" / "day=2024-03-01"
+        d1 = tmp_path / "store" / "gen" / "0" / "day=2024-03-01"
         before = {p: os.path.getmtime(d1 / p) for p in os.listdir(d1) if p.endswith(".parquet")}
         _time.sleep(1.1)
         cagg.update_batch(df_for(2), batch_id=1)
         after = {p: os.path.getmtime(d1 / p) for p in os.listdir(d1) if p.endswith(".parquet")}
         assert before == after  # day 1 files untouched by a day-2 batch
+        # and the manifest still points day 1 at its original generation
+        man = json.loads((tmp_path / "store" / "_cagg_manifest.json").read_text())
+        assert man["days"]["2024-03-01"] == 0 and man["days"]["2024-03-02"] == 1
+
+    def test_crash_between_data_write_and_commit_is_exact_on_replay(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The ADVICE crash window: data written, manifest NOT swapped.
+        The replayed batch must re-merge from the PRE-batch state (no
+        double count) and nothing previously committed may be lost."""
+        from tomixpanel_spark.streaming import cagg as cagg_mod
+
+        def df_for(n):
+            return spark.createDataFrame(
+                [("2024-03-01 10:00:00", "click", 1.0)] * n,
+                "ts string, event_type string, value double",
+            ).withColumn("ts", F.to_timestamp("ts"))
+
+        cagg = cagg_mod.ContinuousAggregate(str(tmp_path / "store"))
+        cagg.update_batch(df_for(5), batch_id=0)
+
+        real_commit = cagg._commit_manifest
+        calls = []
+
+        def crash_once(man):
+            if not calls:
+                calls.append(1)
+                raise OSError("simulated crash before manifest swap")
+            real_commit(man)
+
+        monkeypatch.setattr(cagg, "_commit_manifest", crash_once)
+        import pytest as _pytest
+
+        with _pytest.raises(OSError, match="simulated crash"):
+            cagg.update_batch(df_for(3), batch_id=1)  # data lands, commit dies
+        # store still reads the committed state only
+        [row] = cagg.hourly(spark).collect()
+        assert row["n"] == 5
+        cagg.update_batch(df_for(3), batch_id=1)  # at-least-once replay
+        [row] = cagg.hourly(spark).collect()
+        assert row["n"] == 8  # exactly once despite the half-commit

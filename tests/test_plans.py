@@ -170,6 +170,24 @@ def test_decontam_falls_back_to_shuffle_join_above_gate(spark, monkeypatch):
     assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
 
 
+def test_embedding_decontam_gate_flips_to_cogroup(spark, monkeypatch):
+    """Below the held-out-size gate the eval matrix rides the UDF closure
+    (one mapInPandas, no shuffle); above it the plan must flip to the
+    two-sided blocked cogroup instead of trusting the caller — same
+    answers either way."""
+    closure = REG["embedding_decontam"].fn(spark, SF_ORACLE)
+    plan = closure._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" not in plan
+
+    monkeypatch.setenv("TOMIX_EMB_BCAST_VECS", "0")
+    cogrouped = REG["embedding_decontam"].fn(spark, SF_ORACLE)
+    plan2 = cogrouped._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan2
+    assert sorted(map(tuple, cogrouped.collect())) == sorted(
+        map(tuple, closure.collect())
+    )
+
+
 def test_tfidf_df_is_broadcast_join_not_token_window(spark):
     """Document frequency must come from a map-side-partial
     groupBy(token).count() broadcast-joined back to tf — NEVER a
@@ -182,27 +200,29 @@ def test_tfidf_df_is_broadcast_join_not_token_window(spark):
 
 
 def test_cms_single_token_lineage(spark):
-    """Sketch cells and vocab probes must both derive from ONE persisted
-    per-token count aggregate — the raw-stream double-tokenize shape
-    scans and explodes the corpus twice."""
+    """Sketch cells and vocab probes must both derive from ONE
+    materialized per-token count aggregate (lazy localCheckpoint — NOT
+    persist, which would leak into the session CacheManager and get
+    substituted into other queries' plans) — the raw-stream
+    double-tokenize shape scans and explodes the corpus twice."""
     df = REG["cms_heavy_hitters"].fn(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # Both branches read the persisted tok_counts: every printed parquet
-    # scan must sit inside an InMemoryRelation's cache-build subtree (the
-    # plan string repeats that subtree once per InMemoryTableScan), so
-    # FileScan occurrences == InMemoryRelation occurrences and at least
-    # two branches consume the cache.
-    assert plan.count("InMemoryTableScan") >= 2
-    assert plan.count("FileScan parquet") == plan.count("InMemoryRelation")
+    # both branches read the checkpointed tok_counts RDD; the corpus
+    # parquet scan is hidden inside the checkpoint build, so the final
+    # plan shows only ExistingRDD scans and NO parquet scan
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "FileScan parquet" not in plan
+    assert "InMemoryTableScan" not in plan  # no CacheManager leak
 
 
 def test_lsh_keep_list_single_shingle_lineage(spark):
-    """Signatures and both exact-verify sides must share one persisted
-    shingle-array projection (the production signatures artifact) —
-    without it the corpus shingles three times in one lineage."""
+    """Signatures and both exact-verify sides must share one materialized
+    shingle-array projection (the production signatures artifact; lazy
+    localCheckpoint, see test_cms_single_token_lineage) — without it the
+    corpus shingles three times in one lineage."""
     df = REG["lsh_keep_list"].fn(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") >= 3
+    assert plan.count("Scan ExistingRDD") >= 3
 
 
 def test_driver_window_rotation_policy():

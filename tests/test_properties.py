@@ -359,6 +359,51 @@ class TestJoinOperatorsVsBruteForce:
         assert got_fwd == want_fwd
 
     @given(st.integers(0, 2**32 - 1))
+    @settings(max_examples=10, deadline=None)
+    def test_asof_carries_matched_row_atomically_with_nulls(self, spark, seed):
+        """Right value columns with NULLs: the output must be exactly the
+        matched right row — a NULL field stays NULL, never back-filled
+        from an older/losing right row (the per-column last() bug)."""
+        import random
+
+        from tomixpanel_spark.operators.asof import asof_join
+
+        rng = random.Random(seed)
+        left_rows = [(i, f"k{rng.randrange(3)}", rng.randrange(0, 40)) for i in range(20)]
+        right_rows = [
+            (
+                f"k{rng.randrange(3)}",
+                rng.randrange(0, 40),
+                rng.randrange(100),
+                None if rng.random() < 0.5 else rng.randrange(100),
+            )
+            for _ in range(20)
+        ]
+        left = spark.createDataFrame(left_rows, "lid long, k string, t long")
+        right = spark.createDataFrame(right_rows, "k string, rt long, tb long, v long")
+        got = {
+            (r["lid"], r["tb"], r["v"])
+            for r in asof_join(
+                left, right, on="k", left_time="t", right_time="rt",
+                right_tiebreak=("tb",),
+            ).collect()
+        }
+        want = set()
+        for lid, k, t in left_rows:
+            cand = [(rt, tb, v) for (rk, rt, tb, v) in right_rows if rk == k and rt <= t]
+            if cand:
+                rt_max = max(rt for rt, _, _ in cand)
+                # the winning row: max tiebreak among max-time rows
+                winner = max(
+                    ((tb, v) for rt, tb, v in cand if rt == rt_max),
+                    key=lambda p: p[0],
+                )
+                want.add((lid, winner[0], winner[1]))
+            else:
+                want.add((lid, None, None))
+        assert got == want
+
+    @given(st.integers(0, 2**32 - 1))
     @settings(max_examples=8, deadline=None)
     def test_range_join_matches_brute_force(self, spark, seed):
         import random

@@ -59,34 +59,47 @@ def asof_join(
     overlap = set(left_cols) & set(value_cols)
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    if not value_cols:
+        raise ValueError("right side has no value columns to carry")
 
+    from pyspark.sql.types import StructField, StructType
+
+    # ALL right value columns ride in ONE struct carried by a single
+    # last(ignorenulls=True): per-column carries would back-fill a NULL
+    # field of the winning right row from an older, losing row — mixing
+    # columns across right rows. The struct itself is non-null for every
+    # right row (even when all its fields are null), so the carry is
+    # atomic: the output is exactly the matched row, nulls included.
+    v_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
     l_half = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(0).alias("__r"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(v_type).alias("__v"),
     )
     r_half = right.select(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(1).alias("__r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
     )
     u = l_half.unionByName(r_half)
     # right rows sort BEFORE left rows at equal time -> inclusive <= / >=
     # (forward mode just walks time DESCENDING, so "carried last right
     # row" is the earliest at-or-after one); tiebreak columns order right
-    # rows among themselves only (left rows all share __r=0, so their
-    # null tiebreak values never interleave)
+    # rows among themselves only (left rows all share __r=0 and a null
+    # struct, so their null tiebreak fields never interleave)
     t_ord = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy("__k")
         .orderBy(
             t_ord,
             F.col("__r").desc(),
-            *[F.col(c).asc() for c in right_tiebreak],
+            *[F.col("__v")[c].asc() for c in right_tiebreak],
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -95,10 +108,13 @@ def asof_join(
         "__t",
         "__r",
         *left_cols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("__v", ignorenulls=True).over(w).alias("__v"),
     )
     return carried.filter(F.col("__r") == 0).select(
-        F.col("__k").alias(on), F.col("__t").alias(left_time), *left_cols, *value_cols
+        F.col("__k").alias(on),
+        F.col("__t").alias(left_time),
+        *left_cols,
+        *[F.col("__v")[c].alias(c) for c in value_cols],
     )
 
 

@@ -720,10 +720,14 @@ def lsh_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingle-array projection feeds THREE consumers in this lineage
     (signatures + both verify sides); Spark has no cross-branch
     subexpression reuse, so without materialization the corpus shingles
-    three times. Persist it in-query — exactly the signatures artifact a
-    production dedup pipeline writes once (``dedup_pipeline``); per-call
-    persist, Spark LRU-evicts under pressure."""
-    sa = _shingle_arrays(spark, sf_dir).persist()
+    three times. Materialize it in-query with a LAZY localCheckpoint —
+    exactly the signatures artifact a production dedup pipeline writes
+    once (``dedup_pipeline``). localCheckpoint, NOT persist(): a persist
+    registers the subplan in the session CacheManager, which then
+    silently substitutes the cached relation into every OTHER query
+    sharing the subtree — a surprising cross-query side effect a single
+    query must not have."""
+    sa = _shingle_arrays(spark, sf_dir).localCheckpoint(eager=False)
     sig = sa.select("doc_id", *minhash_columns())
     cand = lsh_pairs_from_signatures(sig)
     verified = verify_pairs_exact(cand, sa, JACCARD_THRESHOLD)

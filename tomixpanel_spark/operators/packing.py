@@ -98,16 +98,21 @@ def pack_sequences(
     """(id, size) -> (id, size, bin_id, bin_fill) via first-fit-decreasing
     within each hash partition.
 
-    ``bin_id`` is globally unique (partition-namespaced); ``bin_fill`` is
+    ``bin_id`` is globally unique (partition-namespaced: pid * 2^40 + b,
+    so a partition may pack up to 2^40 bins and ~8M partitions fit in an
+    int64 — both orders of magnitude past any real run); ``bin_fill`` is
     the bin's total AFTER packing. A document larger than ``capacity``
     gets its own bin (never silently dropped or split). Deterministic:
-    partitioning is a hash of the id column and FFD order is
-    (size desc, id)."""
+    the input is ALWAYS hash-repartitioned on the id column (defaulting
+    to the current parallelism when ``partitions`` is None — without the
+    repartition, assignments would depend on the input's arbitrary
+    upstream partitioning) and FFD order is (size desc, id)."""
     df = sized.select(
         F.col(id_col).alias("doc_id"), F.col(size_col).cast("bigint").alias("n_tokens")
     )
-    if partitions:
-        df = df.repartition(partitions, "doc_id")
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(partitions, "doc_id")
     part = df.withColumn("__pid", F.spark_partition_id())
 
     def pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -136,7 +141,7 @@ def pack_sequences(
                 fills.append(sz)  # new bin (oversize doc -> own bin)
                 assign.append(len(fills) - 1)
         out = pdf.assign(
-            bin_id=[pid * 1_000_000 + b for b in assign],
+            bin_id=[(pid << 40) + b for b in assign],
             bin_fill=[fills[b] for b in assign],
         )
         yield out[["doc_id", "n_tokens", "bin_id", "bin_fill"]]
@@ -166,15 +171,18 @@ def lpt_shards(
     oracle-checked. Runs partition-local like ``pack_sequences``: each
     partition LPT-balances its OWN contribution across the same global
     shard ids, and a sum of balanced parts is balanced, so no global sort
-    or coordination is needed. Deterministic: hash partitioning on the id
-    plus (size desc, id) order, ties in load broken by shard index."""
+    or coordination is needed. Deterministic: the input is ALWAYS
+    hash-repartitioned on the id (defaulting to the current parallelism
+    when ``partitions`` is None) plus (size desc, id) order, ties in
+    load broken by shard index."""
     import heapq
 
     df = sized.select(
         F.col(id_col).alias("doc_id"), F.col(size_col).cast("bigint").alias("n_tokens")
     )
-    if partitions:
-        df = df.repartition(partitions, "doc_id")
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(partitions, "doc_id")
 
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = [pdf for pdf in it if len(pdf)]

@@ -261,6 +261,71 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(table(spark, sf_dir, "embeddings"))
 
 
+EMB_BCAST_MAX_VECS = 100_000  # ~25 MB closure at 64 float32 dims
+
+
+def _emb_bcast_cap() -> int:
+    import os
+
+    return int(os.environ.get("TOMIX_EMB_BCAST_VECS", str(EMB_BCAST_MAX_VECS)))
+
+
+def _cross_blocked_pairs(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    threshold_e6: int,
+    n_blocks: int = NEARDUP_BLOCKS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Blocked cogroup over TWO DISTINCT sides: every (left, right) pair
+    lands in exactly one of n_blocks^2 tasks (left row replicated across
+    partner right-blocks and vice versa), scored with one matmul per
+    task. Task memory is O((|L|+|R|)/n_blocks * d) — the two-sided twin
+    of ``embedding_neardup_pairs``' triangle blocking."""
+    import numpy as np
+
+    B = n_blocks
+    all_blocks = F.array(*[F.lit(i) for i in range(B)])
+
+    def blocked(df, own, other):
+        return (
+            df.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                F.pmod(F.col(id_col), F.lit(B)).cast("int").alias(own),
+            )
+            .withColumn(other, F.explode(all_blocks))
+            .select("pi", "pj", "vec_id", "embedding")
+        )
+
+    left = blocked(left_df, "pi", "pj")
+    right = blocked(right_df, "pj", "pi")
+    empty = pd.DataFrame({"train_id": [], "eval_id": [], "sim_e6": []})
+
+    def block_pairs(key, lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        if not len(lg) or not len(rg):
+            return empty
+        a = _mat(lg)
+        b = _mat(rg)
+        e6 = np.rint((a @ b.T) * 1_000_000).astype("int64")
+        ai, bj = np.nonzero(e6 >= threshold_e6)
+        return pd.DataFrame(
+            {
+                "train_id": lg["vec_id"].to_numpy(dtype="int64")[ai],
+                "eval_id": rg["vec_id"].to_numpy(dtype="int64")[bj],
+                "sim_e6": e6[ai, bj],
+            }
+        )
+
+    ship_package(left_df.sparkSession)
+    return (
+        left.groupBy("pi", "pj")
+        .cogroup(right.groupBy("pi", "pj"))
+        .applyInPandas(block_pairs, schema="train_id long, eval_id long, sim_e6 long")
+    )
+
+
 def embedding_decontam_pairs(
     train: DataFrame,
     held_out: DataFrame,
@@ -272,13 +337,20 @@ def embedding_decontam_pairs(
     (train, held-out) pair with cosine >= threshold, the semantic
     companion to the shingle-overlap ``decontam_overlap``.
 
-    Scale shape: the held-out side is a benchmark suite — small by
-    definition — so its unit matrix rides in the UDF closure and the
-    100 TB train side streams through ONE Arrow-batched mapInPandas (a
-    BLAS matmul per batch, only above-threshold rows surviving to the
-    output); no join, no shuffle. A held-out set too big for a closure
-    belongs in ``embedding_neardup_pairs``' blocked cogroup instead.
+    Scale shape, AUTO-GATED like ``decontam_overlap``: the held-out side
+    is counted first (one narrow job). At or below the gate
+    (``TOMIX_EMB_BCAST_VECS``, default 100k vectors) its unit matrix
+    rides in the UDF closure and the 100 TB train side streams through
+    ONE Arrow-batched mapInPandas (a BLAS matmul per batch, only
+    above-threshold rows surviving); no join, no shuffle. Above the gate
+    the plan flips to the two-sided blocked cogroup
+    (``_cross_blocked_pairs``) — same answers, bounded task memory —
+    instead of trusting the caller not to collect an oversized suite.
     """
+    if held_out.count() > _emb_bcast_cap():
+        return _cross_blocked_pairs(
+            train, held_out, threshold_e6, id_col=id_col, vec_col=vec_col
+        )
     pdf = held_out.select(id_col, vec_col).toPandas().sort_values(id_col)
     ids = pdf[id_col].to_numpy(dtype="int64")
     mat = _mat(pdf, col=vec_col)
@@ -317,7 +389,7 @@ WHERE {_SQL_SIM} >= {NEARDUP_E6}
 """
 
 
-def ann_ivf_topk(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+def ann_ivf_topk(emb: DataFrame, k: int = TOP_K, nprobe: int = 2) -> DataFrame:
     """IVF ANN with learned coarse centroids over any ``(vec_id,
     embedding)`` DataFrame.
 
@@ -332,11 +404,15 @@ def ann_ivf_topk(emb: DataFrame, k: int = TOP_K) -> DataFrame:
     mapInPandas pass assigns each batch's vectors to cells (matmul vs
     broadcast centroids) and scores them against the queries probing that
     cell — no corpus collect, no assignment join. Each query probes its
-    nprobe=2 nearest cells.
+    ``nprobe`` nearest cells (default 2); ``nprobe >= K`` probes every
+    cell, which makes the result EXACTLY the brute-force top-k — the
+    quality contract tests/test_advanced.py pins (full-probe == exact,
+    recall floor at nprobe=2, monotone in nprobe).
     """
     import numpy as np
 
-    K, N_ITER, NPROBE = 16, 8, 2
+    # NPROBE > #centroids just probes them all (argsort slice saturates)
+    K, N_ITER, NPROBE = 16, 8, nprobe
     spark = emb.sparkSession
     n = emb.count()
     step = max(2, n // 1024)  # ~1-2k training vectors at any corpus size

@@ -500,14 +500,18 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode) rather than a rank window: same exchange on doc_id, but
     only each doc's own list sorts and only 3 rows per doc survive.
 
-    The in-query persist is per-call and left to Spark's LRU block
-    eviction (MEMORY_AND_DISK); pipelines that extract keywords
-    repeatedly materialize tf once via ``derived()`` instead."""
+    The in-query materialization is a LAZY localCheckpoint, not
+    persist(): persist registers in the session CacheManager and gets
+    substituted into other queries' matching subtrees — a cross-query
+    side effect a single query must not have. Pipelines that extract
+    keywords repeatedly materialize tf once via ``derived()`` instead."""
     docs = table(spark, sf_dir, "documents")
     n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = (
-        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
@@ -610,11 +614,14 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell(r,b) = sum of counts of tokens hashing there, identical value,
     and the corpus then tokenizes exactly ONCE: a single map-side-partial
     ``groupBy(token).count()`` (vocab-sized output) feeds BOTH the sketch
-    aggregate and the probe side. ``tok_counts`` is persisted in-query
-    (vocab-bounded, not corpus-bounded) because Spark has no cross-branch
-    subexpression reuse — without it each branch re-tokenizes (the old
-    double-lineage shape, 8x the oracle at sf0.1). ``cms_sketch`` keeps
-    the stream-shaped construction for streaming partials.
+    aggregate and the probe side. ``tok_counts`` materializes in-query
+    via a lazy localCheckpoint (vocab-bounded, not corpus-bounded)
+    because Spark has no cross-branch subexpression reuse — without it
+    each branch re-tokenizes (the old double-lineage shape, 8x the
+    oracle at sf0.1); localCheckpoint rather than persist() so the
+    session CacheManager never substitutes it into other queries.
+    ``cms_sketch`` keeps the stream-shaped construction for streaming
+    partials.
 
     Estimate: min over depth rows of the token's cell — here evaluated
     for the full (small) vocab to make the query oracle-checkable;
@@ -623,7 +630,11 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     so over-counts match exactly too."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("token"))
-    tok_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    tok_counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     sketch = (
         tok_counts.select("cnt", _cms_rb())
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))

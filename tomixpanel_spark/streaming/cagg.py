@@ -8,46 +8,67 @@ lands, so the raw stream is aggregated exactly once ever:
   * per micro-batch, the batch aggregates to hourly partial cells
     (count + DECIMAL sum — the re-aggregable pair; averages derive at
     read time);
-  * the store is parquet partitioned by day; a batch only reads and
-    rewrites the day-partitions it touches (partition pruning on read,
-    dynamic partition overwrite on write) — per-batch cost is
+  * the store is day-partitioned; a batch only reads and rewrites the
+    day partitions it touches (manual pruning via the manifest on read,
+    a fresh generation directory on write) — per-batch cost is
     proportional to the batch's time spread, never the store size;
   * coarser grains (daily, weekly) roll up FROM THE STORED HOURLY
     PARTIALS — counts and DECIMAL sums merge exactly, so
     daily-from-partials equals daily-from-raw bit-for-bit (asserted by
     tests against a direct batch aggregate of the full input);
-  * replays are safe: foreachBatch is at-least-once, so the store keeps
-    the last applied batch_id and skips batches it has already merged —
-    the standard idempotent-sink pattern, required because merge is not
-    idempotent (a replayed batch would double-count).
+  * replays are safe AND crash-atomic: foreachBatch is at-least-once,
+    and the data write + batch_id record commit TOGETHER (see below) —
+    a crash anywhere leaves the store readable and the replay exact.
+
+Commit protocol (the poor-man's transaction log, same shape as
+Delta/Iceberg's manifest pointer):
+
+  * every batch writes its merged day partitions under a FRESH
+    generation directory ``gen/<batch_id>/day=<d>/`` — never touching
+    files any reader references;
+  * one manifest JSON (``_cagg_manifest.json``) maps day -> owning
+    generation AND records the last applied batch_id; it is swapped with
+    ``os.replace`` (atomic on POSIX) only after the generation write
+    returns;
+  * crash BEFORE the swap: the manifest still points at the old
+    generations, so a replayed batch re-reads exactly the pre-batch
+    state and overwrites the orphan generation dir — idempotent, no
+    double-count, no lost partials (the old day files were never
+    deleted, unlike a dynamic-partition overwrite which removes them
+    before the new files commit);
+  * crash AFTER the swap: the batch_id is already inside the manifest,
+    so the replay short-circuits;
+  * superseded generation dirs are garbage-collected best-effort after
+    each successful commit.
 
 Reference parity: the reference recomputes summary totals per run (M8);
 an incrementally-maintained aggregate is part of the scale extension
 surface (TimescaleDB continuous aggregates / materialized-view
-maintenance re-expressed as foreachBatch + partition-pruned merge).
+maintenance re-expressed as foreachBatch + manifest-pruned merge).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 class ContinuousAggregate:
-    """Hourly (bucket, event_type) -> (n, sum_dec) partial store.
+    """Hourly (bucket, key) -> (n, sum_dec) partial store.
 
     ``update_batch`` is a ``foreachBatch`` hook; ``hourly()`` /
     ``daily()`` are the read paths.
 
     ``path`` must be DRIVER-ACCESSIBLE (local disk, NFS, or a fuse
-    mount): the store-exists probe and the batch_id meta file use plain
-    filesystem IO. For an object store, swap ``_last_batch_id`` /
-    ``_commit_batch_id`` / the exists check for the store's API (the
-    Spark read/write calls themselves already take any Hadoop-supported
-    URI).
+    mount): the manifest swap uses plain filesystem IO (``os.replace``).
+    For an object store, swap ``_load_manifest`` / ``_commit_manifest``
+    for a conditional-put on the store's API (the Spark read/write calls
+    themselves already take any Hadoop-supported URI).
     """
 
     def __init__(
@@ -62,23 +83,39 @@ class ContinuousAggregate:
         self.key_col = key_col
         self.value_col = value_col
 
-    # -- idempotence bookkeeping ------------------------------------------
-    def _meta_path(self) -> str:
-        return os.path.join(self.path, "_cagg_meta.json")
+    # -- manifest: days -> generation, plus the applied batch_id ----------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_cagg_manifest.json")
 
-    def _last_batch_id(self) -> int:
+    def _load_manifest(self) -> dict:
         try:
-            with open(self._meta_path()) as f:
-                return json.load(f)["batch_id"]
+            with open(self._manifest_path()) as f:
+                man = json.load(f)
+            return {"batch_id": man["batch_id"], "days": dict(man["days"])}
         except (OSError, ValueError, KeyError):
-            return -1
+            return {"batch_id": -1, "days": {}}
 
-    def _commit_batch_id(self, batch_id: int) -> None:
+    def _commit_manifest(self, man: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
-        tmp = self._meta_path() + ".tmp"
+        tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        os.replace(tmp, self._meta_path())
+            json.dump(man, f)
+        os.replace(tmp, self._manifest_path())
+
+    def _gen_dir(self, batch_id: int) -> str:
+        return os.path.join(self.path, "gen", str(batch_id))
+
+    def _gc_superseded(self, man: dict) -> None:
+        """Best-effort removal of generation dirs no reader can reach."""
+        live = {str(g) for g in man["days"].values()}
+        root = os.path.join(self.path, "gen")
+        try:
+            gens = os.listdir(root)
+        except OSError:
+            return
+        for g in gens:
+            if g not in live:
+                shutil.rmtree(os.path.join(root, g), ignore_errors=True)
 
     # -- write path -------------------------------------------------------
     # The store's sum type is PINNED: Spark widens SUM(decimal(p,s)) to
@@ -102,46 +139,73 @@ class ContinuousAggregate:
             .withColumn("day", F.to_date("bucket"))
         )
 
+    def _read_day_partitions(self, spark: SparkSession, man: dict, days) -> DataFrame | None:
+        """Union the manifest-selected day partitions, grouped by owning
+        generation so each read keeps its basePath (restores the ``day``
+        partition column)."""
+        by_gen: dict[str, list[str]] = {}
+        for d in days:
+            g = man["days"].get(d)
+            if g is not None:
+                by_gen.setdefault(str(g), []).append(d)
+        parts = []
+        for g, ds in by_gen.items():
+            base = self._gen_dir(int(g))
+            paths = [os.path.join(base, f"day={d}") for d in ds]
+            parts.append(spark.read.option("basePath", base).parquet(*paths))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def update_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Merge one micro-batch into the store. Reads ONLY the day
-        partitions the batch touches; rewrites only those."""
-        if batch_id <= self._last_batch_id():
-            return  # replayed batch: already merged
+        partitions the batch touches; writes a fresh generation and
+        commits data + batch_id atomically via the manifest swap."""
+        man = self._load_manifest()
+        if batch_id <= man["batch_id"]:
+            return  # replayed batch: already committed in the manifest
         spark = batch_df.sparkSession
         partials = self._batch_partials(batch_df)
-        store_exists = os.path.isdir(self.path) and any(
-            e.startswith("day=") for e in os.listdir(self.path)
+        days = sorted(
+            r["day"].isoformat() for r in partials.select("day").distinct().collect()
         )
-        if store_exists:
-            days = [r["day"] for r in partials.select("day").distinct().collect()]
-            existing = spark.read.parquet(self.path).filter(F.col("day").isin(days))
+        existing = self._read_day_partitions(spark, man, days)
+        if existing is not None:
             partials = (
-                existing.unionByName(partials)
+                existing.withColumn("day", F.col("day").cast("date"))
+                .unionByName(partials)
                 .groupBy("bucket", "key", "day")
                 .agg(
                     F.sum("n").alias("n"),
                     F.sum("sum_dec").cast(self.SUM_TYPE).alias("sum_dec"),
                 )
             )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                partials.write.mode("overwrite")
-                .partitionBy("day")
-                .parquet(self.path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        self._commit_batch_id(batch_id)
+        # a replayed half-committed batch overwrites its own orphan dir
+        partials.write.mode("overwrite").partitionBy("day").parquet(
+            self._gen_dir(batch_id)
+        )
+        new_man = {
+            "batch_id": batch_id,
+            "days": {**man["days"], **{d: batch_id for d in days}},
+        }
+        self._commit_manifest(new_man)  # THE commit point (atomic swap)
+        self._gc_superseded(new_man)
 
     # -- read paths -------------------------------------------------------
+    _READ_SCHEMA = (
+        "bucket timestamp, key string, n bigint, sum_dec decimal(28,6)"
+    )
+
     def hourly(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path).select(
-            "bucket",
-            "key",
-            F.col("n").cast("bigint").alias("n"),
-            "sum_dec",
+        man = self._load_manifest()
+        df = self._read_day_partitions(spark, man, sorted(man["days"]))
+        if df is None:
+            return spark.createDataFrame([], StructType.fromDDL(self._READ_SCHEMA))
+        return df.select(
+            "bucket", "key", F.col("n").cast("bigint").alias("n"), "sum_dec"
         )
 
     def daily(self, spark: SparkSession) -> DataFrame:
