@@ -726,9 +726,20 @@ def lsh_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers the subplan in the session CacheManager, which then
     silently substitutes the cached relation into every OTHER query
     sharing the subtree — a surprising cross-query side effect a single
-    query must not have."""
+    query must not have.
+
+    The signature projection rides the SAME derived-artifact key as
+    ``minhash_signature`` (``("minhash_sig", sf_dir)``): with
+    TOMIX_CACHE_DERIVED on, a pipeline that already materialized
+    signatures skips the 8 md5 folds per shingle here entirely; with it
+    off, the builder runs over the checkpointed shingles — still one
+    shingle computation for all three consumers."""
     sa = _shingle_arrays(spark, sf_dir).localCheckpoint(eager=False)
-    sig = sa.select("doc_id", *minhash_columns())
+    sig = derived(
+        spark,
+        ("minhash_sig", sf_dir),
+        lambda: sa.select("doc_id", *minhash_columns()),
+    )
     cand = lsh_pairs_from_signatures(sig)
     verified = verify_pairs_exact(cand, sa, JACCARD_THRESHOLD)
     drops = verified.select(F.col("doc_b").alias("doc_id")).distinct()
