@@ -506,7 +506,7 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     side effect a single query must not have. Pipelines that extract
     keywords repeatedly materialize tf once via ``derived()`` instead."""
     docs = table(spark, sf_dir, "documents")
-    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = (
         toks.groupBy("doc_id", "token")
@@ -514,14 +514,13 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_counts), "token")
-        .crossJoin(n)
-        .select(
-            "doc_id",
-            "token",
-            F.expr("tf * 1000000L * n_docs div df").alias("score_e6"),
-        )
+    # N rides INSIDE the df broadcast side (one 1-row cross inside the
+    # build) — a separate broadcast(n) costs a whole extra broadcast job,
+    # measured ~15% of this query's wall time at sf0.1
+    scored = tf.join(F.broadcast(df_counts.crossJoin(n)), "token").select(
+        "doc_id",
+        "token",
+        F.expr("tf * 1000000L * n_docs div df").alias("score_e6"),
     )
     top3 = (
         scored.groupBy("doc_id")
