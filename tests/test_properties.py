@@ -445,3 +445,26 @@ class TestJoinOperatorsVsBruteForce:
             if pk == ik and s <= pt <= e
         }
         assert got == want
+
+
+class TestTokenizeSpec:
+    def test_tokens_match_oracle_split_on_messy_spacing(self, spark):
+        """tokens() and the oracles' string_split(text, ' ') implement ONE
+        declared spec: literal-space split with empties filtered. Pin the
+        agreement on inputs the synthetic corpus never exercises
+        (leading/trailing/repeated spaces)."""
+        import duckdb
+
+        from tomixpanel_spark.functions.text import tokens
+
+        texts = ["a  b", "  lead", "trail  ", "a b  c   d", "", "   "]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [r[0] for r in df.select(tokens("text")).collect()]
+        con = duckdb.connect()
+        want = [
+            con.execute(
+                "SELECT list_filter(string_split(?, ' '), t -> t <> '')", [t]
+            ).fetchone()[0]
+            for t in texts
+        ]
+        assert got == want
