@@ -184,3 +184,54 @@ class TestContinuousAggregate:
         cagg.update_batch(df_for(3), batch_id=1)  # at-least-once replay
         [row] = cagg.hourly(spark).collect()
         assert row["n"] == 8  # exactly once despite the half-commit
+
+    def test_null_timestamp_rows_dropped_not_poisonous(self, spark, tmp_path):
+        """A row whose ts fails parsing must not crash the batch (and with
+        at-least-once redelivery, crash it forever) — null-ts rows are
+        dropped explicitly; the bucketable rows still merge."""
+        from tomixpanel_spark.streaming.cagg import ContinuousAggregate
+
+        df = spark.createDataFrame(
+            [("2024-03-01 10:00:00", "click", 1.0), (None, "click", 1.0)],
+            "ts string, event_type string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        cagg = ContinuousAggregate(str(tmp_path / "store"))
+        cagg.update_batch(df, batch_id=0)
+        [row] = cagg.hourly(spark).collect()
+        assert row["n"] == 1
+
+    def test_adopts_pre_manifest_store_without_data_loss(self, spark, tmp_path):
+        """Upgrading over a store written by the earlier format (day=*
+        dirs at the root + _cagg_meta.json) must keep its aggregates AND
+        its applied batch_id — not silently read an empty store and
+        double-merge the redelivered batch."""
+        from tomixpanel_spark.streaming.cagg import ContinuousAggregate
+
+        store = tmp_path / "store"
+
+        def df_for(n, day=1):
+            return spark.createDataFrame(
+                [(f"2024-03-0{day} 10:00:00", "click", 1.0)] * n,
+                "ts string, event_type string, value double",
+            ).withColumn("ts", F.to_timestamp("ts"))
+
+        # simulate the legacy layout: day-partitioned parquet at the root
+        # plus the separate batch_id meta file
+        legacy = ContinuousAggregate(str(store))
+        partials = legacy._batch_partials(df_for(5))
+        partials.write.mode("overwrite").partitionBy("day").parquet(str(store))
+        (store / "_cagg_meta.json").write_text(json.dumps({"batch_id": 3}))
+
+        cagg = ContinuousAggregate(str(store))
+        [row] = cagg.hourly(spark).collect()
+        assert row["n"] == 5  # adopted, not empty
+        cagg.update_batch(df_for(2), batch_id=3)  # replay of applied batch
+        [row] = cagg.hourly(spark).collect()
+        assert row["n"] == 5  # skipped via adopted batch_id
+        cagg.update_batch(df_for(2), batch_id=4)  # genuinely new batch
+        [row] = cagg.hourly(spark).collect()
+        assert row["n"] == 7
+        # day 2 written later must not disturb the adopted day-1 data
+        cagg.update_batch(df_for(3, day=2), batch_id=5)
+        got = {str(r["bucket"])[:10]: r["n"] for r in cagg.hourly(spark).collect()}
+        assert got == {"2024-03-01": 7, "2024-03-02": 3}

@@ -348,3 +348,58 @@ class TestConfigDispatch:
                     "destination": {"name": "amplitude", "api_key": "K"},
                 },
             )
+
+    def test_reverse_path_honors_save_local_copy(self, spark, tmp_path):
+        """K9 applies to the reverse path: the outgoing stream checkpoints
+        as parquet and receipts persist as the response log, exactly like
+        the forward path (which also validates save_dir)."""
+        from tests.test_sinks_sources import StubServer
+        from tomixpanel_spark import pipeline
+
+        s = StubServer()
+        try:
+            summary = pipeline.run(
+                spark,
+                {
+                    "source": {
+                        "name": "mixpanel",
+                        "options": self._mp_source_opts(tmp_path, with_people=False),
+                    },
+                    "destination": {
+                        "name": "amplitude",
+                        "api_key": "KEY",
+                        "options": {
+                            "httpapi_url": s.url,
+                            "pacing_s": 0.0,
+                            "save_local_copy": True,
+                            "save_dir": str(tmp_path / "saved"),
+                        },
+                    },
+                },
+                concurrency=1,
+            )
+            assert summary["events"]["imported"] == 30
+            saved = spark.read.parquet(str(tmp_path / "saved" / "events"))
+            assert saved.count() == 30
+            logs = spark.read.json(str(tmp_path / "saved" / "events_receipts"))
+            assert logs.count() == summary["events"]["batches"]
+        finally:
+            s.stop()
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="requires save_dir"):
+            pipeline.run(
+                spark,
+                {
+                    "source": {
+                        "name": "mixpanel",
+                        "options": self._mp_source_opts(tmp_path, with_people=False),
+                    },
+                    "destination": {
+                        "name": "amplitude",
+                        "api_key": "KEY",
+                        "options": {"save_local_copy": True},
+                    },
+                },
+            )

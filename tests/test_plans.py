@@ -188,6 +188,34 @@ def test_embedding_decontam_gate_flips_to_cogroup(spark, monkeypatch):
     )
 
 
+def test_embedding_decontam_keeps_id_collisions_on_both_gate_sides(
+    spark, monkeypatch
+):
+    """Train and held-out ids are INDEPENDENT spaces: a numeric collision
+    is still a real (train, eval) pair. The closure path once inherited
+    the self-search id-exclusion mask and silently dropped such pairs
+    while the cogroup path kept them — the answer depended on held-out
+    size."""
+    from tomixpanel_spark.operators.similarity import embedding_decontam_pairs
+
+    train = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    held = spark.createDataFrame([(7, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    expect = [(7, 7, 1_000_000)]
+    got_closure = [
+        (r["train_id"], r["eval_id"], r["sim_e6"])
+        for r in embedding_decontam_pairs(train, held, threshold_e6=900_000).collect()
+    ]
+    assert got_closure == expect
+    monkeypatch.setenv("TOMIX_EMB_BCAST_VECS", "0")
+    got_cogroup = [
+        (r["train_id"], r["eval_id"], r["sim_e6"])
+        for r in embedding_decontam_pairs(train, held, threshold_e6=900_000).collect()
+    ]
+    assert got_cogroup == expect
+
+
 def test_tfidf_df_is_broadcast_join_not_token_window(spark):
     """Document frequency must come from a map-side-partial
     groupBy(token).count() broadcast-joined back to tf — NEVER a

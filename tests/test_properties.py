@@ -370,14 +370,19 @@ class TestJoinOperatorsVsBruteForce:
 
         rng = random.Random(seed)
         left_rows = [(i, f"k{rng.randrange(3)}", rng.randrange(0, 40)) for i in range(20)]
+        # tiebreak values are globally UNIQUE (row index): asof_join's own
+        # contract says the match is ill-defined without a fully
+        # disambiguating tiebreak, and a duplicate (k, rt, tb) triple
+        # would make Spark's sort tie and the Python max() disagree
+        # nondeterministically
         right_rows = [
             (
                 f"k{rng.randrange(3)}",
                 rng.randrange(0, 40),
-                rng.randrange(100),
+                j,
                 None if rng.random() < 0.5 else rng.randrange(100),
             )
-            for _ in range(20)
+            for j in range(20)
         ]
         left = spark.createDataFrame(left_rows, "lid long, k string, t long")
         right = spark.createDataFrame(right_rows, "k string, rt long, tb long, v long")

@@ -107,6 +107,8 @@ def pack_sequences(
     to the current parallelism when ``partitions`` is None — without the
     repartition, assignments would depend on the input's arbitrary
     upstream partitioning) and FFD order is (size desc, id)."""
+    if partitions is not None and partitions < 1:
+        raise ValueError(f"partitions must be positive, got {partitions}")
     df = sized.select(
         F.col(id_col).alias("doc_id"), F.col(size_col).cast("bigint").alias("n_tokens")
     )
@@ -177,6 +179,8 @@ def lpt_shards(
     load broken by shard index."""
     import heapq
 
+    if partitions is not None and partitions < 1:
+        raise ValueError(f"partitions must be positive, got {partitions}")
     df = sized.select(
         F.col(id_col).alias("doc_id"), F.col(size_col).cast("bigint").alias("n_tokens")
     )

@@ -85,11 +85,17 @@ def _collect_queries(emb: DataFrame, with_label: bool = False):
 
 def _scored_pairs(
     cand: DataFrame, q_ids, q_mat, local_k: int | None, threshold_e6: int | None,
-    q_labels=None,
+    q_labels=None, exclude_self: bool = True,
 ) -> DataFrame:
     """mapInPandas stage: raw candidate batches x query matrix -> sim_e6
     rows. Candidates normalize in-batch (numpy); only local top-k /
-    above-threshold rows survive to the shuffle."""
+    above-threshold rows survive to the shuffle.
+
+    ``exclude_self`` masks candidates whose id equals the query id — the
+    self-search semantics every top-k/neardup caller wants. Callers whose
+    query and candidate sets live in INDEPENDENT id spaces (decontam:
+    train vs held-out) must pass False, or a numeric id collision would
+    silently suppress a real cross-set pair."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -103,7 +109,11 @@ def _scored_pairs(
             out = []
             for qi in range(len(q_ids)):
                 col = e6[:, qi]
-                mask = n_ids != q_ids[qi]
+                mask = (
+                    n_ids != q_ids[qi]
+                    if exclude_self
+                    else np.ones(len(n_ids), dtype=bool)
+                )
                 if q_labels is not None:
                     mask &= pdf["label"].to_numpy() == q_labels[qi]
                 if threshold_e6 is not None:
@@ -357,7 +367,12 @@ def embedding_decontam_pairs(
     cand = train.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("embedding")
     )
-    return _scored_pairs(cand, ids, mat, local_k=None, threshold_e6=threshold_e6).select(
+    # exclude_self=False: train and held-out ids are independent spaces —
+    # a numeric collision is still a real (train, eval) pair, and the
+    # cogroup fallback above keeps such pairs, so both gate sides agree
+    return _scored_pairs(
+        cand, ids, mat, local_k=None, threshold_e6=threshold_e6, exclude_self=False
+    ).select(
         F.col("neighbor_id").alias("train_id"),
         F.col("q_id").alias("eval_id"),
         "sim_e6",

@@ -219,35 +219,10 @@ def run(
         raise ValueError("destination.options.save_local_copy requires save_dir")
 
     def _load(name: str, df, sink: HttpSink) -> dict:
-        if save_copy:
-            from tomixpanel_spark.sinks.lake import (
-                write_events_partitioned,
-                write_local_copy,
-            )
-
-            # checkpoint first, then SEND FROM THE CHECKPOINT: one
-            # computation of the transform lineage, and the saved copy is
-            # byte-identical to what was sent. Events get the date-
-            # partitioned lake layout so replays prune.
-            if name == "events":
-                write_events_partitioned(df, f"{save_dir}/{name}")
-            else:
-                write_local_copy(df, f"{save_dir}/{name}")
-            df = df.sparkSession.read.parquet(f"{save_dir}/{name}")
-        receipts = sink.send(df, concurrency)
-        if save_copy:
-            # drive the send EXACTLY ONCE: persist receipts to disk, then
-            # summarize from the re-read — a second action on the live
-            # receipt stream could re-POST batches on cache eviction
-            receipts.write.mode("overwrite").json(f"{save_dir}/{name}_receipts")
-            from tomixpanel_spark.sinks.http import RECEIPT_SCHEMA
-
-            # explicit schema: empty receipt dirs can't infer, and the JSON
-            # writer omits null columns on all-success runs
-            receipts = df.sparkSession.read.schema(RECEIPT_SCHEMA).json(
-                f"{save_dir}/{name}_receipts"
-            )
-        return summarize_receipts(receipts)
+        return _checkpointed_send(
+            name, df, sink, save_copy, save_dir, concurrency,
+            partition_events=(name == "events"),
+        )
 
     summary = {}
     if plan.events is not None:
@@ -271,6 +246,50 @@ def run(
             "merges", plan.merges, HttpSink(base, mp_merge_record, transport)
         )
     return summary
+
+
+def _checkpointed_send(
+    name: str,
+    df: DataFrame,
+    sink: HttpSink,
+    save_copy: bool,
+    save_dir: Optional[str],
+    concurrency: Optional[int],
+    partition_events: bool = False,
+) -> dict:
+    """K9 send wrapper shared by the forward and reverse load paths:
+    optionally checkpoint the outgoing stream as parquet and persist the
+    batch receipts as the response log / dead-letter store.
+
+    Checkpoint first, then SEND FROM THE CHECKPOINT: one computation of
+    the transform lineage, and the saved copy is byte-identical to what
+    was sent. ``partition_events`` gives the stream the date-partitioned
+    lake layout so replays prune."""
+    if save_copy:
+        from tomixpanel_spark.sinks.lake import (
+            write_events_partitioned,
+            write_local_copy,
+        )
+
+        if partition_events:
+            write_events_partitioned(df, f"{save_dir}/{name}")
+        else:
+            write_local_copy(df, f"{save_dir}/{name}")
+        df = df.sparkSession.read.parquet(f"{save_dir}/{name}")
+    receipts = sink.send(df, concurrency)
+    if save_copy:
+        # drive the send EXACTLY ONCE: persist receipts to disk, then
+        # summarize from the re-read — a second action on the live
+        # receipt stream could re-POST batches on cache eviction
+        receipts.write.mode("overwrite").json(f"{save_dir}/{name}_receipts")
+        from tomixpanel_spark.sinks.http import RECEIPT_SCHEMA
+
+        # explicit schema: empty receipt dirs can't infer, and the JSON
+        # writer omits null columns on all-success runs
+        receipts = df.sparkSession.read.schema(RECEIPT_SCHEMA).json(
+            f"{save_dir}/{name}_receipts"
+        )
+    return summarize_receipts(receipts)
 
 
 def _run_reverse(
@@ -301,13 +320,19 @@ def _run_reverse(
     opts = src.get("options", {})
     dest = config.get("destination", {})
     dopts = dest.get("options", {})
-    from tomixpanel_spark.sinks.http import summarize_receipts
     from tomixpanel_spark.transforms.mixpanel import (
         mp_engage_profiles,
         mp_to_amplitude_events,
         mp_to_amplitude_users,
         mp_to_woopra_events,
     )
+
+    # K9 applies to the reverse path too (the reference stages the export
+    # file and keeps it under save_local_copy)
+    save_copy = bool(dopts.get("save_local_copy"))
+    save_dir = dopts.get("save_dir")
+    if save_copy and not save_dir:
+        raise ValueError("destination.options.save_local_copy requires save_dir")
 
     raw = _mixpanel_export_raw(spark, opts)
     do_people = bool(opts.get("doPeople") or opts.get("people"))
@@ -327,8 +352,9 @@ def _run_reverse(
             transport=transport,
             pacing_s=dopts.get("pacing_s", 2.0),
         )
-        summary["events"] = summarize_receipts(
-            ev_sink.send(mp_to_amplitude_events(raw), concurrency)
+        summary["events"] = _checkpointed_send(
+            "events", mp_to_amplitude_events(raw), ev_sink,
+            save_copy, save_dir, concurrency,
         )
         if do_people:
             profiles = mp_engage_profiles(
@@ -340,8 +366,9 @@ def _run_reverse(
                 transport=transport,
                 pacing_s=dopts.get("pacing_s", 2.0),
             )
-            summary["users"] = summarize_receipts(
-                us_sink.send(mp_to_amplitude_users(profiles), concurrency)
+            summary["users"] = _checkpointed_send(
+                "users", mp_to_amplitude_users(profiles), us_sink,
+                save_copy, save_dir, concurrency,
             )
         return summary
 
@@ -355,8 +382,9 @@ def _run_reverse(
         username=dest.get("username", dest.get("service_account_user", "")),
         password=dest.get("password", dest.get("service_account_pass", "")),
     )
-    summary["events"] = summarize_receipts(
-        sink.send(mp_to_woopra_events(raw, project), concurrency)
+    summary["events"] = _checkpointed_send(
+        "events", mp_to_woopra_events(raw, project), sink,
+        save_copy, save_dir, concurrency,
     )
     if do_people:
         summary["users"] = {"skipped": "woopra users unsupported upstream"}

@@ -77,11 +77,13 @@ class ContinuousAggregate:
         ts_col: str = "ts",
         key_col: str = "event_type",
         value_col: str = "value",
+        gc: bool = True,
     ) -> None:
         self.path = path
         self.ts_col = ts_col
         self.key_col = key_col
         self.value_col = value_col
+        self.gc = gc
 
     # -- manifest: days -> generation, plus the applied batch_id ----------
     def _manifest_path(self) -> str:
@@ -93,7 +95,30 @@ class ContinuousAggregate:
                 man = json.load(f)
             return {"batch_id": man["batch_id"], "days": dict(man["days"])}
         except (OSError, ValueError, KeyError):
+            return self._legacy_manifest()
+
+    def _legacy_manifest(self) -> dict:
+        """No manifest on disk: adopt a pre-manifest store if one exists
+        (day=* dirs at the root + _cagg_meta.json batch_id — the earlier
+        format, which committed data and batch_id separately). Days map
+        to the sentinel generation "legacy" (resolved to the store root);
+        the next update_batch commit writes a real manifest carrying the
+        adopted days forward, so upgrading never loses aggregates or
+        replays an already-applied batch."""
+        days: dict = {}
+        try:
+            for e in os.listdir(self.path):
+                if e.startswith("day=") and os.path.isdir(os.path.join(self.path, e)):
+                    days[e[len("day="):]] = "legacy"
+        except OSError:
             return {"batch_id": -1, "days": {}}
+        batch_id = -1
+        try:
+            with open(os.path.join(self.path, "_cagg_meta.json")) as f:
+                batch_id = int(json.load(f)["batch_id"])
+        except (OSError, ValueError, KeyError, TypeError):
+            pass
+        return {"batch_id": batch_id, "days": days}
 
     def _commit_manifest(self, man: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
@@ -102,11 +127,22 @@ class ContinuousAggregate:
             json.dump(man, f)
         os.replace(tmp, self._manifest_path())
 
-    def _gen_dir(self, batch_id: int) -> str:
-        return os.path.join(self.path, "gen", str(batch_id))
+    def _gen_dir(self, gen) -> str:
+        if str(gen) == "legacy":
+            return self.path  # adopted pre-manifest store: day=* at root
+        return os.path.join(self.path, "gen", str(gen))
 
     def _gc_superseded(self, man: dict) -> None:
-        """Best-effort removal of generation dirs no reader can reach."""
+        """Best-effort removal of generation dirs the CURRENT manifest no
+        longer references. CAVEAT: a reader holding a lazy hourly()/
+        daily() DataFrame resolved against an older manifest can still
+        point at a superseded generation — its action would then hit
+        missing files. Construct with ``gc=False`` when long-lived
+        readers run concurrently with the stream (superseded generations
+        then accumulate until an external vacuum); the default suits the
+        common read-after-batch cadence."""
+        if not self.gc:
+            return
         live = {str(g) for g in man["days"].values()}
         root = os.path.join(self.path, "gen")
         try:
@@ -125,8 +161,15 @@ class ContinuousAggregate:
     SUM_TYPE = "decimal(28,6)"
 
     def _batch_partials(self, df: DataFrame) -> DataFrame:
+        # Rows with an unparseable/null timestamp cannot be bucketed —
+        # drop them HERE, explicitly: without the filter one bad row
+        # yields a null day group whose isoformat() crashes update_batch,
+        # and foreachBatch redelivers the same poison batch forever.
+        # Null-ts rows are a data-quality concern for the upstream gate
+        # (V1/V2), not for the aggregate store.
         return (
-            df.groupBy(
+            df.filter(F.col(self.ts_col).isNotNull())
+            .groupBy(
                 F.date_trunc("hour", F.col(self.ts_col)).alias("bucket"),
                 F.col(self.key_col).alias("key"),
             )
@@ -150,7 +193,7 @@ class ContinuousAggregate:
                 by_gen.setdefault(str(g), []).append(d)
         parts = []
         for g, ds in by_gen.items():
-            base = self._gen_dir(int(g))
+            base = self._gen_dir(g)
             paths = [os.path.join(base, f"day={d}") for d in ds]
             parts.append(spark.read.option("basePath", base).parquet(*paths))
         if not parts:
