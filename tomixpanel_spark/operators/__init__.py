@@ -37,6 +37,8 @@ from tomixpanel_spark.sources import csv as csv_source
 #   re-verified by r6's run keep their r6 tag. Every tail row additionally
 #   has local DuckDB parity in tests/test_oracle_parity.py (all 76 run).
 _ORDER = [
+    # -- never externally checked: new queries insert HERE (see policy) ---
+    "mixture_rebalance",  # added r7
     # -- never externally checked (r1-r6): promoted to the window ---------
     "embedding_decontam",
     "simhash_pairs",

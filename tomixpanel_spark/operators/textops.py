@@ -177,6 +177,52 @@ WHERE h < CASE bucket WHEN 'en' THEN {SAMPLE_RATES_E4['en']} ELSE {SAMPLE_RATES_
 """
 
 
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: deterministically downsample every language
+    bucket to (in expectation) the SMALLEST bucket's size — the standard
+    data-mixing move when one source dominates a training corpus and the
+    target is a uniform mix. Unlike ``stratified_sample`` the rates are
+    not configured, they are DERIVED from the data: keep_prob(bucket) =
+    min_count / count(bucket), realized without floats as
+    ``h * count(bucket) < min_count * 10000`` over the same portable md5
+    hash (h uniform in [0, 10000)) — exact integer arithmetic, so both
+    engines keep the identical document set.
+
+    Scale shape: per-bucket counts are one map-side-partial hash agg with
+    |buckets| output rows; the min folds in as a 1-row cross INSIDE the
+    broadcast build (one broadcast job, same trick as tfidf); the keep
+    decision is then a narrow map-side filter over the corpus — no
+    corpus shuffle anywhere, skew-free by construction."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        lang_guess("text").alias("bucket"),
+        _portable_hash_e4("doc_id").alias("h"),
+    )
+    counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("mn"))
+    return (
+        d.join(F.broadcast(counts.crossJoin(mn)), "bucket")
+        .filter(F.col("h") * F.col("cnt") < F.col("mn") * 10000)
+        .select("doc_id", "bucket")
+    )
+
+
+_MIXTURE_REBALANCE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN len(list_filter(({_SQL_WORDS})[1:40],
+                              t -> list_contains({_SQL_STOPSET}, lower(t)))) >= 2
+         THEN 'en' ELSE 'unknown' END AS bucket,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000 AS h
+  FROM documents),
+c AS (SELECT bucket, COUNT(*) AS cnt FROM d GROUP BY 1),
+m AS (SELECT MIN(cnt) AS mn FROM c)
+SELECT doc_id, bucket FROM d JOIN c USING (bucket) CROSS JOIN m
+WHERE h * cnt < mn * 10000
+"""
+
+
 CHUNK_TOKENS = 40
 CHUNK_STRIDE = 20
 
@@ -681,6 +727,9 @@ REGISTRY = {
     "doc_fingerprint": QuerySpec(doc_fingerprint, _DOC_FINGERPRINT_SQL, "ext:text"),
     "stratified_sample": QuerySpec(stratified_sample, _STRATIFIED_SAMPLE_SQL, "ext:text sampling"),
     "mixture_stats": QuerySpec(mixture_stats, _MIXTURE_STATS_SQL, "ext:text mixture"),
+    "mixture_rebalance": QuerySpec(
+        mixture_rebalance, _MIXTURE_REBALANCE_SQL, "ext:text mixture rebalancing"
+    ),
     "gopher_quality": QuerySpec(
         gopher_quality, _GOPHER_QUALITY_SQL, "ext:text quality filter"
     ),
