@@ -39,6 +39,7 @@ from tomixpanel_spark.sources import csv as csv_source
 _ORDER = [
     # -- never externally checked: new queries insert HERE (see policy) ---
     "mixture_rebalance",  # added r7
+    "neardup_keep_best",  # added r7
     # -- never externally checked (r1-r6): promoted to the window ---------
     "embedding_decontam",
     "simhash_pairs",

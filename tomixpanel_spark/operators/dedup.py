@@ -801,6 +801,66 @@ FROM comp GROUP BY component
 """
 
 
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering keeping the BEST copy per cluster —
+    the policy production dedup actually runs (keep the longest/highest-
+    quality document, not the smallest id): per cluster, the doc with
+    the most tokens, ties to the lowest doc_id.
+
+    Shape: the same verified pair graph + size-adaptive connected
+    components as ``neardup_components``; the quality signal then joins
+    onto the (node, component) labels — a node-count-sized join, orders
+    of magnitude smaller than the corpus — and one ``max_by`` hash
+    aggregate picks each cluster's winner. The ordering key packs
+    (n_tokens major, -doc_id minor) into one bigint so the argmax is a
+    single map-side-partial aggregate, no window sort."""
+    from tomixpanel_spark.operators.identity import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, a="doc_a", b="doc_b")
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        F.col("doc_id").alias("node"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    labeled = comp.join(sized, "node")
+    return (
+        labeled.groupBy("component")
+        .agg(
+            # ordering key packed into ONE bigint (n_tokens major, -node
+            # minor): DuckDB's arg_max has no struct-key overload, and an
+            # identical integer key keeps the winner engine-equal
+            F.max_by(
+                "node", F.expr("n_tokens * 1000000000000L - node")
+            ).alias("keep_doc_id"),
+            F.max("n_tokens").alias("keep_n_tokens"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select("keep_doc_id", "keep_n_tokens", "cluster_size")
+    )
+
+
+_NEARDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE p AS ({_NGRAM_JACCARD_SQL.strip()}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION SELECT doc_b, doc_a FROM p),
+walk(node, reach) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+  UNION
+  SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
+comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
+sized AS (
+  SELECT doc_id AS node, CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT arg_max(c.node, s.n_tokens * 1000000000000 - c.node) AS keep_doc_id,
+       CAST(max(s.n_tokens) AS BIGINT) AS keep_n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM comp c JOIN sized s USING (node)
+GROUP BY c.component
+"""
+
+
 EVAL_SET_MOD = 97  # synthetic held-out set: every 97th doc
 
 # Broadcast the eval side only while it's small enough to fit executor
@@ -899,5 +959,8 @@ REGISTRY = {
     "decontam_overlap": QuerySpec(decontam_overlap, _DECONTAM_SQL, "ext:dedup decontamination"),
     "neardup_components": QuerySpec(
         neardup_components, _NEARDUP_COMPONENTS_SQL, "ext:dedup transitive clustering"
+    ),
+    "neardup_keep_best": QuerySpec(
+        neardup_keep_best, _NEARDUP_KEEP_BEST_SQL, "ext:dedup keep-best policy"
     ),
 }
