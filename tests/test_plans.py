@@ -170,6 +170,24 @@ def test_decontam_falls_back_to_shuffle_join_above_gate(spark, monkeypatch):
     assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
 
 
+def test_mixture_rebalance_no_corpus_shuffle(spark):
+    """Derived keep-rates must come from the tiny per-bucket count
+    aggregate broadcast back to the corpus — the corpus itself is only
+    scanned and filtered, never exchanged (a shuffle join on bucket
+    would funnel each language's whole corpus through few tasks)."""
+    df = REG["mixture_rebalance"].fn(spark, SF_ORACLE)
+    joins = join_strategies(df)
+    assert "BroadcastHashJoin" in joins
+    assert "SortMergeJoin" not in joins and "ShuffledHashJoin" not in joins
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every hash-partitioned exchange lives INSIDE the broadcast build
+    # and carries |buckets| rows (the count agg appears once per branch:
+    # counts + the min-over-counts recompute) — never the corpus
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
 def test_embedding_decontam_gate_flips_to_cogroup(spark, monkeypatch):
     """Below the held-out-size gate the eval matrix rides the UDF closure
     (one mapInPandas, no shuffle); above it the plan must flip to the
