@@ -90,5 +90,13 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_minhash_signatures",
     "streaming_merge_edges",
+    "pack_sequences",
+    "lpt_shards",
+    "salted_join",
+    "asof_join",
+    "range_join",
+    "embedding_decontam_pairs",
+    "StreamingCountMin",
+    "ContinuousAggregate",
 ]
 __version__ = "0.1.0"
