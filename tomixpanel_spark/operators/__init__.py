@@ -40,6 +40,7 @@ _ORDER = [
     # -- never externally checked: new queries insert HERE (see policy) ---
     "mixture_rebalance",  # added r7
     "neardup_keep_best",  # added r7
+    "containment_pairs",  # added r7
     # -- never externally checked (r1-r6): promoted to the window ---------
     "embedding_decontam",
     "simhash_pairs",

@@ -149,6 +149,73 @@ def _jaccard_pairs_from_shingles(
     )
 
 
+CONTAINMENT_E6 = 900_000  # inner's shingles >= 90% covered by outer
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-SUBSET detection: (inner_doc, outer_doc) pairs
+    where >= 90% of the inner document's shingles appear in the outer —
+    the boilerplate-wrapping / quote-reuse case symmetric Jaccard
+    misses (a small doc embedded in a much larger one scores low Jaccard
+    no matter how completely it is contained).
+
+    Same postings-list candidate machinery as the Jaccard path, with two
+    deliberate differences: (1) NO length-ratio prefilter — that bound
+    is a Jaccard fact (common <= min implies jaccard <= min/max) and
+    containment has no such bound, the prefilter would drop exactly the
+    small-inside-large pairs this operator exists to find; (2) each
+    unordered candidate emits BOTH directions, scored common*1e6 div
+    n_inner in pure integers so both engines keep identical pairs.
+    Scale: cost is the same Σ df² postings expansion (df_cap applies
+    upstream in production via ``near_dup_pairs``-style capping)."""
+    sa = _shingle_arrays(spark, sf_dir)
+    rows = sa.select(
+        "doc_id", F.size("sh_arr").alias("n"), F.explode("sh_arr").alias("sh")
+    )
+    grouped = (
+        rows.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    common = (
+        _pairs_from_postings(grouped, None)
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    a_in_b = common.select(
+        F.col("doc_a").alias("inner_doc"),
+        F.col("doc_b").alias("outer_doc"),
+        F.expr("common * 1000000L div n_a").alias("containment_e6"),
+    )
+    b_in_a = common.select(
+        F.col("doc_b").alias("inner_doc"),
+        F.col("doc_a").alias("outer_doc"),
+        F.expr("common * 1000000L div n_b").alias("containment_e6"),
+    )
+    return a_in_b.unionByName(b_in_a).filter(
+        F.col("containment_e6") >= CONTAINMENT_E6
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH sh AS ({_SQL_SHINGLE_ROWS}),
+c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+d AS (
+  SELECT doc_a AS inner_doc, doc_b AS outer_doc,
+         common * 1000000 // na.n AS containment_e6
+  FROM c JOIN n na ON doc_a = na.doc_id
+  UNION ALL
+  SELECT doc_b, doc_a, common * 1000000 // nb.n
+  FROM c JOIN n nb ON doc_b = nb.doc_id)
+SELECT inner_doc, outer_doc, CAST(containment_e6 AS BIGINT) AS containment_e6
+FROM d WHERE containment_e6 >= {CONTAINMENT_E6}
+"""
+
+
 def verify_pairs_exact(cand: DataFrame, sa: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard verification of a CANDIDATE pair set against the full
     shingle arrays: join both pair sides back to ``sa``, intersect the
@@ -962,5 +1029,8 @@ REGISTRY = {
     ),
     "neardup_keep_best": QuerySpec(
         neardup_keep_best, _NEARDUP_KEEP_BEST_SQL, "ext:dedup keep-best policy"
+    ),
+    "containment_pairs": QuerySpec(
+        containment_pairs, _CONTAINMENT_SQL, "ext:dedup asymmetric containment"
     ),
 }
