@@ -36,7 +36,11 @@ from tomixpanel_spark.sources import csv as csv_source
 #   r6 green -> safe to rotate out this round; r1-r5 green rows that were
 #   re-verified by r6's run keep their r6 tag. Every tail row additionally
 #   has local DuckDB parity in tests/test_oracle_parity.py (all 76 run).
-_ORDER = [
+# _WINDOW holds EXACTLY the 50 externally-checked entries (length
+# asserted at registry build, so inserting a new query without rotating
+# one out fails loudly instead of silently shifting the boundary);
+# _TAIL holds everything outside the gate.
+_WINDOW = [
     # -- never externally checked: new queries insert HERE (see policy) ---
     "mixture_rebalance",  # added r7
     "neardup_keep_best",  # added r7
@@ -92,13 +96,14 @@ _ORDER = [
     "tpch_q5",
     "rollup_orders",
     "semi_join",
-    "part_revenue",
-    "supplier_balance",
-    "pushdown_filter",
-    # ---- position 50: entries below are OUTSIDE the external window -----
-    # All r6-green (or earlier-green and re-verified green by the local
-    # oracle-parity suite every round); rotated out to make room for the
-    # never-checked block above.
+]
+# Entries below are OUTSIDE the external window: all r6-green (or
+# earlier-green and re-verified green by the local oracle-parity suite
+# every round), rotated out to make room for the never-checked block.
+_TAIL = [
+    "part_revenue",  # rotated out r7 (r6-green) by the three r7 additions
+    "supplier_balance",  # rotated out r7 (r6-green)
+    "pushdown_filter",  # rotated out r7 (r6-green; plan-locked in tests)
     "union_all",
     "pivot_status",
     "window_running",
@@ -144,14 +149,21 @@ def registry() -> dict[str, QuerySpec]:
         ranges,
         packing,
     )
-    missing = [n for n in _ORDER if n not in reg]
-    extra = [n for n in reg if n not in _ORDER]
+    if len(_WINDOW) != 50:
+        raise ValueError(
+            f"_WINDOW must hold exactly the 50 externally-checked entries, "
+            f"got {len(_WINDOW)} — rotate a long-green row into _TAIL when "
+            "inserting a new query"
+        )
+    order = _WINDOW + _TAIL
+    missing = [n for n in order if n not in reg]
+    extra = [n for n in reg if n not in order]
     if missing or extra:
         raise ValueError(
-            f"registry/_ORDER drift: missing={missing} unlisted={extra} — "
-            "add new queries to the NEVER-CHECKED block at the top of _ORDER"
+            f"registry/_WINDOW/_TAIL drift: missing={missing} unlisted={extra} — "
+            "add new queries to the NEVER-CHECKED block at the top of _WINDOW"
         )
-    return {n: reg[n] for n in _ORDER}
+    return {n: reg[n] for n in order}
 
 
 __all__ = ["registry", "QuerySpec"]

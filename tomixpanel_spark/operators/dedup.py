@@ -152,7 +152,9 @@ def _jaccard_pairs_from_shingles(
 CONTAINMENT_E6 = 900_000  # inner's shingles >= 90% covered by outer
 
 
-def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def containment_pairs(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
     """Asymmetric near-SUBSET detection: (inner_doc, outer_doc) pairs
     where >= 90% of the inner document's shingles appear in the outer —
     the boilerplate-wrapping / quote-reuse case symmetric Jaccard
@@ -166,8 +168,14 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-inside-large pairs this operator exists to find; (2) each
     unordered candidate emits BOTH directions, scored common*1e6 div
     n_inner in pure integers so both engines keep identical pairs.
-    Scale: cost is the same Σ df² postings expansion (df_cap applies
-    upstream in production via ``near_dup_pairs``-style capping)."""
+    Scale: cost is the same Σ df² postings expansion; ``df_cap`` bounds
+    hot-shingle blowup HERE (the registered query runs uncapped so
+    results stay exactly oracle-equal). The cap trades recall the same
+    way as the Jaccard path — a pair whose every shared shingle is hot
+    is lost — but note containment scores are NOT re-verified downstream,
+    so with a cap the reported containment_e6 can UNDER-count on capped
+    shingles; production callers wanting exact scores verify survivors
+    against full shingle arrays like ``verify_pairs_exact`` does."""
     sa = _shingle_arrays(spark, sf_dir)
     rows = sa.select(
         "doc_id", F.size("sh_arr").alias("n"), F.explode("sh_arr").alias("sh")
@@ -177,6 +185,8 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if df_cap is not None:
+        grouped = grouped.filter(F.size("ds") <= df_cap)
     common = (
         _pairs_from_postings(grouped, None)
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
@@ -801,12 +811,17 @@ def lsh_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures skips the 8 md5 folds per shingle here entirely; with it
     off, the builder runs over the checkpointed shingles — still one
     shingle computation for all three consumers."""
+    import os
+
     sa = _shingle_arrays(spark, sf_dir).localCheckpoint(eager=False)
-    sig = derived(
-        spark,
-        ("minhash_sig", sf_dir),
-        lambda: sa.select("doc_id", *minhash_columns()),
-    )
+    if os.environ.get("TOMIX_CACHE_DERIVED"):
+        # shared artifact path: build (or reuse) the SAME keyed signature
+        # view as minhash_signature, from the FULL lineage — rooting the
+        # session-wide artifact in this query's non-replicated
+        # localCheckpoint would make it unrecoverable after executor loss
+        sig = _minhash_sig_df(spark, sf_dir)
+    else:
+        sig = sa.select("doc_id", *minhash_columns())
     cand = lsh_pairs_from_signatures(sig)
     verified = verify_pairs_exact(cand, sa, JACCARD_THRESHOLD)
     drops = verified.select(F.col("doc_b").alias("doc_id")).distinct()
@@ -878,9 +893,10 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     components as ``neardup_components``; the quality signal then joins
     onto the (node, component) labels — a node-count-sized join, orders
     of magnitude smaller than the corpus — and one ``max_by`` hash
-    aggregate picks each cluster's winner. The ordering key packs
-    (n_tokens major, -doc_id minor) into one bigint so the argmax is a
-    single map-side-partial aggregate, no window sort."""
+    aggregate picks each cluster's winner. The winner is MAX over a
+    named (n_tokens, -doc_id) struct — fieldwise lexicographic in both
+    engines, overflow-free for any token count or 64-bit doc id — so
+    the argmax is a single map-side-partial aggregate, no window sort."""
     from tomixpanel_spark.operators.identity import connected_components
 
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -894,16 +910,21 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labeled.groupBy("component")
         .agg(
-            # ordering key packed into ONE bigint (n_tokens major, -node
-            # minor): DuckDB's arg_max has no struct-key overload, and an
-            # identical integer key keeps the winner engine-equal
-            F.max_by(
-                "node", F.expr("n_tokens * 1000000000000L - node")
-            ).alias("keep_doc_id"),
-            F.max("n_tokens").alias("keep_n_tokens"),
+            # winner via MAX over a named struct (lexicographic field
+            # comparison: n_tokens major, -node minor) — both engines
+            # order structs fieldwise, and unlike a packed-bigint key
+            # (n_tokens * C - node) this cannot overflow for huge
+            # documents or bleed across terms for 64-bit hash doc_ids
+            F.max(
+                F.struct(F.col("n_tokens").alias("t"), (-F.col("node")).alias("nid"))
+            ).alias("w"),
             F.count(F.lit(1)).alias("cluster_size"),
         )
-        .select("keep_doc_id", "keep_n_tokens", "cluster_size")
+        .select(
+            (-F.col("w.nid")).alias("keep_doc_id"),
+            F.col("w.t").alias("keep_n_tokens"),
+            "cluster_size",
+        )
     )
 
 
@@ -920,8 +941,8 @@ comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
 sized AS (
   SELECT doc_id AS node, CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
   FROM documents)
-SELECT arg_max(c.node, s.n_tokens * 1000000000000 - c.node) AS keep_doc_id,
-       CAST(max(s.n_tokens) AS BIGINT) AS keep_n_tokens,
+SELECT CAST(-max(struct_pack(t := s.n_tokens, nid := -c.node)).nid AS BIGINT) AS keep_doc_id,
+       CAST(max(struct_pack(t := s.n_tokens, nid := -c.node)).t AS BIGINT) AS keep_n_tokens,
        CAST(COUNT(*) AS BIGINT) AS cluster_size
 FROM comp c JOIN sized s USING (node)
 GROUP BY c.component

@@ -167,9 +167,15 @@ def _mixpanel_engage_pages(spark: SparkSession, opts: dict) -> DataFrame:
 
     from tomixpanel_spark.sources.mixpanel import MixpanelEngageSource
 
-    staging = opts.get("engage_staging_dir") or os.path.join(
-        opts.get("staging_dir", opts.get("path", "")) or ".", "engage"
-    )
+    # staging base: staging_dir if given; otherwise derive from `path` —
+    # which may be the staged export FILE (the export source treats
+    # path-as-file), so fall back to its parent directory rather than
+    # trying to mkdir under a file
+    base = opts.get("staging_dir")
+    if not base:
+        p = opts.get("path", "")
+        base = p if (not p or os.path.isdir(p)) else (os.path.dirname(p) or ".")
+    staging = opts.get("engage_staging_dir") or os.path.join(base or ".", "engage")
     source = MixpanelEngageSource(
         api_secret=opts.get("api_secret", ""),
         staging_dir=staging,
@@ -311,6 +317,10 @@ def _run_reverse(
     The reverse transforms reshape the RAW export rows (event +
     properties map), so this path reads the source directly rather than
     going through the canonical event plan."""
+    # build() pins UTC + LAST_WIN map semantics for the forward path;
+    # the reverse path short-circuits before build() and reshapes the
+    # same property maps, so it must pin the identical session semantics
+    ensure_semantics(spark)
     src = config["source"]
     if src["name"] != "mixpanel":
         raise ValueError(

@@ -78,12 +78,17 @@ class ContinuousAggregate:
         key_col: str = "event_type",
         value_col: str = "value",
         gc: bool = True,
+        key_type: str = "string",
     ) -> None:
         self.path = path
         self.ts_col = ts_col
         self.key_col = key_col
         self.value_col = value_col
         self.gc = gc
+        # declared key DDL type: hourly() on an EMPTY store has no data
+        # to infer from, and a schema that changes when the first batch
+        # lands breaks downstream unions/joins
+        self.key_type = key_type
 
     # -- manifest: days -> generation, plus the applied batch_id ----------
     def _manifest_path(self) -> str:
@@ -238,9 +243,12 @@ class ContinuousAggregate:
         self._gc_superseded(new_man)
 
     # -- read paths -------------------------------------------------------
-    _READ_SCHEMA = (
-        "bucket timestamp, key string, n bigint, sum_dec decimal(28,6)"
-    )
+    @property
+    def _READ_SCHEMA(self) -> str:
+        return (
+            f"bucket timestamp, key {self.key_type}, n bigint, "
+            f"sum_dec decimal(28,6)"
+        )
 
     def hourly(self, spark: SparkSession) -> DataFrame:
         man = self._load_manifest()
