@@ -192,19 +192,27 @@ def containment_pairs(
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    a_in_b = common.select(
-        F.col("doc_a").alias("inner_doc"),
-        F.col("doc_b").alias("outer_doc"),
-        F.expr("common * 1000000L div n_a").alias("containment_e6"),
+    # both directions from ONE pass over the aggregate: a union of two
+    # projections re-executes the post-shuffle final aggregate per
+    # branch (exchange reuse only shares the shuffle files), while a
+    # 2-element array explode stays inside the same codegen stage
+    both = common.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("inner_doc"),
+                    F.col("doc_b").alias("outer_doc"),
+                    F.expr("common * 1000000L div n_a").alias("containment_e6"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("inner_doc"),
+                    F.col("doc_a").alias("outer_doc"),
+                    F.expr("common * 1000000L div n_b").alias("containment_e6"),
+                ),
+            )
+        ).alias("d")
     )
-    b_in_a = common.select(
-        F.col("doc_b").alias("inner_doc"),
-        F.col("doc_a").alias("outer_doc"),
-        F.expr("common * 1000000L div n_b").alias("containment_e6"),
-    )
-    return a_in_b.unionByName(b_in_a).filter(
-        F.col("containment_e6") >= CONTAINMENT_E6
-    )
+    return both.select("d.*").filter(F.col("containment_e6") >= CONTAINMENT_E6)
 
 
 _CONTAINMENT_SQL = f"""
