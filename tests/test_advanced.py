@@ -836,3 +836,56 @@ class TestSimhashPairs:
             capped.filter(F.col("hamming") == 0).count()
             == uncapped.filter(F.col("hamming") == 0).count()
         )
+
+
+class TestSegmentDedup:
+    def test_first_occurrence_wins_within_and_across_docs(self, spark):
+        """Crafted corpus: a boilerplate segment shared by three docs (and
+        repeated twice inside one of them) survives exactly once, in the
+        lowest (doc_id, seg_idx); unique segments all survive."""
+        from tomixpanel_spark.operators.textops import segment_dedup_for
+
+        W = 4
+        boiler = "terms of service apply"
+        uniq = [f"unique w{i}a w{i}b w{i}c" for i in range(4)]
+        docs = spark.createDataFrame(
+            [
+                # doc 0: boiler twice (idx 0 and 2) around a unique segment
+                (0, f"{boiler} {uniq[0]} {boiler}"),
+                # doc 1: boiler again (cross-doc dup) + unique
+                (1, f"{boiler} {uniq[1]}"),
+                # doc 2: entirely unique
+                (2, f"{uniq[2]} {uniq[3]}"),
+                # doc 3: empty -> zero segments, absent from output
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r for r in segment_dedup_for(docs, seg_tokens=W).collect()
+        }
+        assert set(rows) == {0, 1, 2}
+        # doc 0: 3 segments, boiler@2 dropped (first occurrence is @0)
+        assert rows[0]["n_segs"] == 3 and rows[0]["kept_segs"] == 2
+        assert rows[0]["n_tokens"] == 12 and rows[0]["kept_tokens"] == 8
+        # doc 1: boiler@0 dropped (doc 0 owns it), unique kept
+        assert rows[1]["n_segs"] == 2 and rows[1]["kept_segs"] == 1
+        # doc 2: nothing duplicated
+        assert rows[2]["n_segs"] == 2 and rows[2]["kept_segs"] == 2
+
+    def test_short_tail_segment_counted(self, spark):
+        """A doc shorter than one window still yields one (short) segment,
+        and tail segments of unequal length never collide with full ones."""
+        from tomixpanel_spark.operators.textops import segment_dedup_for
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r for r in segment_dedup_for(docs, seg_tokens=4).collect()
+        }
+        assert rows[0]["n_segs"] == 1 and rows[0]["kept_tokens"] == 2
+        # doc 1's tail segment ("epsilon") is distinct from doc 0's
+        # 2-token doc even though both are short
+        assert rows[1]["n_segs"] == 2 and rows[1]["kept_segs"] == 2

@@ -288,6 +288,9 @@ def test_driver_window_rotation_policy():
         "gopher_quality", "pii_redact", "kmv_distinct", "topk_per_group",
         "cms_heavy_hitters", "hypertable_rollup", "asof_latest_order",
         "range_join_active_windows", "lsh_keep_list",
+        # added during r7 itself — equally never-checked
+        "mixture_rebalance", "neardup_keep_best", "containment_pairs",
+        "segment_dedup",
     }
     canaries = {"amp_transform", "ga_transform"}
     missing = (never_checked_until_r7 | canaries) - window

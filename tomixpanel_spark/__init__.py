@@ -51,6 +51,10 @@ def __getattr__(name):
             "tomixpanel_spark.streaming.dedup",
             "streaming_merge_edges",
         ),
+        "segment_dedup_for": (
+            "tomixpanel_spark.operators.textops",
+            "segment_dedup_for",
+        ),
         "pack_sequences": ("tomixpanel_spark.operators.packing", "pack_sequences"),
         "lpt_shards": ("tomixpanel_spark.operators.packing", "lpt_shards"),
         "salted_join": ("tomixpanel_spark.functions.skew", "salted_join"),
@@ -90,6 +94,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_minhash_signatures",
     "streaming_merge_edges",
+    "segment_dedup_for",
     "pack_sequences",
     "lpt_shards",
     "salted_join",

@@ -273,6 +273,107 @@ FROM c
 """
 
 
+SEG_TOKENS = 16  # non-overlapping segment width for corpus-wide dedup
+
+
+def segment_dedup_for(docs: DataFrame, seg_tokens: int = SEG_TOKENS) -> DataFrame:
+    """Corpus-wide EXACT segment dedup (the CCNet/C4 duplicated-paragraph
+    removal, at token-segment granularity since the corpus has no line
+    structure): split each document into non-overlapping ``seg_tokens``
+    windows, and keep only each segment's FIRST occurrence in the corpus
+    — ordered by (doc_id, seg_idx), so repeats later in the SAME document
+    are dropped too. Returns per-document totals: segments/tokens before
+    and after, the numbers a pipeline uses to drop gutted documents.
+
+    Scale shape: tokenize+segment is narrow codegen over one lazy
+    localCheckpoint (three consumers, one materialization). First
+    occurrence is ``min(struct(doc_id, seg_idx))`` per segment hash — a
+    map-side-partial hash aggregate, NOT a window over the hash: a
+    boilerplate segment repeated in millions of documents costs its
+    partials one row per map task, where a window would sort every
+    occurrence in a single task. The join-back on the hash is a plain
+    equi-join (one build row per hash, so a hot segment only inflates
+    probe-side rows — AQE skew split territory, never a sort)."""
+    base = docs.select("doc_id", tokens("text").alias("words")).withColumn(
+        "n", F.size("words")
+    )
+    si = F.explode(
+        F.sequence(F.lit(0), F.expr(f"(n - 1) div {seg_tokens}"))
+    ).alias("si")
+    seg = F.slice(F.col("words"), F.col("si") * seg_tokens + 1, seg_tokens)
+    segs = (
+        base.filter(F.col("n") > 0)
+        .select("doc_id", "words", si)
+        .select(
+            "doc_id",
+            F.col("si").cast("bigint").alias("seg_idx"),
+            F.md5(F.array_join(seg, " ")).alias("h"),
+            F.size(seg).cast("bigint").alias("seg_tokens"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    first = segs.groupBy("h").agg(
+        F.min(
+            F.struct(F.col("doc_id").alias("d"), F.col("seg_idx").alias("s"))
+        ).alias("f")
+    )
+    keep = (F.col("doc_id") == F.col("f.d")) & (F.col("seg_idx") == F.col("f.s"))
+    # keep-flag the joined rows and fold everything in ONE per-doc
+    # aggregate (conditional sums) — a separate kept-rows aggregate plus
+    # a join-back would cost two more exchanges for the same numbers
+    return (
+        segs.join(first, "h")
+        .select("doc_id", "seg_tokens", keep.alias("keep"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept_segs"),
+            F.sum("seg_tokens").alias("n_tokens"),
+            F.sum(F.when(F.col("keep"), F.col("seg_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .select("doc_id", "n_segs", "kept_segs", "n_tokens", "kept_tokens")
+    )
+
+
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry: segment dedup over the documents table."""
+    return segment_dedup_for(
+        ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    )
+
+
+_SEGMENT_DEDUP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words, len({_SQL_WORDS}) AS n FROM documents),
+s AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, CAST((n - 1) // {SEG_TOKENS} AS BIGINT))) AS si
+  FROM w WHERE n > 0),
+segs AS (
+  SELECT doc_id, CAST(si AS BIGINT) AS seg_idx,
+    md5(array_to_string(list_slice(words, si * {SEG_TOKENS} + 1,
+                                   si * {SEG_TOKENS} + {SEG_TOKENS}), ' ')) AS h,
+    CAST(len(list_slice(words, si * {SEG_TOKENS} + 1,
+                        si * {SEG_TOKENS} + {SEG_TOKENS})) AS BIGINT) AS seg_tokens
+  FROM s),
+firsts AS (
+  SELECT h, min(struct_pack(d := doc_id, s := seg_idx)) AS f FROM segs GROUP BY h),
+flagged AS (
+  SELECT segs.doc_id, segs.seg_tokens,
+         (segs.doc_id = (f).d AND segs.seg_idx = (f).s) AS keep
+  FROM segs JOIN firsts USING (h))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+       CAST(SUM(seg_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN keep THEN seg_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM flagged GROUP BY doc_id
+"""
+
+
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic sampling: keep probability
     proportional to a per-document weight (token count here, capped at
@@ -740,5 +841,8 @@ REGISTRY = {
     ),
     "chunk_documents": QuerySpec(
         chunk_documents, _CHUNK_DOCS_SQL, "ext:text chunking"
+    ),
+    "segment_dedup": QuerySpec(
+        segment_dedup, _SEGMENT_DEDUP_SQL, "ext:text segment-level dedup"
     ),
 }
