@@ -889,3 +889,60 @@ class TestSegmentDedup:
         # doc 1's tail segment ("epsilon") is distinct from doc 0's
         # 2-token doc even though both are short
         assert rows[1]["n_segs"] == 2 and rows[1]["kept_segs"] == 2
+
+
+class TestAnnIvfQuantized:
+    def test_full_probe_equals_brute_force_mips(self, spark):
+        """nprobe >= #cells probes every cell, so the result must EQUAL
+        the brute-force integer max-inner-product top-k (computed here
+        with plain numpy over the quantized corpus)."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.base import table
+        from tomixpanel_spark.operators.similarity import (
+            IVFQ_CELLS,
+            N_QUERIES,
+            TOP_K,
+            _quant,
+            ann_ivf_quantized,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        emb = table(spark, sf, "embeddings")
+        pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        m = _quant(np.array(list(pdf["embedding"]), dtype="float64"))
+        q_mask = ids < N_QUERIES
+        want = set()
+        for qi in np.nonzero(q_mask)[0]:
+            scores = m @ m[qi]
+            order = np.lexsort((ids, -scores))
+            order = order[ids[order] != ids[qi]][:TOP_K]
+            for rank, j in enumerate(order, start=1):
+                want.add((int(ids[qi]), int(ids[j]), rank, int(scores[j])))
+        got = {
+            (r["q_id"], r["neighbor_id"], r["rank"], r["score"])
+            for r in ann_ivf_quantized(emb, nprobe=IVFQ_CELLS).collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_partial_probe_recall(self, spark):
+        """nprobe=2 must recover a healthy fraction of the full-probe
+        top-k (the standard IVF recall contract)."""
+        from tomixpanel_spark.operators.base import table
+        from tomixpanel_spark.operators.similarity import (
+            IVFQ_CELLS,
+            ann_ivf_quantized,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        emb = table(spark, sf, "embeddings")
+        full = {
+            (r["q_id"], r["neighbor_id"])
+            for r in ann_ivf_quantized(emb, nprobe=IVFQ_CELLS).collect()
+        }
+        part = {
+            (r["q_id"], r["neighbor_id"])
+            for r in ann_ivf_quantized(emb, nprobe=2).collect()
+        }
+        assert len(part & full) / len(full) >= 0.5

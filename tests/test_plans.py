@@ -290,7 +290,7 @@ def test_driver_window_rotation_policy():
         "range_join_active_windows", "lsh_keep_list",
         # added during r7 itself — equally never-checked
         "mixture_rebalance", "neardup_keep_best", "containment_pairs",
-        "segment_dedup",
+        "segment_dedup", "ann_ivf_q",
     }
     canaries = {"amp_transform", "ga_transform"}
     missing = (never_checked_until_r7 | canaries) - window

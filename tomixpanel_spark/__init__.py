@@ -55,6 +55,10 @@ def __getattr__(name):
             "tomixpanel_spark.operators.textops",
             "segment_dedup_for",
         ),
+        "ann_ivf_quantized": (
+            "tomixpanel_spark.operators.similarity",
+            "ann_ivf_quantized",
+        ),
         "pack_sequences": ("tomixpanel_spark.operators.packing", "pack_sequences"),
         "lpt_shards": ("tomixpanel_spark.operators.packing", "lpt_shards"),
         "salted_join": ("tomixpanel_spark.functions.skew", "salted_join"),
@@ -95,6 +99,7 @@ __all__ = [
     "streaming_minhash_signatures",
     "streaming_merge_edges",
     "segment_dedup_for",
+    "ann_ivf_quantized",
     "pack_sequences",
     "lpt_shards",
     "salted_join",

@@ -46,6 +46,7 @@ _WINDOW = [
     "neardup_keep_best",  # added r7
     "containment_pairs",  # added r7
     "segment_dedup",  # added r7
+    "ann_ivf_q",  # added r7 (the integer-exact IVF: full oracle incl. training)
     # -- never externally checked (r1-r6): promoted to the window ---------
     "embedding_decontam",
     "simhash_pairs",
@@ -95,12 +96,12 @@ _WINDOW = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
-    "rollup_orders",
 ]
 # Entries below are OUTSIDE the external window: all r6-green (or
 # earlier-green and re-verified green by the local oracle-parity suite
 # every round), rotated out to make room for the never-checked block.
 _TAIL = [
+    "rollup_orders",  # rotated out r7 (r6-green) by ann_ivf_q
     "semi_join",  # rotated out r7 (r6-green) by segment_dedup
     "part_revenue",  # rotated out r7 (r6-green) by the three r7 additions
     "supplier_balance",  # rotated out r7 (r6-green)

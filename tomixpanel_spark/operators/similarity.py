@@ -692,6 +692,216 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(table(spark, sf_dir, "embeddings"))
 
 
+# -- quantized IVF: integer-exact end to end --------------------------------
+IVFQ_CELLS = 16  # coarse cells (K-means K)
+IVFQ_ITER = 4  # Lloyd iterations, unrolled in the SQL oracle
+IVFQ_NPROBE = 2
+IVFQ_SCALE = 1_000_000  # scalar quantization: val = floor(x * 1e6)
+
+
+def _quant(m) -> "np.ndarray":
+    """float embedding matrix -> int64 e6 quantization. floor(x * 1e6) is
+    engine-exact: the float32 cell widens to float64 exactly, one float64
+    multiply is deterministic IEEE-754, floor is exact — no summation
+    happens before quantization, so there is no order-of-evaluation
+    noise anywhere."""
+    import numpy as np
+
+    return np.floor(m.astype("float64") * float(IVFQ_SCALE)).astype("int64")
+
+
+def _trunc_div(sv, cnt):
+    """Integer division TRUNCATING toward zero — DuckDB's `//` semantics
+    (numpy's // floors, which differs on negative sums)."""
+    import numpy as np
+
+    return np.sign(sv) * (np.abs(sv) // cnt)
+
+
+def ann_ivf_quantized(
+    emb: DataFrame, k: int = TOP_K, nprobe: int = IVFQ_NPROBE
+) -> DataFrame:
+    """Scalar-quantized IVF ANN (the FAISS SQ+IVF practice): vectors are
+    quantized to int64 e6 once, and EVERYTHING downstream — Lloyd
+    centroid training, cell assignment, probe selection, and the final
+    max-inner-product scores — is exact int64 arithmetic. That buys two
+    things: (1) bit-identical results on any engine, partitioning, or
+    thread count (the learned-float ``ann_ivf`` can't promise that),
+    which is why this variant has a FULL DuckDB oracle with the 4-round
+    Lloyd loop unrolled in SQL; (2) the quantized index is the shape a
+    100 TB deployment actually ships (int8/int16 codes, exact integer
+    distance kernels).
+
+    Scale shape mirrors ``ann_ivf_topk``: training runs driver-side on a
+    deterministic ``vec_id % step`` sample (O(sample) driver memory),
+    then ONE mapInPandas pass fuses per-batch quantize + cell-assign +
+    integer matmul scoring + local top-k; only <=k rows per query per
+    batch reach the final top-k exchange. Ties break to the lowest cell
+    (np.argmin / stable argsort == the oracle's ORDER BY dist, cell)."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    n = emb.count()
+    step = max(2, n // 1024)
+    sample_pdf = (
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    if not len(sample_pdf):
+        raise ValueError("ann_ivf_quantized: empty training sample")
+    sm = _quant(np.array(list(sample_pdf["embedding"]), dtype="float64"))
+    k_eff = min(IVFQ_CELLS, len(sm))
+    cent = sm[:k_eff].copy()
+    for _ in range(IVFQ_ITER):
+        d = ((sm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # first min == lowest cell on ties
+        for ci in range(k_eff):
+            members = sm[assign == ci]
+            if len(members):
+                cent[ci] = _trunc_div(members.sum(axis=0), len(members))
+
+    q_pdf = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    q_ids = q_pdf["vec_id"].to_numpy(dtype="int64")
+    qm = _quant(np.array(list(q_pdf["embedding"]), dtype="float64"))
+    qd = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)  # (Q, K)
+    # stable sort: equal distances resolve to the lowest cell index
+    probe = np.argsort(qd, axis=1, kind="stable")[:, : min(nprobe, k_eff)]
+
+    def assign_and_score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = _quant(np.array(list(pdf["embedding"]), dtype="float64"))
+            d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            cell = d.argmin(axis=1)
+            scores = m @ qm.T  # exact int64 inner products (B, Q)
+            n_ids = pdf["neighbor_id"].to_numpy()
+            out = []
+            for qi in range(len(q_ids)):
+                mask = np.isin(cell, probe[qi]) & (n_ids != q_ids[qi])
+                idx = np.nonzero(mask)[0]
+                col = scores[:, qi]
+                if len(idx) > k:
+                    order = np.lexsort((n_ids[idx], -col[idx]))
+                    idx = idx[order[:k]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(len(idx), q_ids[qi], dtype="int64"),
+                            "neighbor_id": n_ids[idx],
+                            "score": col[idx],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"q_id": [], "neighbor_id": [], "score": []}
+            )
+
+    ship_package(spark)
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = cand.mapInPandas(
+        assign_and_score, schema="q_id long, neighbor_id long, score long"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "score")
+    )
+
+
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: quantized IVF over the embeddings table —
+    integer-exact, so fully DuckDB-oracle-checked (including training)."""
+    return ann_ivf_quantized(
+        ensure_parallel(table(spark, sf_dir, "embeddings"), "vec_id")
+    )
+
+
+def _ivfq_sql() -> str:
+    """Generate the oracle: the 4-round Lloyd loop unrolled as chained
+    CTEs over a long-format (id, dim, val) quantized view. DuckDB's `//`
+    truncates toward zero — ``_trunc_div`` mirrors that exactly."""
+    sq = (
+        "SELECT vec_id, "
+        "unnest(generate_series(1, len(embedding))) AS dim, embedding "
+        "FROM embeddings"
+    )
+    parts = [
+        f"""WITH p AS (SELECT greatest(2, COUNT(*) // 1024) AS step FROM embeddings),
+bl0 AS ({sq}),
+bl AS (
+  SELECT vec_id, dim,
+         CAST(floor(CAST(embedding[dim] AS DOUBLE) * {IVFQ_SCALE}) AS BIGINT) AS val
+  FROM bl0),
+sl AS (SELECT vec_id, dim, val FROM bl WHERE vec_id % (SELECT step FROM p) = 0),
+c0 AS (
+  SELECT CAST(r - 1 AS BIGINT) AS cell, dim, val
+  FROM (SELECT dim, val, dense_rank() OVER (ORDER BY vec_id) AS r FROM sl)
+  WHERE r <= {IVFQ_CELLS})"""
+    ]
+    for i in range(1, IVFQ_ITER + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT s.vec_id, c.cell, SUM((s.val - c.val) * (s.val - c.val)) AS dist
+  FROM sl s JOIN c{i - 1} c USING (dim) GROUP BY 1, 2),
+a{i} AS (
+  SELECT vec_id, (min(struct_pack(d := dist, c := cell))).c AS cell
+  FROM d{i} GROUP BY vec_id),
+m{i} AS (
+  SELECT a.cell, s.dim, SUM(s.val) AS sv, COUNT(*) AS cnt
+  FROM a{i} a JOIN sl s USING (vec_id) GROUP BY 1, 2),
+c{i} AS (
+  SELECT pc.cell, pc.dim, CAST(COALESCE(m.sv // m.cnt, pc.val) AS BIGINT) AS val
+  FROM c{i - 1} pc LEFT JOIN m{i} m ON pc.cell = m.cell AND pc.dim = m.dim)"""
+        )
+    cn = f"c{IVFQ_ITER}"
+    parts.append(
+        f"""qs AS (SELECT vec_id AS q_id, dim, val FROM bl WHERE vec_id < {N_QUERIES}),
+qd AS (
+  SELECT q.q_id, c.cell, SUM((q.val - c.val) * (q.val - c.val)) AS dist
+  FROM qs q JOIN {cn} c USING (dim) GROUP BY 1, 2),
+probe AS (
+  SELECT q_id, cell FROM (
+    SELECT q_id, cell,
+           row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) AS rn
+    FROM qd) WHERE rn <= {IVFQ_NPROBE}),
+ad AS (
+  SELECT b.vec_id, c.cell, SUM((b.val - c.val) * (b.val - c.val)) AS dist
+  FROM bl b JOIN {cn} c USING (dim) GROUP BY 1, 2),
+assign AS (
+  SELECT vec_id, (min(struct_pack(d := dist, c := cell))).c AS cell
+  FROM ad GROUP BY vec_id),
+cand AS (
+  SELECT pr.q_id, a.vec_id AS neighbor_id
+  FROM probe pr JOIN assign a USING (cell)
+  WHERE a.vec_id <> pr.q_id),
+scored AS (
+  SELECT ca.q_id, ca.neighbor_id, SUM(nb.val * qb.val) AS score
+  FROM cand ca
+  JOIN bl nb ON nb.vec_id = ca.neighbor_id
+  JOIN bl qb ON qb.vec_id = ca.q_id AND qb.dim = nb.dim
+  GROUP BY 1, 2)
+SELECT q_id, neighbor_id, rank, CAST(score AS BIGINT) AS score FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= {TOP_K}"""
+    )
+    return ",\n".join(parts)
+
+
+_ANN_IVFQ_SQL = _ivfq_sql()
+
+
 REGISTRY = {
     "cosine_topk": QuerySpec(cosine_topk, _COSINE_TOPK_SQL, "ext:similarity"),
     "cosine_topk_partitioned": QuerySpec(
@@ -702,5 +912,8 @@ REGISTRY = {
         embedding_decontam, _EMBEDDING_DECONTAM_SQL, "ext:similarity decontamination"
     ),
     "ann_ivf": QuerySpec(ann_ivf, None, "ext:similarity scale path (no SQL oracle)"),
+    "ann_ivf_q": QuerySpec(
+        ann_ivf_q, _ANN_IVFQ_SQL, "ext:similarity quantized IVF (integer-exact)"
+    ),
     "ann_lsh": QuerySpec(ann_lsh, _ANN_LSH_SQL, "ext:similarity scale path"),
 }
