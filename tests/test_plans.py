@@ -352,3 +352,26 @@ def test_stratified_sample_is_narrow(spark):
     df = REG["stratified_sample"].fn(spark, SF_ORACLE)
     assert join_strategies(df) == []
     assert exchange_count(df) == 0
+
+
+def test_segment_dedup_no_window_over_hash(spark):
+    """First occurrence MUST be the min(struct) hash aggregate, never a
+    window over the segment hash: a boilerplate segment repeated in
+    millions of documents would sort every occurrence in ONE task under
+    a window, while the aggregate's map-side partials keep hot hashes
+    cheap. Also pin the sort-free top shape: the query ends in hash
+    aggregates and joins only."""
+    df = REG["segment_dedup"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_ann_ivf_q_single_corpus_pass(spark):
+    """Scoring must be the ONE fused mapInPandas pass (quantize + assign
+    + integer matmul + local top-k) — no join against a collected corpus
+    and no extra corpus exchange before the final top-k window."""
+    df = REG["ann_ivf_q"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
