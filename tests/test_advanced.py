@@ -150,8 +150,9 @@ class TestStatefulSessionize:
 
 class TestAnnIvf:
     def test_ivf_quality_contract(self, spark):
-        """The hard quality signal for the one registry entry without a
-        SQL oracle (centroid training isn't SQL-expressible): (1) a
+        """The hard quality signal for the library IVF path (retired
+        from the registry in r8 — ann_ivf_q carries the full oracle;
+        float centroid training isn't SQL-expressible): (1) a
         CALIBRATED recall floor at the default nprobe=2 (measured 0.66 on
         this corpus; 0.6 leaves noise margin while still failing any
         broken cell assignment), (2) recall is monotone in nprobe, and

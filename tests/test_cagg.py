@@ -235,3 +235,72 @@ class TestContinuousAggregate:
         cagg.update_batch(df_for(3, day=2), batch_id=5)
         got = {str(r["bucket"])[:10]: r["n"] for r in cagg.hourly(spark).collect()}
         assert got == {"2024-03-01": 7, "2024-03-02": 3}
+
+
+class TestManifestDurability:
+    def test_corrupt_manifest_raises_instead_of_silent_reset(
+        self, spark, tmp_path
+    ):
+        """An existing-but-unparseable manifest must raise loudly. The old
+        behavior fell back to the legacy prober, which on a new-format
+        store (data under gen/, nothing at the root) returned an EMPTY
+        manifest — hourly() read nothing and a replayed batch re-merged
+        from scratch: silent loss/double-count (round-7 advice)."""
+        import pytest
+
+        from tomixpanel_spark.streaming.cagg import ContinuousAggregate
+
+        def df_for(n):
+            return spark.createDataFrame(
+                [("2024-03-01 10:00:00", "click", 1.0)] * n,
+                "ts string, event_type string, value double",
+            ).withColumn("ts", F.to_timestamp("ts"))
+
+        cagg = ContinuousAggregate(str(tmp_path / "store"))
+        cagg.update_batch(df_for(5), batch_id=0)
+        man_path = tmp_path / "store" / "_cagg_manifest.json"
+        man_path.write_text("{truncated-by-crash")
+        with pytest.raises(RuntimeError, match="corrupt cagg manifest"):
+            cagg.hourly(spark)
+        with pytest.raises(RuntimeError, match="corrupt cagg manifest"):
+            cagg.update_batch(df_for(1), batch_id=1)
+        # recovery instruction in the error works: rebuild from gen dirs
+        man_path.write_text(
+            json.dumps({"batch_id": 0, "days": {"2024-03-01": 0}})
+        )
+        [row] = cagg.hourly(spark).collect()
+        assert row["n"] == 5
+
+    def test_gc_grace_retains_newest_superseded_generations(self, spark, tmp_path):
+        """Default gc keeps the gc_keep newest superseded generations so a
+        lazy reader resolved against a recent manifest survives the next
+        commits; older ones are removed; gc_keep=0 restores immediate gc."""
+        from tomixpanel_spark.streaming.cagg import ContinuousAggregate
+
+        def df_for(n):
+            return spark.createDataFrame(
+                [("2024-03-01 10:00:00", "click", 1.0)] * n,
+                "ts string, event_type string, value double",
+            ).withColumn("ts", F.to_timestamp("ts"))
+
+        store = tmp_path / "store"
+        cagg = ContinuousAggregate(str(store), gc_keep=2)
+        # a lazy reader resolved against the generation-0 manifest
+        cagg.update_batch(df_for(1), batch_id=0)
+        held = cagg.hourly(spark)
+        for b in (1, 2):
+            cagg.update_batch(df_for(1), batch_id=b)
+        gens = set(os.listdir(store / "gen"))
+        # gen 2 is live; 0 and 1 are superseded but inside the grace window
+        assert gens == {"0", "1", "2"}
+        # the held reader still works: its files were not deleted
+        [row] = held.collect()
+        assert row["n"] == 1
+        cagg.update_batch(df_for(1), batch_id=3)
+        gens = set(os.listdir(store / "gen"))
+        assert "0" not in gens and {"2", "3"} <= gens  # oldest aged out
+
+        immediate = ContinuousAggregate(str(tmp_path / "s2"), gc_keep=0)
+        for b in (0, 1):
+            immediate.update_batch(df_for(1), batch_id=b)
+        assert set(os.listdir(tmp_path / "s2" / "gen")) == {"1"}

@@ -234,15 +234,46 @@ def test_embedding_decontam_keeps_id_collisions_on_both_gate_sides(
     assert got_cogroup == expect
 
 
-def test_tfidf_df_is_broadcast_join_not_token_window(spark):
-    """Document frequency must come from a map-side-partial
+def test_tfidf_df_is_broadcast_join_not_token_window(spark, monkeypatch):
+    """On the DISTRIBUTED path (forced by zeroing the driver-fold gate),
+    document frequency must come from a map-side-partial
     groupBy(token).count() broadcast-joined back to tf — NEVER a
     COUNT(*) OVER (PARTITION BY token) window, which funnels every tf
     row of a hot token ("the") into one task's sort at corpus scale."""
+    from tomixpanel_spark.operators import textops
+
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+    textops._VOCAB_COUNT_CACHE.clear()
     df = REG["tfidf_keywords"].fn(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastHashJoin" in join_strategies(df)
+    # and the tokenize+tf step is the fused Arrow stage, not explode+agg
+    assert "MapInPandas" in plan or "Scan ExistingRDD" in plan
+
+
+def test_tfidf_driver_fold_is_shuffle_free(spark):
+    """The default small-corpus path is the one-pass driver fold: the
+    returned result is a pre-computed local relation (the Arrow pass +
+    fold already ran) — no exchange, no join, no window, no aggregate
+    left in the result plan."""
+    df = REG["tfidf_keywords"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert join_strategies(df) == []
+    assert exchange_count(df) == 0
+    assert "Window" not in plan and "HashAggregate" not in plan
+
+
+def test_tfidf_paths_agree(spark, monkeypatch):
+    """Driver-fold and distributed plans are ONE operator: identical rows
+    on the same corpus."""
+    from tomixpanel_spark.operators import textops
+
+    fold = REG["tfidf_keywords"].fn(spark, SF_ORACLE).collect()
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+    textops._VOCAB_COUNT_CACHE.clear()
+    dist = REG["tfidf_keywords"].fn(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, fold)) == sorted(map(tuple, dist))
 
 
 def test_cms_single_token_lineage(spark):
@@ -272,29 +303,51 @@ def test_lsh_keep_list_single_shingle_lineage(spark):
 
 
 def test_driver_window_rotation_policy():
-    """The external correctness gate samples the FIRST 50 registry
-    entries. Ordering policy (operators/__init__.py _ORDER): queries
-    never externally verified come FIRST — ordering a new query out of
-    the checked window is gate evasion, not stability. The r7 rotation
-    promoted every previously-unchecked row; this test pins (a) those
-    rows inside the window and (b) the permanent e2e canaries."""
+    """The external correctness gate samples the FIRST WINDOW_SIZE
+    registry entries. The ordering is DERIVED from the machine-readable
+    rotation log (operators/__init__.py _LAST_EXTERNAL, round-7 advice):
+    never-checked queries first (gate evasion would be ordering a new
+    query out of the window), canaries pinned, then staleness-first —
+    so every query is externally re-verified on a fixed cadence."""
+    import json
+    import glob
+    import os
+
+    from tomixpanel_spark.operators import (
+        _CANARIES,
+        _LAST_EXTERNAL,
+        WINDOW_SIZE,
+        ordered_names,
+    )
+
     names = list(REG)
-    window = set(names[:50])
-    # Every query that had no CORRECTNESS_r01-r06 row (promoted in r7).
-    never_checked_until_r7 = {
-        "embedding_decontam", "simhash_pairs", "chunk_documents",
-        "weighted_sample", "attribution_last_touch", "rolling_active_users",
-        "tfidf_keywords", "balanced_shards", "salted_join_stats", "ann_lsh",
-        "gopher_quality", "pii_redact", "kmv_distinct", "topk_per_group",
-        "cms_heavy_hitters", "hypertable_rollup", "asof_latest_order",
-        "range_join_active_windows", "lsh_keep_list",
-        # added during r7 itself — equally never-checked
-        "mixture_rebalance", "neardup_keep_best", "containment_pairs",
-        "segment_dedup", "ann_ivf_q",
-    }
-    canaries = {"amp_transform", "ga_transform"}
-    missing = (never_checked_until_r7 | canaries) - window
-    assert not missing, f"evicted from the driver's 50-row window: {sorted(missing)}"
+    assert names == ordered_names()  # registry order IS the derived order
+    window = names[:WINDOW_SIZE]
+    # (a) every never-checked query and both canaries sit inside the window
+    never = {q for q, r in _LAST_EXTERNAL.items() if r == 0}
+    assert (never | set(_CANARIES)) <= set(window)
+    # (b) the window is staleness-first: no query outside the window may
+    # be staler than one inside it (canaries exempt)
+    inside = max(
+        _LAST_EXTERNAL[q] for q in window if q not in _CANARIES
+    )
+    outside = [
+        q for q in names[WINDOW_SIZE:] if _LAST_EXTERNAL[q] < inside
+    ]
+    assert not outside, f"staler than the window yet rotated out: {outside}"
+    # (c) the log itself is consistent with the driver's artifacts: no
+    # round claimed in the log exceeds rounds that exist on disk, and
+    # every green row the log claims matches the recorded file
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for q, r in _LAST_EXTERNAL.items():
+        if r == 0:
+            continue
+        path = os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")
+        assert os.path.exists(path), f"log claims r{r} for {q} but no file"
+        rec = json.load(open(path)).get(q)
+        assert rec and rec.get("rows_match") and rec.get("hash_match"), (
+            f"rotation log claims {q} green in r{r}, file disagrees"
+        )
 
 
 def test_ensure_parallel_skips_already_split_sources(spark):
@@ -375,3 +428,66 @@ def test_ann_ivf_q_single_corpus_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_stage_checkpoint_durable_mode(spark, monkeypatch, tmp_path):
+    """stage_checkpoint must honor TOMIX_CHECKPOINT_DIR: default mode
+    truncates lineage via executor-local localCheckpoint (fast, not
+    fault-tolerant); with the env set it must become a RELIABLE
+    checkpoint rooted in that directory, so on a cluster an executor
+    loss re-reads durable blocks instead of failing the query. Results
+    identical in both modes."""
+    import os
+
+    from tomixpanel_spark.operators.base import stage_checkpoint
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    monkeypatch.delenv("TOMIX_CHECKPOINT_DIR", raising=False)
+    local = stage_checkpoint(df, eager=True)
+    assert local.rdd.getCheckpointFile() is None  # local, not reliable
+
+    ck = tmp_path / "ck"
+    monkeypatch.setenv("TOMIX_CHECKPOINT_DIR", str(ck))
+    durable = stage_checkpoint(df, eager=True)
+    # reliable mode: checkpoint dir adopted and durable rdd-* blocks
+    # written under it (localCheckpoint writes nothing to disk here)
+    assert str(spark.sparkContext.getCheckpointDir() or "").rstrip("/").endswith(
+        str(ck).lstrip("/").split("/")[-1]
+    ) or str(ck) in str(spark.sparkContext.getCheckpointDir())
+    written = [p for p in os.listdir(ck)] if os.path.isdir(ck) else []
+    assert written, "no durable checkpoint data written under TOMIX_CHECKPOINT_DIR"
+    assert sorted(map(tuple, durable.collect())) == sorted(map(tuple, local.collect()))
+
+
+def test_tfidf_fused_tokenize_no_token_stream_shuffle(spark):
+    """The tokenize+tf step must be the fused Arrow mapInPandas stage
+    (per-doc Counter -> sparse tf rows): the plan shows a MapInPandas
+    node and NO (doc_id, token) hash-aggregate exchange upstream of the
+    checkpoint — the explode+agg form shuffled every token occurrence."""
+    from tests.conftest import SF_ORACLE
+    from tomixpanel_spark.operators.textops import tokenize_tf
+    from tomixpanel_spark.operators.base import table
+    from tomixpanel_spark.plans.audit import exchange_count
+
+    tf = tokenize_tf(table(spark, SF_ORACLE, "documents"))
+    plan = tf._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert exchange_count(tf) == 0  # narrow: no shuffle before the tf table
+    assert "Generate" not in plan  # no explode of the token stream
+
+
+def test_tfidf_vocab_gate_flips_to_shuffle_join(spark, monkeypatch):
+    """Above the vocabulary cap the df side must NOT broadcast — the gate
+    flips to a shuffle join (mirroring decontam's held-out gate), with
+    runtime bloom-filter injection enabled for map-side pruning."""
+    from tests.conftest import SF_ORACLE
+    from tomixpanel_spark.operators import textops
+    from tomixpanel_spark.plans.audit import join_strategies
+
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+    monkeypatch.setenv("TOMIX_TFIDF_BCAST_VOCAB", "0")
+    textops._VOCAB_COUNT_CACHE.clear()
+    df = REG["tfidf_keywords"].fn(spark, SF_ORACLE)
+    joins = join_strategies(df)
+    assert "BroadcastHashJoin" not in joins
+    assert any(j in ("SortMergeJoin", "ShuffledHashJoin") for j in joins)

@@ -453,23 +453,83 @@ class TestJoinOperatorsVsBruteForce:
 
 
 class TestTokenizeSpec:
-    def test_tokens_match_oracle_split_on_messy_spacing(self, spark):
-        """tokens() and the oracles' string_split(text, ' ') implement ONE
-        declared spec: literal-space split with empties filtered. Pin the
-        agreement on inputs the synthetic corpus never exercises
-        (leading/trailing/repeated spaces)."""
+    def test_tokens_match_oracle_split_on_messy_whitespace(self, spark):
+        """tokens() and the oracles' translate+string_split pipeline
+        implement ONE declared spec: ASCII whitespace folded to ' ', then
+        literal-space split with empties filtered. Pin the agreement on
+        inputs the synthetic corpus never exercises — tabs, newlines, CR,
+        VT, FF, and leading/trailing/repeated separators (round-7 advice:
+        multi-line corpora must tokenize correctly, not just match a
+        single-space oracle)."""
         import duckdb
 
         from tomixpanel_spark.functions.text import tokens
 
-        texts = ["a  b", "  lead", "trail  ", "a b  c   d", "", "   "]
+        texts = [
+            "a  b",
+            "  lead",
+            "trail  ",
+            "a b  c   d",
+            "",
+            "   ",
+            "a\tb",
+            "line1\nline2\r\nline3",
+            "mix \t\n of\x0ball\x0ckinds",
+            "\t\n",
+        ]
         df = spark.createDataFrame([(t,) for t in texts], "text string")
         got = [r[0] for r in df.select(tokens("text")).collect()]
         con = duckdb.connect()
         want = [
             con.execute(
-                "SELECT list_filter(string_split(?, ' '), t -> t <> '')", [t]
+                "SELECT list_filter(string_split(translate(?, "
+                "chr(9)||chr(10)||chr(13)||chr(11)||chr(12), '     '), ' '), "
+                "t -> t <> '')",
+                [t],
             ).fetchone()[0]
             for t in texts
         ]
         assert got == want
+        # and the real-world consequence: multi-line text tokenizes by words
+        assert got[7] == ["line1", "line2", "line3"]
+
+    def test_tokenizer_implementations_agree(self, spark):
+        """THREE implementations of the one declared tokenizer spec —
+        JVM tokens(), the Python Counter mirror, and the pyarrow batch
+        kernel — must produce identical counts, including on messy
+        whitespace."""
+        import pandas as pd
+
+        from tomixpanel_spark.functions.text import tokens
+        from tomixpanel_spark.operators.textops import (
+            _pa_tokenize_tf,
+            _py_token_counts,
+        )
+
+        texts = [
+            "a  b a", "  lead", "trail  ", "a b  c   d b", "", "   ",
+            "a\tb\ta", "line1\nline2\r\nline1", "mix \t\n of\x0ball\x0ckinds",
+            None,
+        ]
+        ids = list(range(len(texts)))
+        # pyarrow kernel
+        tbl = _pa_tokenize_tf(pd.Series(ids), pd.Series(texts)).to_pandas()
+        arrow_counts = {
+            i: dict(zip(g["token"], g["tf"])) for i, g in tbl.groupby("doc_id")
+        }
+        # python mirror
+        py_counts = {i: dict(_py_token_counts(t)) for i, t in zip(ids, texts)}
+        py_counts = {i: c for i, c in py_counts.items() if c}
+        assert arrow_counts == py_counts
+        # JVM tokens()
+        df = spark.createDataFrame(
+            list(zip(ids, texts)), "doc_id long, text string"
+        )
+        from collections import Counter
+
+        jvm = {
+            r["doc_id"]: dict(Counter(r["t"]))
+            for r in df.select("doc_id", tokens("text").alias("t")).collect()
+            if r["t"]
+        }
+        assert jvm == py_counts

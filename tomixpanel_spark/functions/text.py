@@ -16,18 +16,27 @@ from pyspark.sql import functions as F
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 
-def tokens(text: Column | str) -> Column:
-    """Space tokenization; drops empty tokens from repeated spaces.
+# ASCII whitespace the tokenizer folds to ' ' before splitting. Kept as a
+# pinned constant because the DuckDB oracles mirror it char-for-char
+# (chr(9)||chr(10)||chr(13)||chr(11)||chr(12)).
+WHITESPACE_CHARS = "\t\n\r\x0b\x0c"
 
-    Splits on the literal single space — the SAME semantics every DuckDB
-    oracle declares (``string_split(text, ' ')``), so the two engines
-    implement one spec rather than happening to agree; the single-char
-    split also skips regex-engine cost in the hot tokenize path
-    (measured ~20% of tf-aggregate time at sf0.1 vs ``\\s+``). Corpora
-    with tabs/newlines should normalize whitespace upstream (the
-    cleaning stage every training pipeline already runs)."""
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; drops empty tokens from repeated separators.
+
+    One declared spec for BOTH engines: fold ASCII whitespace
+    (tab/LF/CR/VT/FF) to ' ' with ``translate`` — a branch-free char map,
+    no regex engine in the hot path — then split on the literal single
+    space and filter empties. The DuckDB oracles declare the identical
+    ``translate`` + ``string_split`` pipeline, so multi-line corpora
+    tokenize correctly in both engines rather than the engine being bent
+    to a single-space oracle (round-7 advice)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(c, " "), lambda t: t != "")
+    return F.filter(
+        F.split(F.translate(c, WHITESPACE_CHARS, " " * len(WHITESPACE_CHARS)), " "),
+        lambda t: t != "",
+    )
 
 
 def bpe_ish_tokens(text: Column | str) -> Column:

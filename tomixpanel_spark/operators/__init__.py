@@ -1,6 +1,6 @@
 """Operator/query registry: one entry per implemented operator from
 SURVEY.md §2 plus the scale extensions (dedup / similarity / text /
-multimodal)."""
+multimodal / streaming)."""
 
 from tomixpanel_spark.operators import (
     analytics,
@@ -11,6 +11,7 @@ from tomixpanel_spark.operators import (
     multimodal,
     relational,
     similarity,
+    streaming_parity,
     textops,
     transform_parity,
     ranges,
@@ -19,120 +20,132 @@ from tomixpanel_spark.operators import (
 from tomixpanel_spark.operators.base import QuerySpec, collect_registry
 from tomixpanel_spark.sources import csv as csv_source
 
-# Registry ordering policy
-# ------------------------
-# The external correctness gate samples the FIRST 50 registry entries, so
-# ordering decides which queries get a hard external signal each round.
-# Policy: queries that have NEVER been externally verified come FIRST;
-# after them, rows ordered by how stale their last external check is;
-# long-green rows rotate to the tail. NEW queries must be inserted in the
-# NEVER-CHECKED block (top), never appended past position 50 — ordering a
-# new query out of the checked window is gate evasion, not stability.
-# Two e2e canaries (amp_transform / ga_transform) stay inside the window
-# permanently: they exercise most of the §2 transform surface at once, so
-# a regression anywhere in that stack shows up externally even mid-rotation.
+# Registry ordering policy (machine-readable rotation log)
+# --------------------------------------------------------
+# The external correctness gate samples the FIRST 50 registry entries,
+# so ordering decides which queries get a hard external signal each
+# round. The policy, now DERIVED from the log below instead of a
+# hand-maintained list (round-7 advice: keep the last-external-check
+# round machine-readable and rotate on a fixed cadence):
 #
-# Last-external-check provenance (CORRECTNESS_rNN.json):
-#   r6 green -> safe to rotate out this round; r1-r5 green rows that were
-#   re-verified by r6's run keep their r6 tag. Every tail row additionally
-#   has local DuckDB parity in tests/test_oracle_parity.py (all 76 run).
-# _WINDOW holds EXACTLY the 50 externally-checked entries (length
-# asserted at registry build, so inserting a new query without rotating
-# one out fails loudly instead of silently shifting the boundary);
-# _TAIL holds everything outside the gate.
-_WINDOW = [
-    # -- never externally checked: new queries insert HERE (see policy) ---
-    "mixture_rebalance",  # added r7
-    "neardup_keep_best",  # added r7
-    "containment_pairs",  # added r7
-    "segment_dedup",  # added r7
-    "ann_ivf_q",  # added r7 (the integer-exact IVF: full oracle incl. training)
-    # -- never externally checked (r1-r6): promoted to the window ---------
-    "embedding_decontam",
-    "simhash_pairs",
-    "chunk_documents",
-    "weighted_sample",
-    "attribution_last_touch",
-    "rolling_active_users",
-    "tfidf_keywords",
-    "balanced_shards",
-    "salted_join_stats",
-    "ann_lsh",
-    "gopher_quality",
-    "pii_redact",
-    "kmv_distinct",
-    "topk_per_group",
-    "cms_heavy_hitters",
-    "hypertable_rollup",
-    "asof_latest_order",
-    "range_join_active_windows",
-    "lsh_keep_list",
-    # -- rows-only so far (no SQL oracle until now): keep visible ---------
-    "ann_ivf",
-    # -- e2e canaries: permanently inside the window ----------------------
-    "amp_transform",
-    "ga_transform",
-    # -- last checked r6; high-information rows kept inside ---------------
-    "custom_dims",
-    "identity_components",
-    "neardup_components",
-    "dedup_keep_list",
-    "decontam_overlap",
-    "minhash_lsh_pairs",
-    "minhash_signature",
-    "simhash",
-    "ngram_jaccard_pairs",
-    "dedup_exact",
-    "cosine_topk",
-    "cosine_topk_partitioned",
-    "embedding_neardup",
-    "multimodal_meta",
-    "sessionize",
-    "funnel",
-    "retention",
-    "value_quantiles",
-    "set_ops",
-    "event_sequences",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-]
-# Entries below are OUTSIDE the external window: all r6-green (or
-# earlier-green and re-verified green by the local oracle-parity suite
-# every round), rotated out to make room for the never-checked block.
-_TAIL = [
-    "rollup_orders",  # rotated out r7 (r6-green) by ann_ivf_q
-    "semi_join",  # rotated out r7 (r6-green) by segment_dedup
-    "part_revenue",  # rotated out r7 (r6-green) by the three r7 additions
-    "supplier_balance",  # rotated out r7 (r6-green)
-    "pushdown_filter",  # rotated out r7 (r6-green; plan-locked in tests)
-    "union_all",
-    "pivot_status",
-    "window_running",
-    "map_merge",
-    "time_normalize",
-    "insert_id_md5",
-    "when_chain",
-    "session_bounds",
-    "dedup_by_key",
-    "merge_pairs",
-    "time_shift",
-    "schema_gate",
-    "token_count",
-    "word_freq",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
-    "stratified_sample",
-    "mixture_stats",
-    "filter_nonempty",
-    "coalesce_id",
-    "explode_hits",
-    "count_agg",
-    "csv_scan",
-    "project_rename",
-    "project_drop",
-]
+#   1. queries NEVER externally verified (round 0) come first — new
+#      queries enter here by construction; ordering a new query out of
+#      the checked window is gate evasion, not stability;
+#   2. the two e2e canaries (amp_transform / ga_transform) are pinned
+#      inside the window permanently: they exercise most of the §2
+#      transform surface at once, so a regression anywhere in that
+#      stack shows up externally even mid-rotation;
+#   3. everything else orders by STALENESS (ascending last-green round,
+#      then name) — every query re-enters the 50-row window within
+#      ceil(registry/50 rotation) rounds.
+#
+# _LAST_EXTERNAL is the log: query -> last round whose external
+# CORRECTNESS_r{NN}.json recorded rows+hash green (0 = never checked).
+# Update it at the START of each round from the previous round's file;
+# the ordering then rotates automatically. Every tail row additionally
+# has local DuckDB parity in tests/test_oracle_parity.py every round.
+_CANARIES = ("amp_transform", "ga_transform")
+_LAST_EXTERNAL = {
+    # -- new in round 8: never externally checked --------------------------
+    "media_neardup": 0,
+    "streaming_cagg_parity": 0,
+    # -- last green r3/r5 (stalest: first into the r8 window) --------------
+    "project_drop": 3,
+    "project_rename": 3,
+    "coalesce_id": 5,
+    "count_agg": 5,
+    "csv_scan": 5,
+    "explode_hits": 5,
+    "filter_nonempty": 5,
+    # -- last green r6 -----------------------------------------------------
+    "dedup_by_key": 6,
+    "doc_fingerprint": 6,
+    "insert_id_md5": 6,
+    "lang_id": 6,
+    "map_merge": 6,
+    "merge_pairs": 6,
+    "mixture_stats": 6,
+    "part_revenue": 6,
+    "pivot_status": 6,
+    "pushdown_filter": 6,
+    "quality_score": 6,
+    "rollup_orders": 6,
+    "schema_gate": 6,
+    "semi_join": 6,
+    "session_bounds": 6,
+    "stratified_sample": 6,
+    "supplier_balance": 6,
+    "time_normalize": 6,
+    "time_shift": 6,
+    "token_count": 6,
+    "union_all": 6,
+    "when_chain": 6,
+    "window_running": 6,
+    "word_freq": 6,
+    # -- last green r7 (freshest: tail candidates) -------------------------
+    "amp_transform": 7,
+    "ann_ivf_q": 7,
+    "ann_lsh": 7,
+    "asof_latest_order": 7,
+    "attribution_last_touch": 7,
+    "balanced_shards": 7,
+    "chunk_documents": 7,
+    "cms_heavy_hitters": 7,
+    "containment_pairs": 7,
+    "cosine_topk": 7,
+    "cosine_topk_partitioned": 7,
+    "custom_dims": 7,
+    "decontam_overlap": 7,
+    "dedup_exact": 7,
+    "dedup_keep_list": 7,
+    "embedding_decontam": 7,
+    "embedding_neardup": 7,
+    "event_sequences": 7,
+    "funnel": 7,
+    "ga_transform": 7,
+    "gopher_quality": 7,
+    "hypertable_rollup": 7,
+    "identity_components": 7,
+    "kmv_distinct": 7,
+    "lsh_keep_list": 7,
+    "minhash_lsh_pairs": 7,
+    "minhash_signature": 7,
+    "mixture_rebalance": 7,
+    "multimodal_meta": 7,
+    "neardup_components": 7,
+    "neardup_keep_best": 7,
+    "ngram_jaccard_pairs": 7,
+    "pii_redact": 7,
+    "range_join_active_windows": 7,
+    "retention": 7,
+    "rolling_active_users": 7,
+    "salted_join_stats": 7,
+    "segment_dedup": 7,
+    "sessionize": 7,
+    "set_ops": 7,
+    "simhash": 7,
+    "simhash_pairs": 7,
+    "tfidf_keywords": 7,
+    "topk_per_group": 7,
+    "tpch_q1": 7,
+    "tpch_q3": 7,
+    "tpch_q5": 7,
+    "value_quantiles": 7,
+    "weighted_sample": 7,
+}
+
+WINDOW_SIZE = 50  # the driver samples this many leading registry entries
+
+
+def ordered_names() -> list[str]:
+    """Registry order derived from the rotation log: never-checked
+    first, canaries pinned behind them, then staleness-ascending."""
+    never = sorted(q for q, r in _LAST_EXTERNAL.items() if r == 0)
+    rest = sorted(
+        (q for q, r in _LAST_EXTERNAL.items() if r > 0 and q not in _CANARIES),
+        key=lambda q: (_LAST_EXTERNAL[q], q),
+    )
+    return never + list(_CANARIES) + rest
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -150,22 +163,18 @@ def registry() -> dict[str, QuerySpec]:
         asof,
         ranges,
         packing,
+        streaming_parity,
     )
-    if len(_WINDOW) != 50:
-        raise ValueError(
-            f"_WINDOW must hold exactly the 50 externally-checked entries, "
-            f"got {len(_WINDOW)} — rotate a long-green row into _TAIL when "
-            "inserting a new query"
-        )
-    order = _WINDOW + _TAIL
+    order = ordered_names()
     missing = [n for n in order if n not in reg]
     extra = [n for n in reg if n not in order]
     if missing or extra:
         raise ValueError(
-            f"registry/_WINDOW/_TAIL drift: missing={missing} unlisted={extra} — "
-            "add new queries to the NEVER-CHECKED block at the top of _WINDOW"
+            f"registry/_LAST_EXTERNAL drift: missing={missing} unlisted={extra} — "
+            "every registered query needs a rotation-log row (0 = never "
+            "externally checked)"
         )
     return {n: reg[n] for n in order}
 
 
-__all__ = ["registry", "QuerySpec"]
+__all__ = ["registry", "QuerySpec", "ordered_names", "WINDOW_SIZE"]

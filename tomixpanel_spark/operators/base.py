@@ -190,6 +190,43 @@ def derived(spark: SparkSession, key: tuple, builder, kind: str = "artifact") ->
     return hit
 
 
+def stage_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """In-query materialization point for a DataFrame with multiple
+    consumers (tf tables, signature clusters, segment projections).
+
+    Two modes on one switch:
+      * default — ``localCheckpoint``: lineage truncates onto
+        executor-local block storage. Fast (no DFS round-trip), correct,
+        but NOT fault-tolerant: on a real cluster, losing one executor
+        after the checkpoint loses blocks that can no longer be
+        recomputed, failing the query instead of retrying tasks.
+      * ``TOMIX_CHECKPOINT_DIR=<path>`` — reliable ``checkpoint()`` to
+        that directory (HDFS/object store on a cluster): blocks live in
+        durable storage, executor loss just re-reads them. The trade is
+        a write+read through the checkpoint dir per materialization.
+
+    Single-JVM local runs (tests, bench) keep the default; cluster
+    deployments set the env (or call ``sc.setCheckpointDir`` themselves —
+    an already-set dir is respected and not overridden).
+
+    Why checkpointing at all, not ``persist()``: persist registers in the
+    session CacheManager and gets substituted into OTHER queries'
+    matching subtrees — a cross-query side effect a single query must not
+    have (observed flipping a plan-locked test in round 6).
+    """
+    import os
+
+    ck_dir = os.environ.get("TOMIX_CHECKPOINT_DIR")
+    if not ck_dir:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None or not str(sc.getCheckpointDir()).startswith(
+        ("file:" + ck_dir, ck_dir, "file://" + ck_dir)
+    ):
+        sc.setCheckpointDir(ck_dir)
+    return df.checkpoint(eager=eager)
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     """One checkable operator: Spark implementation + optional DuckDB oracle."""

@@ -31,14 +31,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tomixpanel_spark.functions.text import fingerprint, tokens
-from tomixpanel_spark.operators.base import QuerySpec, derived, ensure_parallel, table
+from tomixpanel_spark.operators.base import (
+    QuerySpec,
+    derived,
+    ensure_parallel,
+    stage_checkpoint,
+    table,
+)
 
 N_MINHASH = 8
 N_BANDS = 2  # 4 hashes per band
 JACCARD_THRESHOLD = 0.8
 SIMHASH_BITS = 32
 
-_SQL_WORDS = "list_filter(string_split(text, ' '), t -> t <> '')"
+# Oracle mirror of functions.text.tokens(): whitespace folded to ' '
+# (same chars as text.WHITESPACE_CHARS), literal-space split, empties out.
+_SQL_NORM = "translate(text, chr(9)||chr(10)||chr(13)||chr(11)||chr(12), '     ')"
+_SQL_WORDS = f"list_filter(string_split({_SQL_NORM}, ' '), t -> t <> '')"
 _SQL_SHINGLES = (
     "list_distinct([array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words) - 1)])"
 )
@@ -507,9 +516,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     under ANSI arithmetic. Decode is ``bit_j = (2*ones_j > n)``.
     """
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
-    toks = docs.select(
-        "doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token")
-    )
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
     toks = toks.withColumn("h", h)
 
@@ -596,16 +603,47 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, band_cap: int | None = None)
     ``band_cap`` bounds distinct-signature postings, the residual
     hot-bucket guard."""
     sig = simhash(spark, sf_dir)
+    return banded_hamming_pairs(
+        sig, "simhash", SIMHASH_BANDS, 8, SIMHASH_HAM_MAX, band_cap=band_cap
+    )
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    sig_col: str,
+    n_bands: int,
+    band_bits: int,
+    ham_max: int,
+    band_cap: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Generic banded-Hamming pairing over an integer signature column —
+    the machinery behind ``simhash_pairs`` (text signatures) and
+    ``media_neardup`` (perceptual image hashes). Pigeonhole guarantee:
+    ``ham_max < n_bands`` differing bits cannot touch every band, so
+    every qualifying pair collides in at least one band.
+
+    Exact-duplicate collapse FIRST, banding second: identical signatures
+    (boilerplate clusters — the degenerate case of any near-dup corpus)
+    are grouped into one row before candidate generation, so band
+    postings hold UNIQUE signatures and the expansion is quadratic only
+    in distinct signatures per bucket, never in documents (at 100 TB it
+    is the difference between a boilerplate cluster of a million docs
+    costing 10^12 candidate pairs and costing ONE posting entry).
+    Signature-level pairs dedup before the cluster cross-product expands
+    doc pairs, so each output pair materializes exactly once;
+    intra-cluster (hamming-0) pairs expand directly. ``band_cap`` bounds
+    distinct-signature postings, the residual hot-bucket guard."""
     # The cluster table (one row per DISTINCT signature) is the compact
     # dedup artifact everything else reads: materialize it once — four
     # consumers (intra pairs, band postings, two id join-backs) would
     # otherwise re-run the signature aggregate per branch. Size is
-    # bounded by signature diversity (2^32 worst case), not corpus size.
+    # bounded by signature diversity, not corpus size.
     clusters = (
-        sig.groupBy("simhash")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .localCheckpoint(eager=True)
+        sig.groupBy(sig_col)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
     )
+    clusters = stage_checkpoint(clusters, eager=True)
     # hamming-0: every pair inside one identical-signature cluster
     intra = (
         clusters.filter(F.size("ids") >= 2)
@@ -620,12 +658,13 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, band_cap: int | None = None)
         )
         .select("p.doc_a", "p.doc_b", F.lit(0).cast("bigint").alias("hamming"))
     )
+    mask = (1 << band_bits) - 1
     rb = F.explode(
         F.array(
             *[
-                F.shiftright("simhash", i * 8).bitwiseAND(F.lit(0xFF))
-                + F.lit(i * 256)  # band value namespaced by band index
-                for i in range(SIMHASH_BANDS)
+                F.shiftright(sig_col, i * band_bits).bitwiseAND(F.lit(mask))
+                + F.lit(i * (mask + 1))  # band value namespaced by band index
+                for i in range(n_bands)
             ]
         )
     ).alias("band")
@@ -633,19 +672,19 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, band_cap: int | None = None)
     # family's Jaccard/LSH paths use postings-list lambda expansion to
     # dodge a double scan of a heavyweight input, but here the band table
     # derives from the CHECKPOINTED cluster artifact (no recompute), and
-    # 8-bit bands over a low-diversity signature space are collision-
+    # narrow bands over a low-diversity signature space are collision-
     # dense — millions of candidates — where whole-stage-codegen join +
     # bit_count filter beats interpreted higher-order-function struct
     # building ~4x (measured). ``band_cap`` drops degenerate bands
     # before the join via a tiny per-band count.
-    bands = clusters.select("simhash", rb)
+    bands = clusters.select(sig_col, rb)
     if band_cap is not None:
         sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("k"))
         bands = bands.join(
             F.broadcast(sizes.filter(F.col("k") <= band_cap).select("band")), "band"
         )
-    a = bands.select("band", F.col("simhash").alias("sa"))
-    b = bands.select("band", F.col("simhash").alias("sb"))
+    a = bands.select("band", F.col(sig_col).alias("sa"))
+    b = bands.select("band", F.col(sig_col).alias("sb"))
     sig_pairs = (
         a.join(b, "band")
         .filter(F.col("sa") < F.col("sb"))
@@ -656,16 +695,16 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, band_cap: int | None = None)
             .cast("bigint")
             .alias("hamming"),
         )
-        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .filter(F.col("hamming") <= ham_max)
         .dropDuplicates(["sa", "sb"])  # multi-band collisions of one sig pair
     )
     inter = (
         sig_pairs.join(
-            F.broadcast(clusters.select(F.col("simhash").alias("sa"), F.col("ids").alias("ids_a"))),
+            F.broadcast(clusters.select(F.col(sig_col).alias("sa"), F.col("ids").alias("ids_a"))),
             "sa",
         )
         .join(
-            F.broadcast(clusters.select(F.col("simhash").alias("sb"), F.col("ids").alias("ids_b"))),
+            F.broadcast(clusters.select(F.col(sig_col).alias("sb"), F.col("ids").alias("ids_b"))),
             "sb",
         )
         .select("hamming", F.explode("ids_a").alias("ia"), "ids_b")
@@ -821,7 +860,7 @@ def lsh_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle computation for all three consumers."""
     import os
 
-    sa = _shingle_arrays(spark, sf_dir).localCheckpoint(eager=False)
+    sa = stage_checkpoint(_shingle_arrays(spark, sf_dir), eager=False)
     if os.environ.get("TOMIX_CACHE_DERIVED"):
         # shared artifact path: build (or reuse) the SAME keyed signature
         # view as minhash_signature, from the FULL lineage — rooting the

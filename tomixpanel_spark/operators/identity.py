@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from tomixpanel_spark.operators.base import QuerySpec, table
+from tomixpanel_spark.operators.base import QuerySpec, stage_checkpoint, table
 
 MAX_ITERATIONS = 20
 # Below this many DISTINCT edges the component computation runs as driver-
@@ -90,8 +90,8 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> 
     ded = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)  # reused by count + (either) path
     )
+    ded = stage_checkpoint(ded, eager=True)  # reused by count + (either) path
     if ded.count() <= LOCAL_EDGE_THRESHOLD:
         rows = _local_components(ded.toPandas())
         schema = StructType(
@@ -108,16 +108,19 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> 
         ded.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    adj = sym.unionByName(
-        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).localCheckpoint(eager=True)  # reused every round: materialize once
+    adj = stage_checkpoint(
+        sym.unionByName(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        ),
+        eager=True,
+    )  # reused every round: materialize once
 
     # round 1: label(node) == node, so neighbor-min needs no label join
-    labels = (
+    labels = stage_checkpoint(
         adj.groupBy("src")
         .agg(F.min("dst").alias("component"))
-        .withColumnRenamed("src", "node")
-        .localCheckpoint(eager=True)
+        .withColumnRenamed("src", "node"),
+        eager=True,
     )
     if labels.filter(F.col("component") != F.col("node")).limit(1).count() == 0:
         return labels
@@ -132,8 +135,9 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> 
                 ).alias("prev"),
             )
             .withColumnRenamed("src", "node")
-            .localCheckpoint(eager=True)  # convergence check reads THIS, not a re-run
         )
+        # convergence check reads THIS, not a re-run
+        updated = stage_checkpoint(updated, eager=True)
         changed = updated.filter(F.col("component") != F.col("prev")).limit(1).count()
         labels = updated.select("node", "component")
         if changed == 0:

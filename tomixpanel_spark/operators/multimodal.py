@@ -383,6 +383,274 @@ def transform_media(
 
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
+# -- real PNG codec (stdlib zlib + struct: PNG pixel data is pure zlib) ------
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(pixels) -> bytes:
+    """Encode an (h, w) uint8 array as a REAL 8-bit grayscale PNG
+    (signature, IHDR, zlib IDAT with per-row filter bytes, IEND, CRCs) —
+    readable by any PNG decoder. Rows use filter 0; the decoder below
+    handles all five filter types."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(payload: bytes):
+    """Decode an 8-bit grayscale PNG back to an (h, w) uint8 array —
+    REAL decode: chunk walk, zlib inflate, and full scanline unfiltering
+    (None/Sub/Up/Average/Paeth), not just the IHDR header parse of
+    ``decode_payload``. Raises ValueError on anything that is not an
+    8-bit grayscale PNG (inject a codec-backed decoder for color /
+    interlaced variants — out of scope for the sandbox)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color != 0 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    "decode_png_gray handles 8-bit non-interlaced grayscale only"
+                )
+        elif tag == b"IDAT":
+            idat += bytes(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    if width is None or not idat:
+        raise ValueError("not a PNG: missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    if len(raw) != stride * height:
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.zeros((height, width), dtype=np.int32)
+    for r in range(height):
+        ftype = raw[r * stride]
+        line = np.frombuffer(raw, dtype=np.uint8, count=width, offset=r * stride + 1).astype(np.int32)
+        prior = out[r - 1] if r else np.zeros(width, dtype=np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prior) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a left scan
+            cur = np.zeros(width, dtype=np.int32)
+            left = 0
+            for c in range(width):
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + int(prior[c])) // 2
+                else:  # Paeth predictor
+                    a_, b_, c_ = left, int(prior[c]), int(prior[c - 1]) if c else 0
+                    p = a_ + b_ - c_
+                    pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                    pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+                cur[c] = (int(line[c]) + pred) & 0xFF
+                left = int(cur[c])
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = cur
+    return out.astype(np.uint8)
+
+
+# -- perceptual hashing + media near-dup -------------------------------------
+# dHash geometry: 8x8 grayscale, each row compares 7 adjacent column
+# pairs -> 56-bit signature. 7 bands of 8 bits; pigeonhole makes banding
+# lossless at hamming <= 6.
+DHASH_ROWS = 8
+DHASH_COLS = 8
+DHASH_BITS = DHASH_ROWS * (DHASH_COLS - 1)
+MEDIA_BANDS = 7
+MEDIA_HAM_MAX = 6
+
+# synthetic thumbnail family: docs in groups of MEDIA_GROUP share a base
+# image; each doc perturbs ONE pixel (its doc_id % 64) — deterministic,
+# SQL-mirrorable near-dup structure for the oracle.
+MEDIA_GROUP = 20
+
+
+def dhash_bits(px) -> int:
+    """(8, 8) pixel array -> 56-bit integer dHash: bit r*7+c set iff
+    px[r][c] > px[r][c+1] (gradient direction, the standard dHash)."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.int64)
+    bits = px[:, :-1] > px[:, 1:]
+    weights = (1 << np.arange(DHASH_BITS, dtype=np.int64)).reshape(
+        DHASH_ROWS, DHASH_COLS - 1
+    )
+    return int((bits * weights).sum())
+
+
+def perceptual_hash(media: DataFrame, id_col: str = "item_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched decode + dHash over PNG payloads: one narrow
+    mapInPandas pass (REAL pixel decode via ``decode_png_gray`` — PNG is
+    pure zlib, no codec library needed), emitting (doc_id, dhash)."""
+    from tomixpanel_spark.session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = []
+            hashes = []
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                ids.append(item_id)
+                hashes.append(dhash_bits(decode_png_gray(bytes(payload))))
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    return media.mapInPandas(batches, schema="doc_id long, dhash long")
+
+
+def _thumb_pixel(i_expr, doc_id):
+    """Engine-portable pixel formula: first 2 md5 hex chars (0..255) of a
+    namespaced key — group-keyed normally, doc-keyed at the doc's single
+    noise position."""
+    group = F.expr(f"doc_id div {MEDIA_GROUP}")
+    g_key = F.concat(
+        F.lit("g:"), group.cast("string"), F.lit(":"), i_expr.cast("string")
+    )
+    d_key = F.concat(
+        F.lit("d:"), doc_id.cast("string"), F.lit(":"), i_expr.cast("string")
+    )
+    key = F.when(i_expr == F.pmod(doc_id, F.lit(64)), d_key).otherwise(g_key)
+    return F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("int")
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """documents -> a media table with REAL PNG payloads: an 8x8
+    grayscale thumbnail per document whose pixels derive from md5 (docs
+    in the same MEDIA_GROUP share a base image, one doc-keyed noise
+    pixel each). The pixel plan is pure Catalyst; the PNG encode is one
+    narrow mapInPandas pass. This is the harness stand-in for a real
+    media column — the OPERATORS downstream (decode, dHash, banded
+    pairing) are the product."""
+    from tomixpanel_spark.session import ship_package
+
+    ship_package(docs.sparkSession)
+    doc_id = F.col("doc_id")
+    pixels = F.transform(
+        F.sequence(F.lit(0), F.lit(DHASH_ROWS * DHASH_COLS - 1)),
+        lambda i: _thumb_pixel(i, doc_id),
+    )
+    with_px = docs.select("doc_id", pixels.alias("px"))
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = [
+                encode_png_gray(
+                    np.asarray(px, dtype=np.uint8).reshape(DHASH_ROWS, DHASH_COLS)
+                )
+                for px in pdf["px"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    return with_px.mapInPandas(encode, schema=MULTIMODAL_SCHEMA)
+
+
+def media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection over a media column, end to
+    end THROUGH the binary payload: synthesize PNG thumbnails (real
+    encoder), decode pixels back (real zlib decode — the encode/decode
+    roundtrip must be lossless for this query to hash-match the oracle,
+    which computes dHash from the pixel formula directly), dHash each
+    image, then banded-Hamming pairing via the same machinery as
+    ``simhash_pairs`` (``dedup.banded_hamming_pairs``: exact-dup
+    collapse, 7x8-bit bands, xor+bit_count verify at hamming <= 6 —
+    pigeonhole-lossless).
+
+    Scale shape: synth+encode and decode+dHash are narrow Arrow passes
+    (no shuffle until the signature collapse); pairing is quadratic only
+    in distinct signatures per band bucket, never in items."""
+    from tomixpanel_spark.operators.base import ensure_parallel
+    from tomixpanel_spark.operators.dedup import banded_hamming_pairs
+
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    media = synth_media(docs)
+    sig = perceptual_hash(media)
+    return banded_hamming_pairs(
+        sig, "dhash", MEDIA_BANDS, 8, MEDIA_HAM_MAX
+    )
+
+
+def _media_px_sql() -> str:
+    return (
+        "list_transform(generate_series(0, 63), i -> CASE "
+        f"WHEN i = doc_id % 64 THEN CAST('0x' || substr(md5('d:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 2) AS BIGINT) "
+        f"ELSE CAST('0x' || substr(md5('g:' || CAST(doc_id // {MEDIA_GROUP} AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 2) AS BIGINT) END)"
+    )
+
+
+_MEDIA_DHASH_TERMS = " + ".join(
+    f"CASE WHEN px[{r * DHASH_COLS + c + 1}] > px[{r * DHASH_COLS + c + 2}] "
+    f"THEN {1 << (r * (DHASH_COLS - 1) + c)} ELSE 0 END"
+    for r in range(DHASH_ROWS)
+    for c in range(DHASH_COLS - 1)
+)
+_MEDIA_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, dhash, {i} AS b, (dhash >> {i * 8}) & 255 AS band FROM sig"
+    for i in range(MEDIA_BANDS)
+)
+_MEDIA_NEARDUP_SQL = f"""
+WITH p AS (SELECT doc_id, {_media_px_sql()} AS px FROM documents),
+sig AS (SELECT doc_id, CAST({_MEDIA_DHASH_TERMS} AS BIGINT) AS dhash FROM p),
+bands AS ({_MEDIA_BANDS_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(bit_count(xor(a.dhash, c.dhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands c ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id
+WHERE bit_count(xor(a.dhash, c.dhash)) <= {MEDIA_HAM_MAX}
+"""
+
+
 REGISTRY = {
     "multimodal_meta": QuerySpec(multimodal_meta, _MULTIMODAL_META_SQL, "ext:multimodal"),
+    "media_neardup": QuerySpec(
+        media_neardup, _MEDIA_NEARDUP_SQL, "ext:multimodal perceptual near-dup"
+    ),
 }

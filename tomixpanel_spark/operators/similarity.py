@@ -686,9 +686,14 @@ WHERE rank <= {TOP_K}
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: learned-IVF ANN on the ``embeddings`` table.
-    Training isn't SQL-expressible, so this query has no DuckDB oracle
-    (driver records the rows-only check)."""
+    """Library entry point: learned-float IVF ANN on the ``embeddings``
+    table. Retired from the query registry in round 8: float Lloyd
+    training isn't SQL-expressible, so the row could never carry more
+    than a rows-only check — the scalar-quantized ``ann_ivf_q`` carries
+    the FULL oracle (training included) and is the registered IVF.
+    This path keeps its hard quality contract in
+    tests/test_advanced.py::TestAnnIvf (calibrated recall floor at
+    nprobe=2, monotone recall, full-probe == brute-force exactly)."""
     return ann_ivf_topk(table(spark, sf_dir, "embeddings"))
 
 
@@ -911,7 +916,6 @@ REGISTRY = {
     "embedding_decontam": QuerySpec(
         embedding_decontam, _EMBEDDING_DECONTAM_SQL, "ext:similarity decontamination"
     ),
-    "ann_ivf": QuerySpec(ann_ivf, None, "ext:similarity scale path (no SQL oracle)"),
     "ann_ivf_q": QuerySpec(
         ann_ivf_q, _ANN_IVFQ_SQL, "ext:similarity quantized IVF (integer-exact)"
     ),

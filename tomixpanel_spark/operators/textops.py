@@ -9,8 +9,14 @@ per partition)."""
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # typing only — pandas imports lazily inside UDF bodies
+    import pandas as pd
 
 from tomixpanel_spark.functions.text import (
     PII_PASSES,
@@ -23,10 +29,18 @@ from tomixpanel_spark.functions.text import (
     quality_features,
     tokens,
 )
-from tomixpanel_spark.operators.base import QuerySpec, ensure_parallel, table
+from tomixpanel_spark.operators.base import (
+    QuerySpec,
+    ensure_parallel,
+    stage_checkpoint,
+    table,
+)
 
-# DuckDB-side mirrors of the token expressions (single-space corpus).
-_SQL_WORDS = "list_filter(string_split(text, ' '), t -> t <> '')"
+# DuckDB-side mirror of functions.text.tokens(): fold ASCII whitespace to
+# ' ' (translate — same chars as text.WHITESPACE_CHARS), split on the
+# literal space, drop empties. One spec, two engines.
+_SQL_NORM = "translate(text, chr(9)||chr(10)||chr(13)||chr(11)||chr(12), '     ')"
+_SQL_WORDS = f"list_filter(string_split({_SQL_NORM}, ' '), t -> t <> '')"
 _SQL_STOPSET = "['" + "', '".join(STOPWORDS) + "']"
 
 
@@ -286,7 +300,8 @@ def segment_dedup_for(docs: DataFrame, seg_tokens: int = SEG_TOKENS) -> DataFram
     and after, the numbers a pipeline uses to drop gutted documents.
 
     Scale shape: tokenize+segment is narrow codegen over one lazy
-    localCheckpoint (three consumers, one materialization). First
+    stage_checkpoint (three consumers, one materialization;
+    TOMIX_CHECKPOINT_DIR makes it durable on clusters). First
     occurrence is ``min(struct(doc_id, seg_idx))`` per segment hash — a
     map-side-partial hash aggregate, NOT a window over the hash: a
     boilerplate segment repeated in millions of documents costs its
@@ -310,8 +325,8 @@ def segment_dedup_for(docs: DataFrame, seg_tokens: int = SEG_TOKENS) -> DataFram
             F.md5(F.array_join(seg, " ")).alias("h"),
             F.size(seg).cast("bigint").alias("seg_tokens"),
         )
-        .localCheckpoint(eager=False)
     )
+    segs = stage_checkpoint(segs, eager=False)
     first = segs.groupBy("h").agg(
         F.min(
             F.struct(F.col("doc_id").alias("d"), F.col("seg_idx").alias("s"))
@@ -617,6 +632,194 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
+from tomixpanel_spark.functions.text import WHITESPACE_CHARS as _WS_CHARS
+
+_WS_TABLE = str.maketrans(_WS_CHARS, " " * len(_WS_CHARS))
+
+
+def _py_token_counts(text: str | None) -> "dict[str, int]":
+    """Python mirror of ``functions.text.tokens`` + per-doc counting —
+    the SAME declared spec (fold WHITESPACE_CHARS to ' ', split on the
+    literal space, drop empties; pinned cross-engine by
+    tests/test_properties.py::TestTokenizeSpec and cross-PATH by
+    test_advanced tokenize-parity). The translate pass is guarded by
+    C-level membership scans: corpus text that already has no exotic
+    whitespace (the common case after upstream cleaning) skips the
+    char-map copy entirely."""
+    from collections import Counter
+
+    t = text or ""
+    if (
+        "\t" in t or "\n" in t or "\r" in t or "\x0b" in t or "\x0c" in t
+    ):
+        t = t.translate(_WS_TABLE)
+    c = Counter(t.split(" "))
+    c.pop("", None)
+    return c
+
+
+def tokenize_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fused Arrow tokenize-and-count: one ``mapInPandas`` stage emitting
+    the sparse (doc_id, token, tf) table directly from each document.
+
+    Replaces the JVM explode + (doc, token) hash aggregate: the explode
+    form materializes the FULL token stream (12M rows at sf0.1) into a
+    corpus-wide shuffle before collapsing it, where this stage collapses
+    each document to its distinct-token counts inside the Arrow batch —
+    a narrow, shuffle-free pass whose output is the sparse tf artifact
+    (~10x smaller than the token stream). Each input row is one whole
+    document, so per-batch (doc, token) counts are EXACT per-doc tf — no
+    partial-merge step needed. The batch body runs entirely in pyarrow
+    C++ kernels (``_pa_tokenize_tf``); the spec matches
+    ``functions.text.tokens`` exactly: fold WHITESPACE_CHARS to ' ',
+    split on the literal space, drop empties (pinned by
+    tests/test_properties.py::TestTokenizeSpec)."""
+    from tomixpanel_spark.session import ship_package
+
+    ship_package(docs.sparkSession)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            tbl = _pa_tokenize_tf(pdf[id_col], pdf[text_col])
+            yield tbl.to_pandas()
+
+    return docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(batches, schema="doc_id long, token string, tf long")
+
+
+def _pa_tokenize_tf(ids, texts):
+    """Arrow-native tokenize+count for one batch: the exact declared
+    tokenizer spec (WHITESPACE_CHARS folded to ' ', literal-space split,
+    empties dropped) executed entirely in pyarrow C++ kernels —
+    replace_substring per whitespace char, split_pattern, list_flatten /
+    list_parent_indices, then a native group_by count on (doc, token).
+    ~6x the Python Counter loop's throughput on the benchmark corpus;
+    parity with the JVM ``tokens()`` and the Python ``_py_token_counts``
+    is pinned by tests (messy-whitespace inputs included)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, type=pa.string(), from_pandas=True)
+    arr = pc.fill_null(arr, "")
+    for ch in _WS_CHARS:
+        arr = pc.replace_substring(arr, ch, " ")
+    toks = pc.split_pattern(arr, " ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    pairs = pa.table(
+        {"i": pc.filter(parent, mask), "token": pc.filter(flat, mask)}
+    )
+    agg = pairs.group_by(["i", "token"]).aggregate([("token", "count")])
+    doc_ids = pa.array(ids, type=pa.int64(), from_pandas=True).take(agg["i"])
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "token": agg["token"],
+            "tf": pc.cast(agg["token_count"], pa.int64()),
+        }
+    )
+
+
+# Vocabulary gate for the df broadcast (same pattern as decontam's
+# held-out gate, round-7 advice): broadcast only while the distinct-token
+# side fits executor memory; above the cap, fall back to a shuffle join.
+TFIDF_BROADCAST_MAX_VOCAB = 2_000_000
+
+
+def _tfidf_vocab_cap() -> int:
+    import os
+
+    return int(os.environ.get("TOMIX_TFIDF_BCAST_VOCAB", str(TFIDF_BROADCAST_MAX_VOCAB)))
+
+
+_VOCAB_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _vocab_count(spark: SparkSession, key: tuple, df_counts: DataFrame) -> int:
+    """Distinct-token cardinality for the broadcast gate — one count job
+    over the (already checkpointed) tf table, memoized per (application,
+    sf_dir): the vocabulary is fixed for a corpus, so repeated keyword
+    extractions don't re-count it."""
+    if key not in _VOCAB_COUNT_CACHE:
+        _VOCAB_COUNT_CACHE[key] = df_counts.count()
+    return _VOCAB_COUNT_CACHE[key]
+
+
+# Size-adaptive execution gate (the identity.py CC pattern — driver
+# union-find under an edge cap, distributed label propagation above —
+# applied to corpus stats): corpora under this many documents resolve in
+# ONE narrow Arrow pass that emits the sparse per-doc tf table, folded to
+# df + scores + top-3 on the driver; larger corpora take the distributed
+# tf + gated broadcast-join plan. The gate bounds the driver collect: the
+# tf table is docs x distinct-tokens-per-doc rows (~25k docs with a
+# typical ~250-token distinct profile is ~6M small rows, a few hundred
+# MB of pandas — the same order as the CC edge cap).
+TFIDF_DRIVER_FOLD_MAX_DOCS = 25_000
+
+
+def _tfidf_driver_fold_cap() -> int:
+    import os
+
+    return int(
+        os.environ.get("TOMIX_TFIDF_DRIVER_FOLD_DOCS", str(TFIDF_DRIVER_FOLD_MAX_DOCS))
+    )
+
+
+_CORPUS_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _corpus_count(spark: SparkSession, sf_dir: str, docs: DataFrame) -> int:
+    """documents cardinality for the size gate — memoized per
+    (application, sf_dir), same precedent as decontam's eval-count."""
+    key = (spark.sparkContext.applicationId, sf_dir, "n_docs")
+    if key not in _CORPUS_COUNT_CACHE:
+        _CORPUS_COUNT_CACHE[key] = docs.count()
+    return _CORPUS_COUNT_CACHE[key]
+
+
+def _tfidf_driver_fold(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Small-corpus tf-idf: ONE narrow Arrow pass + a vectorized driver
+    fold — no shuffle, no broadcast-exchange job, no checkpoint, no
+    second scan. The pass is the same fused tokenize+count as the
+    distributed plan (``tokenize_tf``'s batch body), emitting the sparse
+    (doc_id, token, tf) table — the ONLY corpus-sized transfer; the
+    collect is gate-bounded (``TFIDF_DRIVER_FOLD_MAX_DOCS``). On the
+    driver, df is one pandas value_counts over the unique-per-(doc,
+    token) rows, scores are exact vectorized int64 arithmetic
+    (tf * 1e6 * N // df — all positive, pandas ``//`` floors like
+    DuckDB's), and top-3 is a (doc, -score, token) sort + groupby
+    cumcount. Ties break (score DESC, token ASC), matching the oracle's
+    row_number ORDER BY. Why this wins at benchmark scale: every Spark
+    exchange/broadcast/checkpoint this query used to pay was per-stage
+    overhead on ~100k tf rows; the fold leaves exactly one task wave and
+    one Arrow transfer, the same pipeline a single-node engine runs.
+    ``n_docs`` comes from the (memoized) gate count — docs with zero
+    tokens contribute no tf rows but still count toward N, exactly like
+    the oracle's ``COUNT(*) FROM documents``."""
+    spark = docs.sparkSession
+    tf_pdf = tokenize_tf(docs).toPandas()
+    if not len(tf_pdf):
+        return spark.createDataFrame(
+            [], "doc_id long, token string, score_e6 long, rk long"
+        )
+    dfreq = tf_pdf["token"].map(tf_pdf["token"].value_counts())
+    tf_pdf["score_e6"] = (
+        tf_pdf["tf"].astype("int64") * 1_000_000 * int(n_docs)
+    ) // dfreq.astype("int64")
+    ranked = tf_pdf.sort_values(
+        ["doc_id", "score_e6", "token"], ascending=[True, False, True], kind="stable"
+    )
+    ranked["rk"] = ranked.groupby("doc_id").cumcount() + 1
+    top = ranked[ranked["rk"] <= 3][["doc_id", "token", "score_e6", "rk"]]
+    return spark.createDataFrame(
+        top, schema="doc_id long, token string, score_e6 long, rk long"
+    )
+
+
 def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-3 terms by tf-idf.
 
@@ -628,43 +831,61 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf multiplication weights rare terms more aggressively than ln —
     acceptable for keyword extraction, documented here).
 
-    Scale shape: ONE tokenized lineage. tf = hash agg on (doc, token),
-    PERSISTED in-query (the standard corpus-stats artifact — vocab x doc
-    sparse counts, far smaller than the token stream). Document frequency
-    is then a map-side-partial ``groupBy(token).count()`` over the
-    persisted tf, broadcast-joined back: tf rows are unique per
-    doc-token, so the count IS df. The broadcast side computes FIRST (its
-    own job), which materializes tf into the cache — the main job reuses
-    it, so the corpus tokenizes exactly once. Why not the single-lineage
-    ``COUNT(*) OVER (PARTITION BY token)`` form: that window funnels
-    every tf row of a hot token ("the") into ONE task's sort — a skew
-    scale-killer at corpus size (and 12x the oracle at sf0.1). The
-    broadcast side is vocab-bounded, not corpus-bounded; corpora with
-    vocabularies past broadcast size pre-prune it (df>1 filter / hash-id
-    vocab) — documented trade, same as the dedup df_cap. N folds in as a
-    broadcast 1-row aggregate, not a driver count job. Top-k per doc is
-    a hash aggregate (collect scored structs, array_sort, slice 3,
-    posexplode) rather than a rank window: same exchange on doc_id, but
-    only each doc's own list sorts and only 3 rows per doc survive.
+    SIZE-ADAPTIVE execution (the identity.py CC principle):
 
-    The in-query materialization is a LAZY localCheckpoint, not
-    persist(): persist registers in the session CacheManager and gets
-    substituted into other queries' matching subtrees — a cross-query
-    side effect a single query must not have. Pipelines that extract
-    keywords repeatedly materialize tf once via ``derived()`` instead."""
-    docs = table(spark, sf_dir, "documents")
+    * corpus under ``TOMIX_TFIDF_DRIVER_FOLD_DOCS`` — the driver-fold
+      plan (``_tfidf_driver_fold``): ONE narrow single-stage Arrow pass
+      emitting the sparse tf table, folded to df/scores/top-3 on the
+      driver, zero shuffles. At toy/benchmark scale Spark's per-stage
+      floor dominates this query, and the fold removes every exchange,
+      broadcast, and checkpoint from the plan.
+    * above the gate — the distributed plan below: ONE tokenized
+      lineage through the FUSED Arrow stage (``tokenize_tf``: per-doc
+      Counter partials emit the sparse (doc, token, tf) table without
+      materializing the token stream into a shuffle — the old JVM
+      explode+agg form paid a corpus-wide exchange of every token
+      occurrence, 9x the oracle at sf0.1). tf materializes in-query
+      (``stage_checkpoint``: localCheckpoint locally, durable
+      checkpoint() under TOMIX_CHECKPOINT_DIR on clusters) because two
+      consumers read it. Document frequency is a map-side-partial
+      ``groupBy(token).count()`` over the materialized tf,
+      broadcast-joined back while the vocabulary is under the gate
+      (``TOMIX_TFIDF_BCAST_VOCAB``, counted once and memoized —
+      decontam's pattern) and a shuffle join above it. Why not the
+      single-lineage ``COUNT(*) OVER (PARTITION BY token)`` form: that
+      window funnels every tf row of a hot token ("the") into ONE
+      task's sort — a skew scale-killer at corpus size. N folds in as a
+      broadcast 1-row aggregate, not a driver count job. Top-k per doc
+      is a hash aggregate (collect scored structs, array_sort, slice 3,
+      posexplode) rather than a rank window: same exchange on doc_id,
+      but only each doc's own list sorts and only 3 rows per doc
+      survive.
+
+    Both paths produce identical rows (asserted by
+    tests/test_plans.py::test_tfidf_paths_agree)."""
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    n_docs = _corpus_count(spark, sf_dir, docs)
+    if n_docs <= _tfidf_driver_fold_cap():
+        return _tfidf_driver_fold(docs, n_docs)
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    tf = (
-        toks.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    tf = stage_checkpoint(tokenize_tf(docs), eager=False)
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # N rides INSIDE the df broadcast side (one 1-row cross inside the
     # build) — a separate broadcast(n) costs a whole extra broadcast job,
     # measured ~15% of this query's wall time at sf0.1
-    scored = tf.join(F.broadcast(df_counts.crossJoin(n)), "token").select(
+    build = df_counts.crossJoin(n)
+    vocab = _vocab_count(
+        spark, (spark.sparkContext.applicationId, sf_dir, "vocab"), df_counts
+    )
+    if vocab <= _tfidf_vocab_cap():
+        build = F.broadcast(build)
+    else:
+        # vocabulary too big for executor memory: shuffle join, with
+        # runtime bloom-filter injection pruning non-matching tf rows
+        # map-side (mirrors decontam's above-gate path)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        build = build.hint("shuffle_hash")
+    scored = tf.join(build, "token").select(
         "doc_id",
         "token",
         F.expr("tf * 1000000L * n_docs div df").alias("score_e6"),
@@ -776,10 +997,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     so over-counts match exactly too."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("token"))
-    tok_counts = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
+    tok_counts = stage_checkpoint(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")), eager=False
     )
     sketch = (
         tok_counts.select("cnt", _cms_rb())

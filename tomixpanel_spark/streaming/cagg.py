@@ -79,12 +79,19 @@ class ContinuousAggregate:
         value_col: str = "value",
         gc: bool = True,
         key_type: str = "string",
+        gc_keep: int = 2,
     ) -> None:
         self.path = path
         self.ts_col = ts_col
         self.key_col = key_col
         self.value_col = value_col
         self.gc = gc
+        # grace window: keep this many of the NEWEST superseded
+        # generations so a reader holding a lazy DataFrame resolved
+        # against a recent manifest survives the next few commits
+        # (round-7 advice: immediate removal was the default failure
+        # mode). 0 restores immediate gc; gc=False retains everything.
+        self.gc_keep = gc_keep
         # declared key DDL type: hourly() on an EMPTY store has no data
         # to infer from, and a schema that changes when the first batch
         # lands breaks downstream unions/joins
@@ -97,10 +104,25 @@ class ContinuousAggregate:
     def _load_manifest(self) -> dict:
         try:
             with open(self._manifest_path()) as f:
-                man = json.load(f)
-            return {"batch_id": man["batch_id"], "days": dict(man["days"])}
-        except (OSError, ValueError, KeyError):
+                raw = f.read()
+        except FileNotFoundError:
+            # ONLY a missing manifest means "adopt legacy layout / fresh
+            # store". An existing-but-unreadable/corrupt manifest must
+            # raise loudly: falling back to an empty manifest here would
+            # silently reset the store ({batch_id:-1, days:{}}) — readers
+            # see no data and the next replayed batch re-merges from
+            # scratch, a silent double-count (round-7 advice).
             return self._legacy_manifest()
+        try:
+            man = json.loads(raw)
+            return {"batch_id": man["batch_id"], "days": dict(man["days"])}
+        except (ValueError, KeyError, TypeError) as exc:
+            raise RuntimeError(
+                f"corrupt cagg manifest at {self._manifest_path()}: {exc}; "
+                "recover by rebuilding it from the gen/<batch_id>/day=* "
+                "directories (the data files are intact — the manifest is "
+                "the only pointer), do NOT delete the store"
+            ) from exc
 
     def _legacy_manifest(self) -> dict:
         """No manifest on disk: adopt a pre-manifest store if one exists
@@ -139,13 +161,14 @@ class ContinuousAggregate:
 
     def _gc_superseded(self, man: dict) -> None:
         """Best-effort removal of generation dirs the CURRENT manifest no
-        longer references. CAVEAT: a reader holding a lazy hourly()/
-        daily() DataFrame resolved against an older manifest can still
-        point at a superseded generation — its action would then hit
-        missing files. Construct with ``gc=False`` when long-lived
-        readers run concurrently with the stream (superseded generations
-        then accumulate until an external vacuum); the default suits the
-        common read-after-batch cadence."""
+        longer references, RETAINING the ``gc_keep`` newest superseded
+        generations as a grace window: a reader holding a lazy hourly()/
+        daily() DataFrame resolved against a recent manifest keeps its
+        files through the next ``gc_keep`` commits instead of failing
+        mid-action on missing parquet. Long-lived readers that may lag
+        further behind the stream should construct with ``gc=False``
+        (superseded generations then accumulate until an external
+        vacuum)."""
         if not self.gc:
             return
         live = {str(g) for g in man["days"].values()}
@@ -154,9 +177,15 @@ class ContinuousAggregate:
             gens = os.listdir(root)
         except OSError:
             return
-        for g in gens:
-            if g not in live:
-                shutil.rmtree(os.path.join(root, g), ignore_errors=True)
+        # generation dirs are named by integer batch_id; newest = largest.
+        # Non-integer names (foreign files) are never gc'd.
+        superseded = sorted(
+            (g for g in gens if g not in live and g.lstrip("-").isdigit()),
+            key=int,
+        )
+        doomed = superseded[: max(0, len(superseded) - self.gc_keep)]
+        for g in doomed:
+            shutil.rmtree(os.path.join(root, g), ignore_errors=True)
 
     # -- write path -------------------------------------------------------
     # The store's sum type is PINNED: Spark widens SUM(decimal(p,s)) to

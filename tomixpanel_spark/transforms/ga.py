@@ -356,7 +356,9 @@ def ga_events(
     """
     base = _session_base(df)
     if materialize_base:
-        base = base.localCheckpoint(eager=True)
+        from tomixpanel_spark.operators.base import stage_checkpoint
+
+        base = stage_checkpoint(base, eager=True)
     begins = _boundary(base, "session begins", F.col("start_ms"))
     ends = _boundary(base, "session ends", _last_hit_end_ms() + 1000)
     events = begins.unionByName(_hit_events(base)).unionByName(ends)
