@@ -491,3 +491,19 @@ def test_tfidf_vocab_gate_flips_to_shuffle_join(spark, monkeypatch):
     joins = join_strategies(df)
     assert "BroadcastHashJoin" not in joins
     assert any(j in ("SortMergeJoin", "ShuffledHashJoin") for j in joins)
+
+
+def test_mixture_rebalance_gate_flips_to_shuffle_join(spark, monkeypatch):
+    """Past the bucket-domain cap the rates side must NOT broadcast —
+    the runtime gate (round-7 advice: gate, not convention) flips to a
+    shuffle join with bloom-filter injection, same answers."""
+    from tomixpanel_spark.operators import textops
+
+    base = REG["mixture_rebalance"].fn(spark, SF_ORACLE)
+    monkeypatch.setenv("TOMIX_MIXTURE_BCAST_BUCKETS", "0")
+    textops._VOCAB_COUNT_CACHE.clear()
+    gated = REG["mixture_rebalance"].fn(spark, SF_ORACLE)
+    joins = join_strategies(gated)
+    assert "BroadcastHashJoin" not in joins
+    assert any(j in ("SortMergeJoin", "ShuffledHashJoin") for j in joins)
+    assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, base.collect()))

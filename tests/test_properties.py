@@ -533,3 +533,88 @@ class TestTokenizeSpec:
             if r["t"]
         }
         assert jvm == py_counts
+
+
+class TestPngCodec:
+    @given(st.integers(1, 16), st.integers(1, 16), st.integers(0, 2**32 - 1))
+    @settings(max_examples=60, deadline=None)
+    def test_encode_decode_roundtrip_lossless(self, w, h, seed):
+        """media_neardup's oracle parity PROVES the roundtrip on the 8x8
+        corpus; this pins it for arbitrary small shapes and pixel
+        content."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            decode_png_gray,
+            encode_png_gray,
+        )
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        out = decode_png_gray(encode_png_gray(px))
+        assert out.shape == (h, w)
+        assert (out == px).all()
+
+    @given(st.integers(0, 2**32 - 1), st.sampled_from([1, 2, 3, 4]))
+    @settings(max_examples=40, deadline=None)
+    def test_decoder_unfilters_all_filter_types(self, seed, ftype):
+        """Our encoder emits filter 0, but real-world PNGs use Sub/Up/
+        Average/Paeth — craft each filter's raw scanlines directly and
+        assert the decoder reconstructs the intended pixels."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            _png_chunk,
+            decode_png_gray,
+        )
+
+        rng = np.random.default_rng(seed)
+        h = w = 6
+        px = rng.integers(0, 256, size=(h, w), dtype=np.int64)
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        raw = b""
+        for r in range(h):
+            raw += bytes([ftype])
+            left = 0
+            for c in range(w):
+                up = int(px[r - 1, c]) if r else 0
+                ul = int(px[r - 1, c - 1]) if (r and c) else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 2:
+                    pred = up
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = paeth(left, up, ul)
+                raw += bytes([(int(px[r, c]) - pred) & 0xFF])
+                left = int(px[r, c])
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        out = decode_png_gray(payload)
+        assert (out == px.astype(np.uint8)).all()
+
+    def test_dhash_matches_oracle_bit_layout(self):
+        """dhash_bits' bit order must equal the SQL's CASE-term layout:
+        bit r*7+c <=> px[r*8+c] > px[r*8+c+1]."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import dhash_bits
+
+        px = np.zeros((8, 8), dtype=np.uint8)
+        px[3, 2] = 200  # sets exactly bit 3*7+2 (px[3,2] > px[3,3])...
+        # ...and clears bit 3*7+1 (px[3,1] < px[3,2] means NOT >)
+        got = dhash_bits(px)
+        assert got == 1 << (3 * 7 + 2)

@@ -206,7 +206,11 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     |buckets| output rows; the min folds in as a 1-row cross INSIDE the
     broadcast build (one broadcast job, same trick as tfidf); the keep
     decision is then a narrow map-side filter over the corpus — no
-    corpus shuffle anywhere, skew-free by construction."""
+    corpus shuffle anywhere, skew-free by construction. The broadcast is
+    GATED (round-7 advice: a runtime gate, not a documented convention):
+    the bucket-domain cardinality is counted once (memoized) and a
+    degenerate bucketing past ``TOMIX_MIXTURE_BCAST_BUCKETS`` falls back
+    to a shuffle join — AQE's skew split then handles any hot bucket."""
     docs = table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
@@ -215,10 +219,33 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
     mn = counts.agg(F.min("cnt").alias("mn"))
+    build = counts.crossJoin(mn)
+    n_buckets = _vocab_count(
+        spark, (spark.sparkContext.applicationId, sf_dir, "mix_buckets"), counts
+    )
+    if n_buckets <= _mixture_bucket_cap():
+        build = F.broadcast(build)
+    else:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        build = build.hint("shuffle_hash")
     return (
-        d.join(F.broadcast(counts.crossJoin(mn)), "bucket")
+        d.join(build, "bucket")
         .filter(F.col("h") * F.col("cnt") < F.col("mn") * 10000)
         .select("doc_id", "bucket")
+    )
+
+
+# A bucketing function that explodes past this many distinct buckets is
+# degenerate (buckets are languages/sources — intrinsically small), but
+# the gate makes the broadcast-bound RUNTIME-checked like decontam's.
+MIXTURE_BROADCAST_MAX_BUCKETS = 100_000
+
+
+def _mixture_bucket_cap() -> int:
+    import os
+
+    return int(
+        os.environ.get("TOMIX_MIXTURE_BCAST_BUCKETS", str(MIXTURE_BROADCAST_MAX_BUCKETS))
     )
 
 
@@ -995,10 +1022,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     production queries the sketch for candidate terms only. Estimates can
     only over-count (collisions add), and both engines hash identically,
     so over-counts match exactly too."""
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    # per-token totals fold from the SPARSE tf table (fused Arrow
+    # tokenize, round 8) — sum(tf) == count over the occurrence explode,
+    # with ~10x fewer rows into the vocab aggregate
     tok_counts = stage_checkpoint(
-        toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")), eager=False
+        tokenize_tf(docs).groupBy("token").agg(F.sum("tf").alias("cnt")),
+        eager=False,
     )
     sketch = (
         tok_counts.select("cnt", _cms_rb())
