@@ -947,3 +947,92 @@ class TestAnnIvfQuantized:
             for r in ann_ivf_quantized(emb, nprobe=2).collect()
         }
         assert len(part & full) / len(full) >= 0.5
+
+
+class TestAsofStrategies:
+    def test_cogroup_strategy_equals_window_strategy(self, spark):
+        """Both physical shapes of the as-of join — the all-JVM
+        union+window carry and the Arrow cogroup pd.merge_asof — are ONE
+        operator: identical rows on a fixture exercising missing
+        matches, exact-time ties (tiebreak resolution), left-only keys,
+        right-only keys, and both directions."""
+        from tomixpanel_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [
+                (1, 10, "l1"), (1, 20, "l2"), (1, 5, "l0"),
+                (2, 7, "l3"),
+                (3, 9, "l4"),   # key with no right rows at all
+                (1, 15, "l5"),
+            ],
+            "k long, t long, tag string",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, 10, 100, 7.5), (1, 10, 101, 8.5),  # exact-time tie
+                (1, 12, 102, 9.5),
+                (2, 8, 103, 1.0),   # after left's t=7 (backward miss)
+                (4, 1, 104, 2.0),   # right-only key
+            ],
+            "k long, rt long, rid long, val double",
+        )
+        for direction in ("backward", "forward"):
+            w = asof_join(
+                left, right, on="k", left_time="t", right_time="rt",
+                right_tiebreak=("rid",), direction=direction,
+            )
+            c = asof_join(
+                left, right, on="k", left_time="t", right_time="rt",
+                right_tiebreak=("rid",), direction=direction,
+                strategy="cogroup",
+            )
+            canon = lambda df: sorted(  # noqa: E731
+                (tuple(str(x) for x in row) for row in map(tuple, df.select(*sorted(df.columns)).collect()))
+            )
+            assert canon(w) == canon(c), f"strategies diverge ({direction})"
+        # pin the tie semantics once explicitly: at t=10 backward, the
+        # max-rid right row (101) wins in BOTH strategies
+        row = {r["tag"]: r["rid"] for r in w.collect()} if False else None
+        back = asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            right_tiebreak=("rid",), strategy="cogroup",
+        )
+        by_tag = {r["tag"]: (r["rid"], r["val"]) for r in back.collect()}
+        assert by_tag["l1"] == (101, 8.5)
+        assert by_tag["l4"] == (None, None)
+
+    def test_registered_asof_query_matches_cogroup(self, spark):
+        """The registered asof_latest_order re-run through the cogroup
+        strategy returns the identical result set."""
+        from tomixpanel_spark.operators.asof import asof_join
+        from tomixpanel_spark.operators import registry
+
+        from pyspark.sql import functions as F
+        from tomixpanel_spark.operators.base import table
+
+        sf = "/root/testdata/sf0.001"
+        reg = registry()
+        want = sorted(map(tuple, reg["asof_latest_order"].fn(spark, sf).collect()))
+        ev = table(spark, sf, "events").select("event_id", "user_id", "ts")
+        orders = table(spark, sf, "orders")
+        r = orders.select(
+            F.pmod("o_custkey", F.lit(150)).cast("bigint").alias("user_id"),
+            F.expr(
+                "timestampadd(HOUR, cast(o_orderkey % 720 as int), "
+                "timestamp'2024-01-01 00:00:00')"
+            ).alias("ts_r"),
+            F.col("o_orderkey").alias("order_key"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_c"),
+        )
+        got = sorted(
+            map(
+                tuple,
+                asof_join(
+                    ev, r, on="user_id", left_time="ts", right_time="ts_r",
+                    right_tiebreak=("order_key",), strategy="cogroup",
+                )
+                .select("event_id", "user_id", "order_key", "total_c")
+                .collect(),
+            )
+        )
+        assert got == want

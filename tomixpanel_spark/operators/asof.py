@@ -36,6 +36,7 @@ def asof_join(
     right_time: str,
     right_tiebreak: tuple[str, ...] = (),
     direction: str = "backward",
+    strategy: str = "window",
 ) -> DataFrame:
     """Left as-of join: all ``left`` columns plus ``right``'s value
     columns (everything but ``on``/``right_time``) taken from the
@@ -51,9 +52,24 @@ def asof_join(
     already pays, so no pre-aggregation exchange is needed. Without a
     tiebreak, pre-aggregate the right side (e.g. ``max_by``) or the
     match is not well defined.
+
+    ``strategy`` picks the physical shape (same semantics, asserted
+    equal in tests):
+      * ``"window"`` (default) — union both sides through ONE exchange
+        on the key, carry right values with a running last(ignorenulls)
+        window. All-JVM, whole-stage-codegen sort.
+      * ``"cogroup"`` — groupBy(key).cogroup + ``applyInPandas`` running
+        ``pd.merge_asof`` per key group: one exchange per side, the
+        sorted merge itself in C. The Arrow transfer makes it the slower
+        choice for narrow rows, but it wins when right VALUE payloads
+        are wide (the window form carries the whole value struct through
+        the JVM sort; the cogroup form merges on (key, time) positions).
+        Per-key state must fit a task (same bound as any cogroup).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if strategy not in ("window", "cogroup"):
+        raise ValueError(f"strategy must be window|cogroup, got {strategy!r}")
     left_cols = [c for c in left.columns if c != on]
     value_cols = [c for c in right.columns if c not in (on, right_time)]
     overlap = set(left_cols) & set(value_cols)
@@ -61,6 +77,11 @@ def asof_join(
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
     if not value_cols:
         raise ValueError("right side has no value columns to carry")
+    if strategy == "cogroup":
+        return _asof_cogroup(
+            left, right, on, left_time, right_time, right_tiebreak, direction,
+            left_cols, value_cols,
+        )
 
     from pyspark.sql.types import StructField, StructType
 
@@ -73,18 +94,21 @@ def asof_join(
     v_type = StructType(
         [StructField(c, right.schema[c].dataType, True) for c in value_cols]
     )
+    # left_time rides ONLY as __t (carrying it again under its own name
+    # would emit a duplicate column in the output)
+    plain_left = [c for c in left_cols if c != left_time]
     l_half = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(0).alias("__r"),
-        *[F.col(c) for c in left_cols],
+        *[F.col(c) for c in plain_left],
         F.lit(None).cast(v_type).alias("__v"),
     )
     r_half = right.select(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(1).alias("__r"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in plain_left],
         F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
     )
     u = l_half.unionByName(r_half)
@@ -107,14 +131,91 @@ def asof_join(
         "__k",
         "__t",
         "__r",
-        *left_cols,
+        *plain_left,
         F.last("__v", ignorenulls=True).over(w).alias("__v"),
     )
     return carried.filter(F.col("__r") == 0).select(
         F.col("__k").alias(on),
         F.col("__t").alias(left_time),
-        *left_cols,
+        *plain_left,
         *[F.col("__v")[c].alias(c) for c in value_cols],
+    )
+
+
+def _asof_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_tiebreak: tuple[str, ...],
+    direction: str,
+    left_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """The Arrow strategy: per-key ``pd.merge_asof``. Tie handling
+    mirrors the window strategy exactly — among right rows at one
+    (key, time), the max-tiebreak row wins: merge_asof(backward) matches
+    the LAST qualifying position, so the right frame sorts (time ASC,
+    tiebreak ASC); merge_asof(forward) matches the FIRST, so ties sort
+    DESC. Missing matches keep typed nulls (NaN-poisoned int columns are
+    rebuilt as nullable objects before Arrow conversion)."""
+    import pandas as pd
+
+    from tomixpanel_spark.session import ship_package
+
+    ship_package(left.sparkSession)
+    schema_fields = (
+        [left.schema[on], left.schema[left_time]]
+        + [left.schema[c] for c in left_cols if c != left_time]
+        + [right.schema[c] for c in value_cols]
+    )
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(schema_fields)
+    out_cols = [f.name for f in schema_fields]
+    tie_asc = direction == "backward"
+    # a right time column named like the left one would collide in the
+    # merged frame — give it a reserved name inside the merge
+    rt = right_time if right_time != left_time else "__rt"
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(l_pdf):
+            return pd.DataFrame(columns=out_cols)
+        l_sorted = l_pdf.sort_values(left_time, kind="stable")
+        if not len(r_pdf):
+            out = l_sorted.copy()
+            for c in value_cols:
+                out[c] = None
+            return out[out_cols]
+        r_sorted = (
+            r_pdf.rename(columns={right_time: rt})
+            .sort_values(
+                [rt, *right_tiebreak],
+                ascending=[True] + [tie_asc] * len(right_tiebreak),
+                kind="stable",
+            )
+            .drop(columns=[on])
+        )
+        out = pd.merge_asof(
+            l_sorted,
+            r_sorted,
+            left_on=left_time,
+            right_on=rt,
+            direction=direction,
+            allow_exact_matches=True,
+        ).drop(columns=[rt])
+        for c in value_cols:
+            # merge misses NaN-poison integer columns to float — rebuild
+            # as nullable objects so Arrow sees typed nulls
+            if out[c].isna().any():
+                out[c] = out[c].astype(object).where(out[c].notna(), None)
+        return out[out_cols]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
     )
 
 

@@ -648,9 +648,69 @@ WHERE bit_count(xor(a.dhash, c.dhash)) <= {MEDIA_HAM_MAX}
 """
 
 
+def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata extraction from VARIABLE-size binary media, through
+    the real codec path end to end: synthesize a wxh grayscale PNG per
+    document (w = 4 + doc_id % 13, h = 4 + doc_id % 7 — dimensions the
+    oracle recomputes arithmetically), encode with the real encoder, then
+    recover dimensions/depth with ``decode_payload``'s IHDR parse and
+    byte length per payload — all in one narrow mapInPandas pass. The
+    hash match proves the production header-decode path (not just the
+    pixel codec) against independently derived values: any drift in
+    signature/chunk/IHDR layout between encoder and decoder breaks it."""
+    import numpy as np
+
+    from tomixpanel_spark.session import ship_package
+
+    ship_package(spark)
+    docs = ensure_parallel_docs(spark, sf_dir)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "bit_depth": []}
+            for doc_id in pdf["doc_id"]:
+                w = 4 + int(doc_id) % 13
+                h = 4 + int(doc_id) % 7
+                # deterministic pixel fill: (doc_id + r*w + c) % 256
+                px = (
+                    int(doc_id)
+                    + np.arange(h * w, dtype=np.int64).reshape(h, w)
+                ) % 256
+                payload = encode_png_gray(px.astype(np.uint8))
+                meta = decode_payload(payload, "image/png")
+                out["doc_id"].append(doc_id)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["bit_depth"].append(meta["bit_depth"])
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        batches,
+        schema="doc_id long, width long, height long, bit_depth long",
+    )
+
+
+def ensure_parallel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tomixpanel_spark.operators.base import ensure_parallel
+
+    return ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+
+
+_MEDIA_META_SQL = """
+SELECT doc_id,
+       CAST(4 + doc_id % 13 AS BIGINT) AS width,
+       CAST(4 + doc_id % 7 AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS bit_depth
+FROM documents
+"""
+
+
 REGISTRY = {
     "multimodal_meta": QuerySpec(multimodal_meta, _MULTIMODAL_META_SQL, "ext:multimodal"),
     "media_neardup": QuerySpec(
         media_neardup, _MEDIA_NEARDUP_SQL, "ext:multimodal perceptual near-dup"
+    ),
+    "media_meta": QuerySpec(
+        media_meta, _MEDIA_META_SQL, "ext:multimodal typed metadata via real codec"
     ),
 }
