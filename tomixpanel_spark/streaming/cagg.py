@@ -240,30 +240,44 @@ class ContinuousAggregate:
     def update_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Merge one micro-batch into the store. Reads ONLY the day
         partitions the batch touches; writes a fresh generation and
-        commits data + batch_id atomically via the manifest swap."""
+        commits data + batch_id atomically via the manifest swap.
+
+        Partials PERSIST for the duration of the merge: the day-discovery
+        collect and the generation write both consume them, and without
+        the pin each consumer re-aggregates the raw batch (two full
+        passes measured). The write coalesces to ONE task: partial cells
+        are hours x keys x days — aggregate output, bounded by the
+        batch's time spread, never its row count — so a task per
+        shuffle partition just multiplies files and commit overhead
+        (32 tasks x N day dirs for a handful of rows)."""
         man = self._load_manifest()
         if batch_id <= man["batch_id"]:
             return  # replayed batch: already committed in the manifest
         spark = batch_df.sparkSession
-        partials = self._batch_partials(batch_df)
-        days = sorted(
-            r["day"].isoformat() for r in partials.select("day").distinct().collect()
-        )
-        existing = self._read_day_partitions(spark, man, days)
-        if existing is not None:
-            partials = (
-                existing.withColumn("day", F.col("day").cast("date"))
-                .unionByName(partials)
-                .groupBy("bucket", "key", "day")
-                .agg(
-                    F.sum("n").alias("n"),
-                    F.sum("sum_dec").cast(self.SUM_TYPE).alias("sum_dec"),
-                )
+        partials = self._batch_partials(batch_df).persist()
+        try:
+            days = sorted(
+                r["day"].isoformat()
+                for r in partials.select("day").distinct().collect()
             )
-        # a replayed half-committed batch overwrites its own orphan dir
-        partials.write.mode("overwrite").partitionBy("day").parquet(
-            self._gen_dir(batch_id)
-        )
+            existing = self._read_day_partitions(spark, man, days)
+            merged = partials
+            if existing is not None:
+                merged = (
+                    existing.withColumn("day", F.col("day").cast("date"))
+                    .unionByName(partials)
+                    .groupBy("bucket", "key", "day")
+                    .agg(
+                        F.sum("n").alias("n"),
+                        F.sum("sum_dec").cast(self.SUM_TYPE).alias("sum_dec"),
+                    )
+                )
+            # a replayed half-committed batch overwrites its own orphan dir
+            merged.coalesce(1).write.mode("overwrite").partitionBy("day").parquet(
+                self._gen_dir(batch_id)
+            )
+        finally:
+            partials.unpersist()
         new_man = {
             "batch_id": batch_id,
             "days": {**man["days"], **{d: batch_id for d in days}},
