@@ -618,3 +618,31 @@ class TestPngCodec:
         # ...and clears bit 3*7+1 (px[3,1] < px[3,2] means NOT >)
         got = dhash_bits(px)
         assert got == 1 << (3 * 7 + 2)
+
+
+class TestWavPcmCodec:
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=1, max_size=256),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_pcm_roundtrip_and_header_agreement(self, samples, rate):
+        """Byte-exact PCM roundtrip for arbitrary int16 waveforms, and the
+        independently-written header parser (decode_payload) agrees with
+        the data decoder on rate/frame count."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            decode_payload,
+            decode_wav_pcm16,
+            encode_wav_pcm16,
+        )
+
+        payload = encode_wav_pcm16(np.array(samples, dtype="<i2"), rate)
+        pcm, got_rate = decode_wav_pcm16(payload)
+        assert got_rate == rate
+        assert pcm.tolist() == samples
+        meta = decode_payload(payload, "audio/wav")
+        assert meta["sample_rate"] == rate
+        assert meta["channels"] == 1
+        assert meta["n_frames"] == len(samples)

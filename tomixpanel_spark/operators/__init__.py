@@ -47,6 +47,7 @@ from tomixpanel_spark.sources import csv as csv_source
 _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
     # -- new in round 8: never externally checked --------------------------
+    "media_audio_features": 0,
     "media_meta": 0,
     "media_neardup": 0,
     "streaming_cagg_parity": 0,

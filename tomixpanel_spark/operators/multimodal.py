@@ -705,8 +705,133 @@ FROM documents
 """
 
 
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Encode int16 mono samples as a REAL RIFF/WAVE file (fmt + data
+    chunks, little-endian PCM) — readable by any WAV decoder."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav_pcm16(payload: bytes):
+    """Decode 16-bit mono PCM WAV back to an int16 sample array — real
+    DATA decode (chunk walk + little-endian sample parse), not just the
+    fmt-header parse of ``decode_payload``."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag != 1 or channels != 1 or bits != 16:
+                raise ValueError("decode_wav_pcm16 handles mono 16-bit PCM only")
+            fmt = (rate, channels, bits)
+        elif cid == b"data":
+            pcm = np.frombuffer(bytes(body), dtype="<i2")
+        pos += 8 + size + (size & 1)
+    if fmt is None or pcm is None:
+        raise ValueError("not a WAV: missing fmt/data chunk")
+    return pcm, fmt[0]
+
+
+N_AUDIO_SAMPLES = 64
+
+
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through the real WAV codec path:
+    synthesize a 64-sample int16 mono waveform per document
+    (sample[i] = ((doc_id * 37 + i * 101) % 2048) - 1024 — a formula the
+    oracle recomputes), encode as a real RIFF/WAVE payload, decode the
+    PCM DATA back, and emit exact integer features: sample count, sum of
+    absolute amplitudes (the integer stand-in for RMS energy), peak
+    amplitude, and zero-crossing count (sign flips between consecutive
+    samples, the classic cheap pitch proxy). The hash match proves the
+    full byte-level PCM roundtrip, not just header fields — any
+    endianness or offset error in the codec flips the sums."""
+    import numpy as np
+
+    from tomixpanel_spark.session import ship_package
+
+    ship_package(spark)
+    docs = ensure_parallel_docs(spark, sf_dir)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "n_samples": [],
+                "abs_sum": [],
+                "peak": [],
+                "zero_crossings": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                i = np.arange(N_AUDIO_SAMPLES, dtype=np.int64)
+                samples = ((int(doc_id) * 37 + i * 101) % 2048) - 1024
+                payload = encode_wav_pcm16(samples.astype("<i2"))
+                pcm, _rate = decode_wav_pcm16(payload)
+                s = pcm.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(s))
+                out["abs_sum"].append(int(np.abs(s).sum()))
+                out["peak"].append(int(np.abs(s).max()))
+                out["zero_crossings"].append(
+                    int(((s[:-1] < 0) != (s[1:] < 0)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, n_samples long, abs_sum long, peak long, "
+            "zero_crossings long"
+        ),
+    )
+
+
+_MEDIA_AUDIO_SQL = f"""
+WITH s AS (
+  SELECT doc_id, i,
+         (doc_id * 37 + i * 101) % 2048 - 1024 AS v
+  FROM documents, unnest(generate_series(0, {N_AUDIO_SAMPLES - 1})) AS t(i))
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_samples,
+  CAST(SUM(abs(v)) AS BIGINT) AS abs_sum,
+  CAST(MAX(abs(v)) AS BIGINT) AS peak,
+  CAST(SUM(CASE WHEN i > 0 AND ((v < 0) <> (prev < 0)) THEN 1 ELSE 0 END) AS BIGINT)
+    AS zero_crossings
+FROM (SELECT *, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM s)
+GROUP BY doc_id
+"""
+
+
 REGISTRY = {
     "multimodal_meta": QuerySpec(multimodal_meta, _MULTIMODAL_META_SQL, "ext:multimodal"),
+    "media_audio_features": QuerySpec(
+        media_audio_features, _MEDIA_AUDIO_SQL, "ext:multimodal audio PCM features"
+    ),
     "media_neardup": QuerySpec(
         media_neardup, _MEDIA_NEARDUP_SQL, "ext:multimodal perceptual near-dup"
     ),
