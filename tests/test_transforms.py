@@ -395,3 +395,118 @@ class TestSchemaGateDelta:
         assert "v3" not in ids
         # ...but the constraint-violating session PASSES (the delta)
         assert ids == {"v1", "v2"}
+
+
+class TestDraft04ConstraintGate:
+    def test_compiled_constraints_enforce_enum_required_pattern(self, spark):
+        """The Catalyst-compiled draft-04 subset: enum, required, pattern,
+        nested properties, and array items — evaluated as one JVM
+        predicate, no per-row Python."""
+        from tomixpanel_spark.functions.schema_constraints import (
+            compile_constraints,
+        )
+
+        schema = {
+            "type": "object",
+            "required": ["visitId"],
+            "properties": {
+                "visitId": {"type": "string", "pattern": "^v[0-9]+$"},
+                "channel": {"type": "string", "enum": ["Organic Search", "Direct"]},
+                "totals": {
+                    "type": "object",
+                    "required": ["visits"],
+                    "properties": {"visits": {"type": "string"}},
+                },
+                "hits": {
+                    "type": "array",
+                    "items": {
+                        "type": "object",
+                        "properties": {"type": {"enum": ["PAGE", "EVENT"]}},
+                    },
+                },
+            },
+        }
+        rows = [
+            # conforms fully
+            ("v1", "Direct", ("3",), [("PAGE",), ("EVENT",)], True),
+            # enum violation on a hit element
+            ("v2", "Direct", ("1",), [("NOT_A_TYPE",)], False),
+            # pattern violation
+            ("x3", "Direct", ("1",), [("PAGE",)], False),
+            # missing required top-level field
+            (None, "Direct", ("1",), [("PAGE",)], False),
+            # missing required NESTED field
+            ("v5", "Direct", (None,), [("PAGE",)], False),
+            # absent OPTIONAL object + absent optional enum: conforms
+            ("v6", None, None, None, True),
+            # top-level enum violation
+            ("v7", "Paid", ("1",), [("PAGE",)], False),
+        ]
+        df = spark.createDataFrame(
+            [(r[0], r[1], r[2], r[3]) for r in rows],
+            "visitId string, channel string, "
+            "totals struct<visits:string>, hits array<struct<type:string>>",
+        )
+        got = [
+            bool(r["ok"])
+            for r in df.select(compile_constraints(schema).alias("ok")).collect()
+        ]
+        assert got == [r[4] for r in rows]
+
+    def test_unsupported_keywords_raise_not_silently_pass(self, spark):
+        import pytest
+
+        from tomixpanel_spark.functions.schema_constraints import (
+            compile_constraints,
+        )
+
+        with pytest.raises(ValueError, match="unsupported draft-04"):
+            compile_constraints(
+                {"properties": {"x": {"type": "integer", "multipleOf": 3}}}
+            )
+
+    def test_constraint_file_skip_closes_the_reference_delta(
+        self, spark, tmp_path
+    ):
+        """With the compiled gate, the reference's whole-file skip now
+        fires on SEMANTIC violations too — the well-shaped
+        out-of-vocabulary session that passes the typed gate
+        (TestSchemaGateDelta) gets its file skipped here, matching
+        transform/gaToMixpanel.js:51-57 behavior without a per-row
+        Python interpreter."""
+        import json
+
+        from tomixpanel_spark.functions.schema_constraints import (
+            constraint_file_skip,
+        )
+        from tomixpanel_spark.schemas import GA_SESSION_SCHEMA
+        from tomixpanel_spark.sources.staging import read_json_auto
+
+        rules = {
+            "required": ["visitId"],
+            "properties": {
+                "hits": {
+                    "items": {
+                        "properties": {
+                            "type": {"enum": ["PAGE", "EVENT", "SOCIAL"]}
+                        }
+                    }
+                }
+            },
+        }
+        good = {
+            "visitId": "v1",
+            "visitStartTime": "1609459200",
+            "fullVisitorId": "fv1",
+            "hits": [{"hitNumber": "1", "time": "0", "type": "PAGE"}],
+        }
+        violating = dict(good, visitId="v2", hits=[{"type": "NOT_A_HIT_TYPE"}])
+        f_ok = tmp_path / "ok.ndjson"
+        f_ok.write_text(json.dumps(good))
+        f_bad = tmp_path / "bad.ndjson"
+        f_bad.write_text(json.dumps(good | {"visitId": "v3"}) + "\n" + json.dumps(violating))
+        df = read_json_auto(spark, [str(f_ok), str(f_bad)], GA_SESSION_SCHEMA)
+        kept = constraint_file_skip(df, rules)
+        ids = {r["visitId"] for r in kept.select("visitId").collect()}
+        # the violating file is skipped WHOLE (v3 rode in the same file)
+        assert ids == {"v1"}
