@@ -510,3 +510,37 @@ class TestDraft04ConstraintGate:
         ids = {r["visitId"] for r in kept.select("visitId").collect()}
         # the violating file is skipped WHOLE (v3 rode in the same file)
         assert ids == {"v1"}
+
+    def test_pipeline_ga_constraints_option_gates_files(self, spark, tmp_path):
+        """config.source.options.constraints wires the compiled draft-04
+        gate into the GA pipeline: the file with a semantic violation is
+        skipped whole, the conforming file flows through ga_events."""
+        import json
+
+        from tomixpanel_spark import pipeline
+
+        good = {
+            "visitId": "v1",
+            "visitStartTime": "1609459200",
+            "fullVisitorId": "fv1",
+            "hits": [{"hitNumber": "1", "time": "0", "type": "PAGE"}],
+        }
+        violating = dict(good, visitId="v2",
+                         hits=[{"hitNumber": "1", "time": "0", "type": "BAD"}])
+        (tmp_path / "a.ndjson").write_text(json.dumps(good))
+        (tmp_path / "b.ndjson").write_text(json.dumps(violating))
+        plan = pipeline.build(spark, {
+            "source": {"name": "ga", "options": {
+                "path_to_data": str(tmp_path),
+                "constraints": {
+                    "required": ["visitId"],
+                    "properties": {"hits": {"items": {"properties": {
+                        "type": {"enum": ["PAGE", "EVENT", "SOCIAL"]}}}}},
+                },
+            }},
+            "destination": {"name": "mixpanel", "token": "t"},
+        })
+        ids = {r["distinct_id"] for r in plan.events.select("distinct_id").collect()}
+        assert ids == {"fv1"}  # only the conforming file's session
+        n = plan.events.count()
+        assert n == 3  # begins + 1 hit + ends

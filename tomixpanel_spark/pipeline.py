@@ -108,7 +108,20 @@ def build(spark: SparkSession, config: dict) -> PipelinePlan:
             download=opts.get("download"),
         )
         paths = opts.get("path_to_data") or source.fetch()
-        raw = valid_records(source.read(spark, paths))
+        read = source.read(spark, paths)
+        # V1 semantic half (reference transform/gaToMixpanel.js:51-57):
+        # config.source.options.constraints = a draft-04-subset dict ->
+        # whole-file skip on enum/required/pattern violations, compiled
+        # to one Catalyst predicate (functions/schema_constraints.py).
+        # Omitted -> the typed-shape gate alone, row-granular salvage.
+        if opts.get("constraints"):
+            from tomixpanel_spark.functions.schema_constraints import (
+                constraint_file_skip,
+            )
+
+            raw = constraint_file_skip(read, opts["constraints"])
+        else:
+            raw = valid_records(read)
         return PipelinePlan(
             events=ga_events(
                 raw,
