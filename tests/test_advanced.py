@@ -976,20 +976,21 @@ class TestAsofStrategies:
             ],
             "k long, rt long, rid long, val double",
         )
+        canon = lambda df: sorted(  # noqa: E731
+            (tuple(str(x) for x in row) for row in map(tuple, df.select(*sorted(df.columns)).collect()))
+        )
         for direction in ("backward", "forward"):
             w = asof_join(
                 left, right, on="k", left_time="t", right_time="rt",
                 right_tiebreak=("rid",), direction=direction,
             )
-            c = asof_join(
-                left, right, on="k", left_time="t", right_time="rt",
-                right_tiebreak=("rid",), direction=direction,
-                strategy="cogroup",
-            )
-            canon = lambda df: sorted(  # noqa: E731
-                (tuple(str(x) for x in row) for row in map(tuple, df.select(*sorted(df.columns)).collect()))
-            )
-            assert canon(w) == canon(c), f"strategies diverge ({direction})"
+            for other in ("cogroup", "broadcast"):
+                o = asof_join(
+                    left, right, on="k", left_time="t", right_time="rt",
+                    right_tiebreak=("rid",), direction=direction,
+                    strategy=other,
+                )
+                assert canon(w) == canon(o), f"{other} diverges ({direction})"
         # pin the tie semantics once explicitly: at t=10 backward, the
         # max-rid right row (101) wins in BOTH strategies
         row = {r["tag"]: r["rid"] for r in w.collect()} if False else None
@@ -1036,3 +1037,38 @@ class TestAsofStrategies:
             )
         )
         assert got == want
+
+    def test_auto_gate_falls_back_to_window_above_cap(self, spark, monkeypatch):
+        """strategy='auto' counts the right side: under the cap it takes
+        the zero-left-shuffle broadcast plan (mapInPandas, no Exchange on
+        the left), above it the window plan (Exchange + Window) — the
+        decontam-style runtime gate, both physical shapes verified by the
+        plan string."""
+        from tomixpanel_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "x"), (2, 20, "y")], "k long, t long, tag string"
+        )
+        right = spark.createDataFrame(
+            [(1, 5, 100), (2, 15, 200)], "k long, rt long, rid long"
+        )
+
+        def plan(cap):
+            df = asof_join(
+                left, right, on="k", left_time="t", right_time="rt",
+                strategy="auto", broadcast_cap=cap,
+            )
+            return df, df._jdf.queryExecution().executedPlan().toString()
+
+        bc_df, bc_plan = plan(cap=10)
+        assert "MapInPandas" in bc_plan and "Window" not in bc_plan
+        win_df, win_plan = plan(cap=1)  # right has 2 rows > cap
+        assert "Window" in win_plan and "MapInPandas" not in win_plan
+        canon = lambda df: sorted(  # noqa: E731
+            map(tuple, df.select(*sorted(df.columns)).collect())
+        )
+        assert canon(bc_df) == canon(win_df)
+        # env default also honored
+        monkeypatch.setenv("TOMIX_ASOF_BCAST_ROWS", "0")
+        _, env_plan = plan(cap=None)
+        assert "Window" in env_plan

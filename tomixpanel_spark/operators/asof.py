@@ -13,7 +13,10 @@ Scale shape: ONE exchange on the key + a partition-local sort — the same
 cost as the sort-merge join Spark would need anyway, with no
 range-condition explosion (a naive ``left.ts >= right.ts`` join is a
 per-key cross product that Spark can only post-filter). Key skew behaves
-like any keyed shuffle (AQE skew handling applies).
+like any keyed shuffle (AQE skew handling applies). When the right side
+is dimension-sized, the gated ``broadcast`` strategy removes even that
+exchange: the fact-side stream is merged in place against a broadcast
+sorted right side (the as-of analogue of a broadcast-hash join).
 
 Oracle: DuckDB's native ``ASOF LEFT JOIN`` — an INDEPENDENT implementation
 of the same semantics, so the hash comparison cross-checks the window
@@ -37,6 +40,7 @@ def asof_join(
     right_tiebreak: tuple[str, ...] = (),
     direction: str = "backward",
     strategy: str = "window",
+    broadcast_cap: int | None = None,
 ) -> DataFrame:
     """Left as-of join: all ``left`` columns plus ``right``'s value
     columns (everything but ``on``/``right_time``) taken from the
@@ -65,11 +69,28 @@ def asof_join(
         are wide (the window form carries the whole value struct through
         the JVM sort; the cogroup form merges on (key, time) positions).
         Per-key state must fit a task (same bound as any cogroup).
+      * ``"broadcast"`` — collect + sort the right side ONCE on the
+        driver, broadcast it, and run ``pd.merge_asof(by=key)`` inside
+        ``mapInPandas`` over the left: the LEFT SIDE NEVER SHUFFLES.
+        This is the as-of analogue of a broadcast-hash join — the right
+        side is usually dimension-like (latest order state, quotes,
+        config history) and orders of magnitude smaller than the event
+        stream, so at 100 TB the fact table stays put and only the small
+        side moves. Caller-asserted fit (use ``"auto"`` for the gated
+        form).
+      * ``"auto"`` — count the right side (one cheap aggregate job) and
+        take ``"broadcast"`` when it is at or under ``broadcast_cap``
+        (default ``TOMIX_ASOF_BCAST_ROWS``, 1,000,000 rows), else fall
+        back to ``"window"`` — the same count-the-build-side runtime
+        gate ``decontam_overlap`` uses, so a right side that outgrows
+        executor memory degrades to the shuffle plan instead of OOMing.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    if strategy not in ("window", "cogroup"):
-        raise ValueError(f"strategy must be window|cogroup, got {strategy!r}")
+    if strategy not in ("window", "cogroup", "broadcast", "auto"):
+        raise ValueError(
+            f"strategy must be window|cogroup|broadcast|auto, got {strategy!r}"
+        )
     left_cols = [c for c in left.columns if c != on]
     value_cols = [c for c in right.columns if c not in (on, right_time)]
     overlap = set(left_cols) & set(value_cols)
@@ -77,8 +98,16 @@ def asof_join(
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
     if not value_cols:
         raise ValueError("right side has no value columns to carry")
+    if strategy == "auto":
+        cap = broadcast_cap if broadcast_cap is not None else _bcast_cap()
+        strategy = "broadcast" if right.count() <= cap else "window"
     if strategy == "cogroup":
         return _asof_cogroup(
+            left, right, on, left_time, right_time, right_tiebreak, direction,
+            left_cols, value_cols,
+        )
+    if strategy == "broadcast":
+        return _asof_broadcast(
             left, right, on, left_time, right_time, right_tiebreak, direction,
             left_cols, value_cols,
         )
@@ -219,6 +248,96 @@ def _asof_cogroup(
     )
 
 
+def _bcast_cap() -> int:
+    import os
+
+    return int(os.environ.get("TOMIX_ASOF_BCAST_ROWS", "1000000"))
+
+
+def _asof_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_tiebreak: tuple[str, ...],
+    direction: str,
+    left_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """The zero-left-shuffle strategy: the whole (sorted) right side is a
+    Spark broadcast variable; each Arrow batch of the left runs one
+    ``pd.merge_asof(by=key)`` against it. Tie semantics match the other
+    strategies (right pre-sorted so the max-tiebreak row is the match).
+    The left keeps its source partitioning — filters/pruning stay pushed
+    down and no exchange is introduced."""
+    import pandas as pd
+
+    from tomixpanel_spark.session import ship_package
+
+    spark = left.sparkSession
+    ship_package(spark)
+    from pyspark.sql.types import StructType
+
+    schema_fields = (
+        [left.schema[on], left.schema[left_time]]
+        + [left.schema[c] for c in left_cols if c != left_time]
+        + [right.schema[c] for c in value_cols]
+    )
+    out_schema = StructType(schema_fields)
+    out_cols = [f.name for f in schema_fields]
+    tie_asc = direction == "backward"
+    rt = right_time if right_time != left_time else "__rt"
+    r_pdf = (
+        right.toPandas()
+        .rename(columns={right_time: rt})
+        .sort_values(
+            [rt, *right_tiebreak],
+            ascending=[True] + [tie_asc] * len(right_tiebreak),
+            kind="stable",
+        )[[on, rt, *value_cols]]
+        .reset_index(drop=True)
+    )
+    bc = spark.sparkContext.broadcast(r_pdf)
+
+    def run(batches):
+        r = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            l_sorted = pdf.sort_values(left_time, kind="stable")
+            if not len(r):
+                out = l_sorted.copy()
+                for c in value_cols:
+                    out[c] = None
+                yield out[out_cols]
+                continue
+            rr = r
+            # Arrow batches and driver toPandas can disagree on exact
+            # dtypes (datetime units, int widths) — merge_asof requires
+            # equal on/by dtypes, so coerce the small side to the batch's
+            if rr[rt].dtype != l_sorted[left_time].dtype or rr[on].dtype != l_sorted[on].dtype:
+                rr = rr.copy()
+                rr[rt] = rr[rt].astype(l_sorted[left_time].dtype)
+                rr[on] = rr[on].astype(l_sorted[on].dtype)
+            out = pd.merge_asof(
+                l_sorted,
+                rr,
+                left_on=left_time,
+                right_on=rt,
+                by=on,
+                direction=direction,
+                allow_exact_matches=True,
+            ).drop(columns=[rt])
+            for c in value_cols:
+                # NaN-poisoned int columns -> typed nulls for Arrow
+                if out[c].isna().any():
+                    out[c] = out[c].astype(object).where(out[c].notna(), None)
+            yield out[out_cols]
+
+    return left.mapInPandas(run, schema=out_schema)
+
+
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered query: each event joined to the user's latest order
     at-or-before the event time. Order times are synthesized into the
@@ -240,7 +359,7 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return asof_join(
         ev, r, on="user_id", left_time="ts", right_time="ts_r",
-        right_tiebreak=("order_key",),
+        right_tiebreak=("order_key",), strategy="auto",
     ).select("event_id", "user_id", "order_key", "total_c")
 
 
@@ -279,7 +398,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return asof_join(
         purchases, clicks, on="user_id", left_time="ts", right_time="ts_c",
-        right_tiebreak=("click_id",),
+        right_tiebreak=("click_id",), strategy="auto",
     ).select("event_id", "user_id", "click_id", "click_ms")
 
 
@@ -297,7 +416,9 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts_c
 
 REGISTRY = {
     "asof_latest_order": QuerySpec(
-        asof_latest_order, _ASOF_SQL, "custom operator: as-of join (union+window)"
+        asof_latest_order,
+        _ASOF_SQL,
+        "custom operator: as-of join (gated broadcast / union+window)",
     ),
     "attribution_last_touch": QuerySpec(
         attribution_last_touch, _ATTRIBUTION_SQL, "analytics: last-touch attribution"
