@@ -507,3 +507,55 @@ def test_mixture_rebalance_gate_flips_to_shuffle_join(spark, monkeypatch):
     assert "BroadcastHashJoin" not in joins
     assert any(j in ("SortMergeJoin", "ShuffledHashJoin") for j in joins)
     assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_tpch_q6_pushdown_and_pruning(spark):
+    """Q6 is the pushdown showcase: every predicate reaches the parquet
+    scan and only the three consumed columns survive pruning — a scan
+    reading more would multiply IO 4x at 100 TB for a 1-row answer."""
+    df = REG["tpch_q6"].fn(spark, SF_ORACLE)
+    pushed = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_quantity" in pushed
+    assert "GreaterThanOrEqual(l_discount" in pushed
+    cols = scan_columns(df)
+    assert "l_orderkey" not in cols and "l_tax" not in cols
+    assert join_strategies(df) == []
+
+
+def test_media_resize_and_video_are_narrow(spark):
+    """The multimodal resize / frame-sample verbs are pure Arrow map
+    stages over the doc ids: zero exchanges, zero joins — media bytes
+    never cross a shuffle (the property that makes the modality viable
+    at 100 TB payload volume)."""
+    for name in ("media_image_resize", "media_video_frames"):
+        df = REG[name].fn(spark, SF_ORACLE)
+        assert join_strategies(df) == [], name
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the only allowed exchange is ensure_parallel's explicit source
+        # repartition — never a shuffle the plan REQUIRES (agg/join/sort)
+        assert "ENSURE_REQUIREMENTS" not in plan, name
+        assert "MapInPandas" in plan, name
+
+
+def test_ann_pq_q_single_corpus_pass(spark):
+    """PQ scoring must stay the ONE fused mapInPandas pass (quantize +
+    per-subspace encode + ADC LUT sum + local top-k): no corpus join, no
+    extra corpus exchange before the final top-k window — the compressed
+    -index property that makes PQ the 100 TB layout."""
+    df = REG["ann_pq_q"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_label_centroids_index_sized_shuffle(spark):
+    """The elementwise vector aggregate must be explode -> ONE hash
+    aggregate whose map-side partials collapse each task to |labels| x D
+    rows — never a join or a second required exchange (the shuffle is
+    index-sized at any corpus size)."""
+    df = REG["label_centroids"].fn(spark, SF_ORACLE)
+    assert join_strategies(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
+    assert "HashAggregate" in plan and "Window" not in plan

@@ -47,6 +47,11 @@ from tomixpanel_spark.sources import csv as csv_source
 _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
     # -- new in round 8: never externally checked --------------------------
+    "ann_pq_q": 0,
+    "label_centroids": 0,
+    "tpch_q6": 0,
+    "media_image_resize": 0,
+    "media_video_frames": 0,
     "media_audio_features": 0,
     "media_meta": 0,
     "media_neardup": 0,

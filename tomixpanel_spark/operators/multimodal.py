@@ -827,6 +827,222 @@ GROUP BY doc_id
 """
 
 
+# -- resize -------------------------------------------------------------
+RESIZE_DIM = 4  # fixed thumbnail edge for media_image_resize
+
+
+def resize_nearest(px, out_h: int, out_w: int):
+    """Nearest-neighbor downsample of an (h, w) array to (out_h, out_w):
+    out[r][c] = px[r*h//out_h][c*w//out_w] — integer-exact, the formula
+    the SQL oracle mirrors. Production resampling (bilinear/Lanczos)
+    slots in behind the same mapInPandas stage; nearest keeps the
+    roundtrip bit-checkable without a codec library."""
+    import numpy as np
+
+    px = np.asarray(px)
+    h, w = px.shape
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return px[np.ix_(rows, cols)]
+
+
+def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE verb of the multimodal family, through real bytes end
+    to end: synthesize a variable-size grayscale PNG per document (same
+    w/h/pixel formulas as ``media_meta``), encode with the real encoder,
+    decode the full pixel grid back (zlib inflate + unfilter), nearest-
+    neighbor downsample to 4x4, and emit exact integer features of the
+    resized thumbnail (position-weighted checksum + pixel sum). One
+    narrow Arrow pass, no shuffle; the hash match proves the pixel
+    roundtrip AND the resampling geometry (any off-by-one in the
+    row/col index maps flips the checksum).
+
+    Reference scope note: the reference (toMixpanel) has no media path;
+    this extends the engine for multimodal training-data pipelines."""
+    import numpy as np
+
+    from tomixpanel_spark.session import ship_package
+
+    ship_package(spark)
+    docs = ensure_parallel_docs(spark, sf_dir)
+    d = RESIZE_DIM
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"doc_id": [], "src_w": [], "src_h": [], "px_weighted": [], "px_sum": []}
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                w = 4 + int(doc_id) % 13
+                h = 4 + int(doc_id) % 7
+                px = (
+                    int(doc_id)
+                    + np.arange(h * w, dtype=np.int64).reshape(h, w)
+                ) % 256
+                payload = encode_png_gray(px.astype(np.uint8))
+                decoded = decode_png_gray(payload).astype(np.int64)
+                small = resize_nearest(decoded, d, d)
+                flat = small.reshape(-1)
+                out["doc_id"].append(doc_id)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["px_weighted"].append(int((flat * (np.arange(d * d) + 1)).sum()))
+                out["px_sum"].append(int(flat.sum()))
+        yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        batches,
+        schema="doc_id long, src_w long, src_h long, px_weighted long, px_sum long",
+    )
+
+
+# oracle: recompute the resized pixel v(idx) = (doc_id + sr*w + sc) % 256
+# with sr = (idx//4)*h//4, sc = (idx%4)*w//4 — pure arithmetic, no codec.
+_MEDIA_RESIZE_SQL = f"""
+WITH cell AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         4 + doc_id % 7 AS h,
+         i
+  FROM documents, unnest(generate_series(0, {RESIZE_DIM * RESIZE_DIM - 1})) AS t(i)),
+v AS (
+  SELECT doc_id, w, h, i,
+         (doc_id + ((i // {RESIZE_DIM}) * h // {RESIZE_DIM}) * w
+                 + ((i % {RESIZE_DIM}) * w // {RESIZE_DIM})) % 256 AS px
+  FROM cell)
+SELECT doc_id,
+       CAST(MIN(w) AS BIGINT) AS src_w,
+       CAST(MIN(h) AS BIGINT) AS src_h,
+       CAST(SUM(px * (i + 1)) AS BIGINT) AS px_weighted,
+       CAST(SUM(px) AS BIGINT) AS px_sum
+FROM v GROUP BY doc_id
+"""
+
+
+# -- video: container synth + frame-sample --------------------------------
+VIDEO_MAGIC = b"TVID"
+VIDEO_FRAME_DIM = 8
+VIDEO_SAMPLE_STRIDE = 2
+
+
+def encode_video(frames) -> bytes:
+    """Pack PNG frames into a minimal length-prefixed container:
+    magic + u32 frame count, then per frame u32 byte length + PNG bytes.
+    The stand-in for a real video container (MP4/MKV need codec libs);
+    the container WALK downstream is the real plumbing under test."""
+    import struct
+
+    out = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_video_frames(payload: bytes):
+    """Walk the container and yield (frame_idx, png_bytes) WITHOUT
+    decoding unsampled frames — the point of frame-sampling at scale is
+    to skip the decode cost of frames you drop."""
+    import struct
+
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("not a TVID container")
+    (n,) = struct.unpack("<I", payload[4:8])
+    pos = 8
+    for idx in range(n):
+        (size,) = struct.unpack("<I", payload[pos : pos + 4])
+        yield idx, payload[pos + 4 : pos + 4 + size]
+        pos += 4 + size
+
+
+def synth_video(docs: DataFrame) -> DataFrame:
+    """documents -> a video-payload table: 2 + doc_id % 5 PNG frames per
+    doc, frame f's pixels = (doc_id*7 + f*13 + i) % 256 — deterministic
+    so the oracle re-derives sampled-frame features arithmetically."""
+    import numpy as np
+
+    from tomixpanel_spark.session import ship_package
+
+    ship_package(docs.sparkSession)
+    dim = VIDEO_FRAME_DIM
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n_frames = 2 + int(doc_id) % 5
+                frames = []
+                for f in range(n_frames):
+                    px = (
+                        int(doc_id) * 7
+                        + f * 13
+                        + np.arange(dim * dim, dtype=np.int64).reshape(dim, dim)
+                    ) % 256
+                    frames.append(encode_png_gray(px.astype(np.uint8)))
+                payloads.append(encode_video(frames))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["doc_id"],
+                    "media_type": "video/x-tvid",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(encode, schema=MULTIMODAL_SCHEMA)
+
+
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FRAME-SAMPLE verb: synthesize a multi-frame video container
+    per document, walk the container, decode EVERY STRIDE-th frame (the
+    skipped frames are never inflated — the scale point of sampling),
+    and emit per-sampled-frame integer features. Two narrow Arrow
+    stages (synth, sample+decode), no shuffle; output grows by the
+    sampled-frame multiplicity, exactly like a production frame-sample
+    feeding a vision encoder."""
+    import numpy as np
+
+    from tomixpanel_spark.session import ship_package
+
+    ship_package(spark)
+    docs = ensure_parallel_docs(spark, sf_dir)
+    video = synth_video(docs)
+
+    def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"doc_id": [], "frame_idx": [], "n_frames": [], "px_sum": []}
+        for pdf in it:
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                frames = list(decode_video_frames(bytes(payload)))
+                for idx, png in frames:
+                    if idx % VIDEO_SAMPLE_STRIDE != 0:
+                        continue
+                    px = decode_png_gray(png).astype(np.int64)
+                    out["doc_id"].append(item_id)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(len(frames))
+                    out["px_sum"].append(int(px.sum()))
+        yield pd.DataFrame(out)
+
+    return video.mapInPandas(
+        sample, schema="doc_id long, frame_idx long, n_frames long, px_sum long"
+    )
+
+
+_MEDIA_VIDEO_SQL = f"""
+WITH fr AS (
+  SELECT doc_id, 2 + doc_id % 5 AS n_frames, f
+  FROM documents,
+       unnest(generate_series(0, 6)) AS t(f)
+  WHERE f < 2 + doc_id % 5 AND f % {VIDEO_SAMPLE_STRIDE} = 0),
+px AS (
+  SELECT doc_id, n_frames, f, (doc_id * 7 + f * 13 + i) % 256 AS v
+  FROM fr, unnest(generate_series(0, {VIDEO_FRAME_DIM * VIDEO_FRAME_DIM - 1})) AS t(i))
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(MIN(n_frames) AS BIGINT) AS n_frames,
+       CAST(SUM(v) AS BIGINT) AS px_sum
+FROM px GROUP BY doc_id, f
+"""
+
+
 REGISTRY = {
     "multimodal_meta": QuerySpec(multimodal_meta, _MULTIMODAL_META_SQL, "ext:multimodal"),
     "media_audio_features": QuerySpec(
@@ -837,5 +1053,11 @@ REGISTRY = {
     ),
     "media_meta": QuerySpec(
         media_meta, _MEDIA_META_SQL, "ext:multimodal typed metadata via real codec"
+    ),
+    "media_image_resize": QuerySpec(
+        media_image_resize, _MEDIA_RESIZE_SQL, "ext:multimodal resize verb"
+    ),
+    "media_video_frames": QuerySpec(
+        media_video_frames, _MEDIA_VIDEO_SQL, "ext:multimodal frame-sample verb"
     ),
 }

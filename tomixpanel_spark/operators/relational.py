@@ -245,6 +245,37 @@ GROUP BY n_name
 """
 
 
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecasting-revenue-change: single-table
+    filter + aggregate.
+
+    Scale shape: the canonical pushdown showcase — date/discount/quantity
+    predicates reach the parquet scan (PushedFilters), only three columns
+    survive pruning (ReadSchema), and the whole plan is one
+    WholeStageCodegen span into a 1-row partial-then-final aggregate.
+    Zero joins, one exchange of 1 row per task."""
+    li = table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(ep * disc).cast("double").alias("revenue"))
+    )
+
+
+_TPCH_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
 
 
 def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,6 +487,7 @@ REGISTRY = {
     "tpch_q1": QuerySpec(tpch_q1, _TPCH_Q1_SQL, "bench headline"),
     "tpch_q3": QuerySpec(tpch_q3, _TPCH_Q3_SQL, "bench headline"),
     "tpch_q5": QuerySpec(tpch_q5, _TPCH_Q5_SQL, "bench headline"),
+    "tpch_q6": QuerySpec(tpch_q6, _TPCH_Q6_SQL, "bench headline"),
     "rollup_orders": QuerySpec(rollup_orders, _ROLLUP_ORDERS_SQL, "free surface"),
     "pivot_status": QuerySpec(pivot_status, _PIVOT_STATUS_SQL, "free surface"),
     "window_running": QuerySpec(window_running, _WINDOW_RUNNING_SQL, "free surface"),

@@ -907,6 +907,254 @@ SELECT q_id, neighbor_id, rank, CAST(score AS BIGINT) AS score FROM (
 _ANN_IVFQ_SQL = _ivfq_sql()
 
 
+# -- product quantization: integer-exact end to end --------------------------
+# PQ is THE compressed-index path at 100 TB (FAISS IVF+PQ): vectors are
+# split into PQ_SUBS subvectors, each subspace gets its own small Lloyd
+# codebook, and a vector is stored as PQ_SUBS small codes. Query scoring
+# is ADC (asymmetric distance computation): one (Q x SUBS x CELLS)
+# lookup table of exact subspace distances, then each vector costs
+# PQ_SUBS table lookups instead of a D-dim kernel — index size and scan
+# cost drop by ~D/SUBS while the distance stays a true lower-dimension
+# decomposition. Everything here is int64 e6 (same quantization as
+# ann_ivf_q) so training, encoding, and ADC are bit-exact on any engine
+# or partitioning, which is what lets the DuckDB oracle unroll the
+# per-subspace Lloyd loop and hash-match end to end.
+PQ_SUBS = 2  # subspaces (M)
+PQ_CELLS = 8  # codebook entries per subspace (K*)
+PQ_ITER = 3  # Lloyd iterations per subspace, unrolled in the oracle
+
+
+def ann_pq_quantized(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Quantized product-quantization ANN with exact integer ADC scoring.
+
+    Scale shape: codebooks train driver-side on the deterministic
+    ``vec_id % step`` sample (O(sample * D) driver memory — the same
+    gate as ``ann_ivf_quantized``); the corpus pass is ONE mapInPandas
+    stage fusing quantize + per-subspace encode + LUT-sum scoring +
+    local top-k, so only <=k rows per query per batch reach the final
+    top-k exchange. No full-precision vector ever crosses the shuffle —
+    exactly the property that makes PQ the 100 TB index layout.
+    Ranking is ascending ADC distance, ties to the lowest neighbor_id
+    (mirrored by the oracle's ORDER BY adc, neighbor_id)."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    n = emb.count()
+    step = max(2, n // 1024)
+    sample_pdf = (
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    if not len(sample_pdf):
+        raise ValueError("ann_pq_quantized: empty training sample")
+    sm = _quant(np.array(list(sample_pdf["embedding"]), dtype="float64"))
+    d_full = sm.shape[1]
+    if d_full % PQ_SUBS:
+        raise ValueError(f"embedding dim {d_full} not divisible by {PQ_SUBS} subspaces")
+    sub_d = d_full // PQ_SUBS
+
+    def train(sub: int):
+        smm = sm[:, sub * sub_d : (sub + 1) * sub_d]
+        k_eff = min(PQ_CELLS, len(smm))
+        cent = smm[:k_eff].copy()
+        for _ in range(PQ_ITER):
+            d = ((smm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)  # first min == lowest cell on ties
+            for ci in range(k_eff):
+                members = smm[assign == ci]
+                if len(members):
+                    cent[ci] = _trunc_div(members.sum(axis=0), len(members))
+        return cent
+
+    books = [train(m) for m in range(PQ_SUBS)]
+
+    q_pdf = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    q_ids = q_pdf["vec_id"].to_numpy(dtype="int64")
+    qm = _quant(np.array(list(q_pdf["embedding"]), dtype="float64"))
+    # ADC lookup tables: luts[m] is (Q, K*) exact subspace distances
+    luts = [
+        (
+            (qm[:, m * sub_d : (m + 1) * sub_d][:, None, :] - books[m][None, :, :])
+            ** 2
+        ).sum(axis=2)
+        for m in range(PQ_SUBS)
+    ]
+
+    def encode_and_score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mm = _quant(np.array(list(pdf["embedding"]), dtype="float64"))
+            n_ids = pdf["neighbor_id"].to_numpy()
+            # per-subspace encode: (B,) code per vector
+            adc = np.zeros((len(mm), len(q_ids)), dtype=np.int64)
+            for m in range(PQ_SUBS):
+                smm = mm[:, m * sub_d : (m + 1) * sub_d]
+                d = ((smm[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes = d.argmin(axis=1)  # (B,)
+                adc += luts[m][:, codes].T  # (B, Q)
+            out = []
+            for qi in range(len(q_ids)):
+                col = adc[:, qi]
+                mask = n_ids != q_ids[qi]
+                idx = np.nonzero(mask)[0]
+                if len(idx) > k:
+                    order = np.lexsort((n_ids[idx], col[idx]))
+                    idx = idx[order[:k]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(len(idx), q_ids[qi], dtype="int64"),
+                            "neighbor_id": n_ids[idx],
+                            "adc": col[idx],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"q_id": [], "neighbor_id": [], "adc": []}
+            )
+
+    ship_package(spark)
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = cand.mapInPandas(
+        encode_and_score, schema="q_id long, neighbor_id long, adc long"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "adc")
+    )
+
+
+def ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: product-quantized ANN over the embeddings table —
+    integer-exact, fully oracle-checked including per-subspace training."""
+    return ann_pq_quantized(
+        ensure_parallel(table(spark, sf_dir, "embeddings"), "vec_id")
+    )
+
+
+def _pq_sql() -> str:
+    """Oracle: the per-subspace Lloyd loop unrolled as chained CTEs over
+    a long-format (vec_id, sub, dim, val) quantized view — the ivfq
+    oracle's structure with ``sub`` added to every grouping key, so one
+    CTE chain trains BOTH codebooks at once. ADC re-derives as
+    assign-join-LUT and sums the subspace distances."""
+    sub_case = f"CAST(CASE WHEN dim <= len_half THEN 0 ELSE 1 END AS BIGINT)"
+    parts = [
+        f"""WITH p AS (SELECT greatest(2, COUNT(*) // 1024) AS step FROM embeddings),
+bl0 AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
+         len(embedding) // {PQ_SUBS} AS len_half, embedding
+  FROM embeddings),
+bl AS (
+  SELECT vec_id, {sub_case} AS sub, dim,
+         CAST(floor(CAST(embedding[dim] AS DOUBLE) * {IVFQ_SCALE}) AS BIGINT) AS val
+  FROM bl0),
+sl AS (SELECT vec_id, sub, dim, val FROM bl WHERE vec_id % (SELECT step FROM p) = 0),
+c0 AS (
+  SELECT sub, CAST(r - 1 AS BIGINT) AS cell, dim, val
+  FROM (SELECT sub, dim, val, dense_rank() OVER (PARTITION BY sub ORDER BY vec_id) AS r
+        FROM sl)
+  WHERE r <= {PQ_CELLS})"""
+    ]
+    for i in range(1, PQ_ITER + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT s.vec_id, s.sub, c.cell, SUM((s.val - c.val) * (s.val - c.val)) AS dist
+  FROM sl s JOIN c{i - 1} c ON s.sub = c.sub AND s.dim = c.dim GROUP BY 1, 2, 3),
+a{i} AS (
+  SELECT vec_id, sub, (min(struct_pack(d := dist, c := cell))).c AS cell
+  FROM d{i} GROUP BY vec_id, sub),
+m{i} AS (
+  SELECT a.sub, a.cell, s.dim, SUM(s.val) AS sv, COUNT(*) AS cnt
+  FROM a{i} a JOIN sl s ON a.vec_id = s.vec_id AND a.sub = s.sub
+  GROUP BY 1, 2, 3),
+c{i} AS (
+  SELECT pc.sub, pc.cell, pc.dim, CAST(COALESCE(m.sv // m.cnt, pc.val) AS BIGINT) AS val
+  FROM c{i - 1} pc
+  LEFT JOIN m{i} m ON pc.sub = m.sub AND pc.cell = m.cell AND pc.dim = m.dim)"""
+        )
+    cn = f"c{PQ_ITER}"
+    parts.append(
+        f"""qs AS (SELECT vec_id AS q_id, sub, dim, val FROM bl WHERE vec_id < {N_QUERIES}),
+lut AS (
+  SELECT q.q_id, c.sub, c.cell, SUM((q.val - c.val) * (q.val - c.val)) AS dist
+  FROM qs q JOIN {cn} c ON q.sub = c.sub AND q.dim = c.dim GROUP BY 1, 2, 3),
+ad AS (
+  SELECT b.vec_id, b.sub, c.cell, SUM((b.val - c.val) * (b.val - c.val)) AS dist
+  FROM bl b JOIN {cn} c ON b.sub = c.sub AND b.dim = c.dim GROUP BY 1, 2, 3),
+assign AS (
+  SELECT vec_id, sub, (min(struct_pack(d := dist, c := cell))).c AS cell
+  FROM ad GROUP BY vec_id, sub),
+adc AS (
+  SELECT l.q_id, a.vec_id AS neighbor_id, SUM(l.dist) AS adc
+  FROM assign a JOIN lut l ON a.sub = l.sub AND a.cell = l.cell
+  WHERE TRUE
+  GROUP BY 1, 2)
+SELECT q_id, neighbor_id, rank, CAST(adc AS BIGINT) AS adc FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc, neighbor_id) AS rank
+  FROM adc WHERE neighbor_id <> q_id) WHERE rank <= {TOP_K}"""
+    )
+    return ",\n".join(parts)
+
+
+_ANN_PQ_SQL = _pq_sql()
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids) — the building block
+    for centroid classifiers, cluster summaries, and IVF-style coarse
+    indexes over a LABELED corpus.
+
+    Scale shape: the elementwise vector aggregate is declared as
+    posexplode -> groupBy(label, dim) — entirely whole-stage codegen,
+    and the hash aggregate's MAP-SIDE PARTIALS collapse each task to at
+    most |labels| x D rows before the only exchange, so the shuffle is
+    index-sized no matter how many vectors feed it (the same reason
+    one-pass dedup counting scales). Values quantize to int64 e6 before
+    any summation, so the centroid (truncating integer mean, DuckDB's
+    ``//``) is bit-exact under any partitioning."""
+    emb = ensure_parallel(table(spark, sf_dir, "embeddings"), "vec_id")
+    q = F.floor(F.col("val").cast("double") * IVFQ_SCALE).cast("long")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .select("label", "dim", q.alias("q"))
+        .groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("s"))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("dim").cast("long").alias("dim"),
+            "n",
+            F.expr("s div n").alias("centroid"),
+        )
+    )
+
+
+_LABEL_CENTROIDS_SQL = f"""
+WITH v AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS dim1, embedding
+  FROM embeddings),
+q AS (
+  SELECT label, dim1 - 1 AS dim,
+         CAST(floor(CAST(embedding[dim1] AS DOUBLE) * {IVFQ_SCALE}) AS BIGINT) AS qv
+  FROM v)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(qv) // COUNT(*) AS BIGINT) AS centroid
+FROM q GROUP BY label, dim
+"""
+
+
 REGISTRY = {
     "cosine_topk": QuerySpec(cosine_topk, _COSINE_TOPK_SQL, "ext:similarity"),
     "cosine_topk_partitioned": QuerySpec(
@@ -920,4 +1168,10 @@ REGISTRY = {
         ann_ivf_q, _ANN_IVFQ_SQL, "ext:similarity quantized IVF (integer-exact)"
     ),
     "ann_lsh": QuerySpec(ann_lsh, _ANN_LSH_SQL, "ext:similarity scale path"),
+    "ann_pq_q": QuerySpec(
+        ann_pq_q, _ANN_PQ_SQL, "ext:similarity product quantization (integer-exact)"
+    ),
+    "label_centroids": QuerySpec(
+        label_centroids, _LABEL_CENTROIDS_SQL, "ext:similarity class centroids"
+    ),
 }
