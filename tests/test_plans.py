@@ -559,3 +559,14 @@ def test_label_centroids_index_sized_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ENSURE_REQUIREMENTS") == 1
     assert "HashAggregate" in plan and "Window" not in plan
+
+
+def test_bm25_build_side_broadcasts(spark):
+    """BM25's build side (query terms x df x totals) is query-vocab-sized
+    and must broadcast; the corpus tf table is probed ONCE — a shuffle
+    join on token would exchange every posting of every term instead of
+    only the query terms' postings."""
+    df = REG["bm25_topk"].fn(spark, SF_ORACLE)
+    joins = join_strategies(df)
+    assert "BroadcastHashJoin" in joins
+    assert "SortMergeJoin" not in joins and "ShuffledHashJoin" not in joins

@@ -1065,7 +1065,106 @@ GROUP BY p.token
 """
 
 
+# -- BM25 lexical retrieval ---------------------------------------------
+BM25_QUERIES = 5  # query docs: doc_id < 5 (their token sets are the queries)
+BM25_TOPK = 10
+# k1=1.2, b=0.75 as exact rationals (22/10, 3/10, 900/1000 below); idf is
+# the RATIONAL surrogate (2(N-df)+1)/(2df+1) — same monotone-transform
+# trade as tfidf_keywords' N/df: libm ln() differs across engines by
+# ULPs, integers are bit-exact everywhere. avgdl enters as the BOUNDED
+# integer avg_e2 = 100*A div N (not raw A), so every intermediate stays
+# inside int64 at ANY corpus size except idf's intrinsic ~N growth
+# (safe past 1e11 docs; beyond that rescale idf's 1e6 factor down).
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: score every corpus document against each
+    query document's token set, return the top-10 per query — the
+    inverted-index serving shape (retrieval for RAG / dedup-by-retrieval
+    pipelines), integer-exact end to end.
+
+    Scale shape: the fused Arrow tf table materializes once
+    (``stage_checkpoint``) and feeds three consumers. Document length
+    attaches as a window sum over the doc partition (rows per doc are
+    bounded by vocabulary, no skew). The BUILD side — query terms x
+    their df x the two corpus totals — is |query vocab| rows, broadcast;
+    the probe is one pass over the sparse tf table, so candidate scoring
+    touches only postings of query terms (exactly what an inverted index
+    does) and only (q, doc) partial scores reach the two final
+    exchanges. Nothing corpus-sized crosses the wire unaggregated."""
+    from pyspark.sql import Window
+
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    tf = stage_checkpoint(tokenize_tf(docs), eager=False)
+    dlw = Window.partitionBy("doc_id")
+    tfd = tf.withColumn("dl", F.sum("tf").over(dlw))
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    totals = tf.agg(F.sum("tf").alias("a")).crossJoin(
+        docs.agg(F.count(F.lit(1)).alias("n"))
+    )
+    qterms = tf.filter(F.col("doc_id") < BM25_QUERIES).select(
+        F.col("doc_id").alias("q_id"), "token"
+    )
+    build = F.broadcast(
+        qterms.join(df_counts, "token").crossJoin(totals).withColumn(
+            "avg_e2", F.expr("(a * 100) div n")
+        )
+    )
+    joined = tfd.join(build, "token").filter(F.col("doc_id") != F.col("q_id"))
+    idf_e6 = F.expr("((2 * (n - df) + 1) * 1000000) div (2 * df + 1)")
+    tfpart_e6 = F.expr(
+        "(22 * tf * avg_e2 * 1000000) div (tf * 10 * avg_e2 + 3 * avg_e2 + 900 * dl)"
+    )
+    contrib = joined.select(
+        "q_id",
+        "doc_id",
+        ((idf_e6 * tfpart_e6) / F.lit(1_000_000)).cast("long").alias("c"),
+    )
+    scores = contrib.groupBy("q_id", "doc_id").agg(F.sum("c").alias("score_e6"))
+    w = Window.partitionBy("q_id").orderBy(F.col("score_e6").desc(), F.col("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("q_id", "doc_id", "rank", F.col("score_e6").cast("long").alias("score_e6"))
+    )
+
+
+_BM25_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_SQL_WORDS}) AS token FROM documents)
+  GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+dfc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+tot AS (
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n,
+         CAST((SELECT SUM(tf) FROM tf) AS BIGINT) AS a),
+tot2 AS (SELECT n, a, (a * 100) // n AS avg_e2 FROM tot),
+qt AS (SELECT doc_id AS q_id, token FROM tf WHERE doc_id < {BM25_QUERIES}),
+contrib AS (
+  SELECT qt.q_id, t.doc_id,
+         (((2 * (tot2.n - dfc.df) + 1) * 1000000) // (2 * dfc.df + 1)
+          * ((22 * t.tf * tot2.avg_e2 * 1000000)
+             // (t.tf * 10 * tot2.avg_e2 + 3 * tot2.avg_e2 + 900 * dl.dl))
+         ) // 1000000 AS c
+  FROM qt
+  JOIN tf t USING (token)
+  JOIN dl ON t.doc_id = dl.doc_id
+  JOIN dfc ON qt.token = dfc.token
+  CROSS JOIN tot2
+  WHERE t.doc_id <> qt.q_id),
+score AS (
+  SELECT q_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_e6
+  FROM contrib GROUP BY 1, 2)
+SELECT q_id, doc_id, rank, score_e6 FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY score_e6 DESC, doc_id) AS rank
+  FROM score) WHERE rank <= {BM25_TOPK}
+"""
+
+
 REGISTRY = {
+    "bm25_topk": QuerySpec(bm25_topk, _BM25_SQL, "ext:text lexical retrieval (BM25)"),
     "explode_hits": QuerySpec(explode_hits, _EXPLODE_HITS_SQL, "M1"),
     "cms_heavy_hitters": QuerySpec(
         cms_heavy_hitters, _CMS_SQL, "custom operator: count-min sketch"
