@@ -561,12 +561,23 @@ def test_label_centroids_index_sized_shuffle(spark):
     assert "HashAggregate" in plan and "Window" not in plan
 
 
-def test_bm25_build_side_broadcasts(spark):
-    """BM25's build side (query terms x df x totals) is query-vocab-sized
-    and must broadcast; the corpus tf table is probed ONCE — a shuffle
-    join on token would exchange every posting of every term instead of
-    only the query terms' postings."""
+def test_bm25_build_side_broadcasts(spark, monkeypatch):
+    """Above the driver-fold gate, BM25's build side (query terms x df x
+    totals) is query-vocab-sized and must broadcast; the corpus tf table
+    is probed ONCE — a shuffle join on token would exchange every
+    posting of every term instead of only the query terms' postings."""
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
     df = REG["bm25_topk"].fn(spark, SF_ORACLE)
     joins = join_strategies(df)
     assert "BroadcastHashJoin" in joins
     assert "SortMergeJoin" not in joins and "ShuffledHashJoin" not in joins
+
+
+def test_bm25_paths_agree(spark, monkeypatch):
+    """The driver fold and the distributed broadcast-probe plan must
+    produce identical rows (same gate contract as tfidf's two paths)."""
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "1000000")
+    fold = {tuple(r) for r in REG["bm25_topk"].fn(spark, SF_ORACLE).collect()}
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+    dist = {tuple(r) for r in REG["bm25_topk"].fn(spark, SF_ORACLE).collect()}
+    assert fold == dist and len(fold) > 0

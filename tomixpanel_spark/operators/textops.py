@@ -1077,13 +1077,61 @@ BM25_TOPK = 10
 # (safe past 1e11 docs; beyond that rescale idf's 1e6 factor down).
 
 
+def _bm25_driver_fold(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Small-corpus BM25: ONE narrow Arrow pass + a vectorized driver
+    fold (the ``_tfidf_driver_fold`` principle — at benchmark scale the
+    query's cost was Spark's per-stage floor, not the math). The key
+    simplification: a term's contribution c = idf * tfpart depends only
+    on CORPUS stats (tf, df, dl, avgdl), not on which query matched it,
+    so c precomputes once per tf row and each query just sums its
+    matched rows. All arithmetic is the same exact int64 as the
+    distributed plan; ties break (score DESC, doc_id ASC) to match the
+    oracle's row_number."""
+    spark = docs.sparkSession
+    tf_pdf = tokenize_tf(docs).toPandas()
+    schema = "q_id long, doc_id long, rank long, score_e6 long"
+    if not len(tf_pdf):
+        return spark.createDataFrame([], schema)
+    a_total = int(tf_pdf["tf"].sum())
+    avg_e2 = (a_total * 100) // int(n_docs)
+    tfv = tf_pdf["tf"].astype("int64")
+    dlv = tf_pdf.groupby("doc_id")["tf"].transform("sum").astype("int64")
+    dfv = tf_pdf["token"].map(tf_pdf["token"].value_counts()).astype("int64")
+    idf = ((2 * (int(n_docs) - dfv) + 1) * 1_000_000) // (2 * dfv + 1)
+    tfpart = (22 * tfv * avg_e2 * 1_000_000) // (
+        tfv * 10 * avg_e2 + 3 * avg_e2 + 900 * dlv
+    )
+    tf_pdf["c"] = (idf * tfpart) // 1_000_000
+    q = tf_pdf.loc[tf_pdf["doc_id"] < BM25_QUERIES, ["doc_id", "token"]].rename(
+        columns={"doc_id": "q_id"}
+    )
+    merged = q.merge(tf_pdf[["doc_id", "token", "c"]], on="token")
+    merged = merged[merged["doc_id"] != merged["q_id"]]
+    scores = (
+        merged.groupby(["q_id", "doc_id"], as_index=False)["c"]
+        .sum()
+        .rename(columns={"c": "score_e6"})
+    )
+    ranked = scores.sort_values(
+        ["q_id", "score_e6", "doc_id"], ascending=[True, False, True], kind="stable"
+    )
+    ranked["rank"] = ranked.groupby("q_id").cumcount() + 1
+    top = ranked[ranked["rank"] <= BM25_TOPK][["q_id", "doc_id", "rank", "score_e6"]]
+    return spark.createDataFrame(top, schema=schema)
+
+
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval: score every corpus document against each
     query document's token set, return the top-10 per query — the
     inverted-index serving shape (retrieval for RAG / dedup-by-retrieval
     pipelines), integer-exact end to end.
 
-    Scale shape: the fused Arrow tf table materializes once
+    SIZE-ADAPTIVE like ``tfidf_keywords``: under the same driver-fold
+    gate the whole query is one Arrow pass + a vectorized driver fold
+    (``_bm25_driver_fold``); both paths assert equal rows in
+    tests/test_plans.py::test_bm25_paths_agree.
+
+    Distributed scale shape: the fused Arrow tf table materializes once
     (``stage_checkpoint``) and feeds three consumers. Document length
     attaches as a window sum over the doc partition (rows per doc are
     bounded by vocabulary, no skew). The BUILD side — query terms x
@@ -1095,6 +1143,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    n_docs = _corpus_count(spark, sf_dir, docs)
+    if n_docs <= _tfidf_driver_fold_cap():
+        return _bm25_driver_fold(docs, n_docs)
     tf = stage_checkpoint(tokenize_tf(docs), eager=False)
     dlw = Window.partitionBy("doc_id")
     tfd = tf.withColumn("dl", F.sum("tf").over(dlw))
