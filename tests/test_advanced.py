@@ -1072,3 +1072,48 @@ class TestAsofStrategies:
         monkeypatch.setenv("TOMIX_ASOF_BCAST_ROWS", "0")
         _, env_plan = plan(cap=None)
         assert "Window" in env_plan
+
+
+class TestAnnPq:
+    def test_pq_quality_contract(self, spark):
+        """PQ is a LOSSY index — the oracle proves bit-exactness of the
+        pipeline, this proves the index is USEFUL against ITS OWN metric
+        (exact int64 L2 top-k on the same quantized vectors — ADC is a
+        subspace decomposition of that distance, so this is the ground
+        truth PQ approximates): (1) a calibrated recall floor (measured
+        0.9+ at 8 subspaces x 16 cells on this corpus; 0.6 fails any
+        broken codebook/LUT indexing while leaving noise margin),
+        (2) determinism across runs, (3) ADC distances are nonnegative."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.base import table
+        from tomixpanel_spark.operators.similarity import (
+            N_QUERIES,
+            TOP_K,
+            _quant,
+            ann_pq_q,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        pdf = (
+            table(spark, sf, "embeddings")
+            .select("vec_id", "embedding")
+            .toPandas()
+            .sort_values("vec_id")
+        )
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        m = _quant(np.array(list(pdf["embedding"]), dtype="float64"))
+        brute = set()
+        for qi in np.nonzero(ids < N_QUERIES)[0]:
+            d = ((m - m[qi]) ** 2).sum(axis=1)
+            mask = ids != ids[qi]
+            order = np.lexsort((ids[mask], d[mask]))
+            for j in np.nonzero(mask)[0][order[:TOP_K]]:
+                brute.add((int(ids[qi]), int(ids[j])))
+        rows = ann_pq_q(spark, sf).collect()
+        pq = {(r["q_id"], r["neighbor_id"]) for r in rows}
+        recall = len(brute & pq) / len(brute)
+        assert recall >= 0.6, f"PQ recall {recall}"
+        assert all(r["dist"] >= 0 for r in rows)
+        rows2 = ann_pq_q(spark, sf).collect()
+        assert {tuple(r) for r in rows} == {tuple(r) for r in rows2}

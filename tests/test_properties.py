@@ -646,3 +646,66 @@ class TestWavPcmCodec:
         assert meta["sample_rate"] == rate
         assert meta["channels"] == 1
         assert meta["n_frames"] == len(samples)
+
+
+class TestVideoContainer:
+    @given(
+        st.integers(0, 2**32 - 1),
+        st.lists(st.tuples(st.integers(1, 12), st.integers(1, 12)), min_size=1, max_size=8),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_container_roundtrip(self, seed, shapes):
+        """encode_video / decode_video_frames roundtrip: every frame comes
+        back at its index with its exact PNG bytes, for arbitrary frame
+        counts and (mixed) frame dimensions."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            decode_video_frames,
+            encode_png_gray,
+            encode_video,
+        )
+
+        rng = np.random.default_rng(seed)
+        frames = [
+            encode_png_gray(rng.integers(0, 256, size=(h, w), dtype=np.uint8))
+            for h, w in shapes
+        ]
+        out = list(decode_video_frames(encode_video(frames)))
+        assert [i for i, _ in out] == list(range(len(frames)))
+        assert [bytes(b) for _, b in out] == [bytes(f) for f in frames]
+
+    def test_bad_magic_rejected(self):
+        import pytest as _pytest
+
+        from tomixpanel_spark.operators.multimodal import decode_video_frames
+
+        with _pytest.raises(ValueError):
+            list(decode_video_frames(b"NOPE" + b"\x00" * 16))
+
+
+class TestResizeGeometry:
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+    @settings(max_examples=60, deadline=None)
+    def test_nearest_matches_index_formula(self, w, h, seed):
+        """resize_nearest must implement out[r][c] = px[r*h//4][c*w//4]
+        exactly — the formula the SQL oracle re-derives; any off-by-one
+        here silently breaks media_image_resize's hash parity."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import RESIZE_DIM, resize_nearest
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        small = resize_nearest(px, RESIZE_DIM, RESIZE_DIM)
+        for r in range(RESIZE_DIM):
+            for c in range(RESIZE_DIM):
+                assert small[r][c] == px[r * h // RESIZE_DIM][c * w // RESIZE_DIM]
+
+    def test_identity_when_same_size(self):
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import resize_nearest
+
+        px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        assert (resize_nearest(px, 4, 4) == px).all()

@@ -919,23 +919,32 @@ _ANN_IVFQ_SQL = _ivfq_sql()
 # ann_ivf_q) so training, encoding, and ADC are bit-exact on any engine
 # or partitioning, which is what lets the DuckDB oracle unroll the
 # per-subspace Lloyd loop and hash-match end to end.
-PQ_SUBS = 2  # subspaces (M)
-PQ_CELLS = 8  # codebook entries per subspace (K*)
-PQ_ITER = 3  # Lloyd iterations per subspace, unrolled in the oracle
+PQ_SUBS = 8  # subspaces (M) — 8 dims each over the 64-dim embeddings
+PQ_CELLS = 16  # codebook entries per subspace (K*): 4 bits x 8 = 32-bit codes
+PQ_ITER = 2  # Lloyd iterations per subspace, unrolled in the oracle
+PQ_RERANK = 100  # ADC shortlist size fed to the exact refine step
 
 
 def ann_pq_quantized(emb: DataFrame, k: int = TOP_K) -> DataFrame:
     """Quantized product-quantization ANN with exact integer ADC scoring.
 
-    Scale shape: codebooks train driver-side on the deterministic
-    ``vec_id % step`` sample (O(sample * D) driver memory — the same
-    gate as ``ann_ivf_quantized``); the corpus pass is ONE mapInPandas
-    stage fusing quantize + per-subspace encode + LUT-sum scoring +
-    local top-k, so only <=k rows per query per batch reach the final
-    top-k exchange. No full-precision vector ever crosses the shuffle —
-    exactly the property that makes PQ the 100 TB index layout.
-    Ranking is ascending ADC distance, ties to the lowest neighbor_id
-    (mirrored by the oracle's ORDER BY adc, neighbor_id)."""
+    Two stages, the FAISS IVFPQ+refine production shape:
+    (1) ADC SHORTLIST — codebooks train driver-side on the
+    deterministic ``vec_id % step`` sample (O(sample * D) driver
+    memory, the same gate as ``ann_ivf_quantized``); the corpus pass is
+    ONE mapInPandas stage fusing quantize + per-subspace encode +
+    LUT-sum scoring + exact re-rank distances for the batch's local ADC
+    top-``rerank`` — so only <=rerank rows per query per batch reach
+    the shuffle, and no full-precision vector crosses it (the property
+    that makes PQ the 100 TB index layout).
+    (2) REFINE — the global ADC top-``rerank`` (a batch's local top-R
+    always contains its members of the global top-R, so the union is a
+    superset and the window is exact) re-ranks by the exact int64
+    squared-L2 carried from the batch. ADC alone is a lossy 32-bit
+    code; the refine step recovers exact ordering within the shortlist,
+    which is how PQ is actually served.
+    Ties break to the lowest neighbor_id at BOTH stages (mirrored by
+    the oracle's ORDER BY ..., neighbor_id)."""
     import numpy as np
 
     spark = emb.sparkSession
@@ -987,6 +996,8 @@ def ann_pq_quantized(emb: DataFrame, k: int = TOP_K) -> DataFrame:
         for m in range(PQ_SUBS)
     ]
 
+    rerank = PQ_RERANK
+
     def encode_and_score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not len(pdf):
@@ -1005,32 +1016,41 @@ def ann_pq_quantized(emb: DataFrame, k: int = TOP_K) -> DataFrame:
                 col = adc[:, qi]
                 mask = n_ids != q_ids[qi]
                 idx = np.nonzero(mask)[0]
-                if len(idx) > k:
+                if len(idx) > rerank:
                     order = np.lexsort((n_ids[idx], col[idx]))
-                    idx = idx[order[:k]]
+                    idx = idx[order[:rerank]]
+                # exact refine distances only for the local shortlist
+                dist = ((mm[idx] - qm[qi]) ** 2).sum(axis=1)
                 out.append(
                     pd.DataFrame(
                         {
                             "q_id": np.full(len(idx), q_ids[qi], dtype="int64"),
                             "neighbor_id": n_ids[idx],
                             "adc": col[idx],
+                            "dist": dist,
                         }
                     )
                 )
             yield pd.concat(out) if out else pd.DataFrame(
-                {"q_id": [], "neighbor_id": [], "adc": []}
+                {"q_id": [], "neighbor_id": [], "adc": [], "dist": []}
             )
 
     ship_package(spark)
     cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     scored = cand.mapInPandas(
-        encode_and_score, schema="q_id long, neighbor_id long, adc long"
+        encode_and_score, schema="q_id long, neighbor_id long, adc long, dist long"
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("neighbor_id"))
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= rerank)
+        .drop("rn")
+    )
+    w_ref = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        shortlist.withColumn("rank", F.row_number().over(w_ref))
         .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "rank", "adc")
+        .select("q_id", "neighbor_id", "rank", "dist")
     )
 
 
@@ -1048,12 +1068,12 @@ def _pq_sql() -> str:
     oracle's structure with ``sub`` added to every grouping key, so one
     CTE chain trains BOTH codebooks at once. ADC re-derives as
     assign-join-LUT and sums the subspace distances."""
-    sub_case = f"CAST(CASE WHEN dim <= len_half THEN 0 ELSE 1 END AS BIGINT)"
+    sub_case = "CAST((dim - 1) // sub_d AS BIGINT)"
     parts = [
         f"""WITH p AS (SELECT greatest(2, COUNT(*) // 1024) AS step FROM embeddings),
 bl0 AS (
   SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
-         len(embedding) // {PQ_SUBS} AS len_half, embedding
+         len(embedding) // {PQ_SUBS} AS sub_d, embedding
   FROM embeddings),
 bl AS (
   SELECT vec_id, {sub_case} AS sub, dim,
@@ -1098,12 +1118,23 @@ assign AS (
 adc AS (
   SELECT l.q_id, a.vec_id AS neighbor_id, SUM(l.dist) AS adc
   FROM assign a JOIN lut l ON a.sub = l.sub AND a.cell = l.cell
-  WHERE TRUE
+  GROUP BY 1, 2),
+shortlist AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY adc, neighbor_id) AS rn
+    FROM adc WHERE neighbor_id <> q_id) WHERE rn <= {PQ_RERANK}),
+refine AS (
+  SELECT s.q_id, s.neighbor_id,
+         SUM((b.val - qb.val) * (b.val - qb.val)) AS dist
+  FROM shortlist s
+  JOIN bl b ON b.vec_id = s.neighbor_id
+  JOIN bl qb ON qb.vec_id = s.q_id AND qb.sub = b.sub AND qb.dim = b.dim
   GROUP BY 1, 2)
-SELECT q_id, neighbor_id, rank, CAST(adc AS BIGINT) AS adc FROM (
+SELECT q_id, neighbor_id, rank, CAST(dist AS BIGINT) AS dist FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id
-                               ORDER BY adc, neighbor_id) AS rank
-  FROM adc WHERE neighbor_id <> q_id) WHERE rank <= {TOP_K}"""
+                               ORDER BY dist, neighbor_id) AS rank
+  FROM refine) WHERE rank <= {TOP_K}"""
     )
     return ",\n".join(parts)
 
