@@ -991,9 +991,6 @@ class TestAsofStrategies:
                     strategy=other,
                 )
                 assert canon(w) == canon(o), f"{other} diverges ({direction})"
-        # pin the tie semantics once explicitly: at t=10 backward, the
-        # max-rid right row (101) wins in BOTH strategies
-        row = {r["tag"]: r["rid"] for r in w.collect()} if False else None
         back = asof_join(
             left, right, on="k", left_time="t", right_time="rt",
             right_tiebreak=("rid",), strategy="cogroup",

@@ -104,6 +104,15 @@ def _compile(schema: dict, col: Column) -> Column:
 def compile_constraints(schema: dict) -> Column:
     """Compile a draft-04-subset schema dict into one boolean Column over
     the DataFrame's top-level columns (True == row conforms)."""
+    # the ROOT dict gets the same unsupported-keyword gate as every
+    # nested level — a top-level anyOf/not/additionalProperties must
+    # raise, not silently drop the constraint
+    unsupported = set(schema) - _SUPPORTED
+    if unsupported:
+        raise ValueError(
+            f"unsupported draft-04 keywords {sorted(unsupported)} — "
+            "extend schema_constraints or strip them from the schema"
+        )
     props = schema.get("properties", {})
     required = set(schema.get("required", []))
     checks: list[Column] = []

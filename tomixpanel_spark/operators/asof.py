@@ -171,6 +171,26 @@ def asof_join(
     )
 
 
+def _arrow_out_schema(left, right, on, left_time, left_cols, value_cols):
+    """Output schema for the Arrow strategies. Right VALUE fields are
+    rebuilt nullable: an unmatched left row emits typed nulls, and a
+    non-nullable source field (aggregate counts, spark.range ids) must
+    not smuggle its nullable=False into the output — Catalyst would
+    treat the column as never-null and prune IsNotNull filters, the
+    exact hazard the window strategy's explicit StructField(..., True)
+    guards against."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [left.schema[on], left.schema[left_time]]
+        + [left.schema[c] for c in left_cols if c != left_time]
+        + [
+            StructField(c, right.schema[c].dataType, True)
+            for c in value_cols
+        ]
+    )
+
+
 def _asof_cogroup(
     left: DataFrame,
     right: DataFrame,
@@ -194,15 +214,8 @@ def _asof_cogroup(
     from tomixpanel_spark.session import ship_package
 
     ship_package(left.sparkSession)
-    schema_fields = (
-        [left.schema[on], left.schema[left_time]]
-        + [left.schema[c] for c in left_cols if c != left_time]
-        + [right.schema[c] for c in value_cols]
-    )
-    from pyspark.sql.types import StructType
-
-    out_schema = StructType(schema_fields)
-    out_cols = [f.name for f in schema_fields]
+    out_schema = _arrow_out_schema(left, right, on, left_time, left_cols, value_cols)
+    out_cols = [f.name for f in out_schema.fields]
     tie_asc = direction == "backward"
     # a right time column named like the left one would collide in the
     # merged frame — give it a reserved name inside the merge
@@ -277,15 +290,8 @@ def _asof_broadcast(
 
     spark = left.sparkSession
     ship_package(spark)
-    from pyspark.sql.types import StructType
-
-    schema_fields = (
-        [left.schema[on], left.schema[left_time]]
-        + [left.schema[c] for c in left_cols if c != left_time]
-        + [right.schema[c] for c in value_cols]
-    )
-    out_schema = StructType(schema_fields)
-    out_cols = [f.name for f in schema_fields]
+    out_schema = _arrow_out_schema(left, right, on, left_time, left_cols, value_cols)
+    out_cols = [f.name for f in out_schema.fields]
     tie_asc = direction == "backward"
     rt = right_time if right_time != left_time else "__rt"
     r_pdf = (

@@ -220,9 +220,10 @@ def stage_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
     if not ck_dir:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None or not str(sc.getCheckpointDir()).startswith(
-        ("file:" + ck_dir, ck_dir, "file://" + ck_dir)
-    ):
+    # an already-set dir is RESPECTED (docstring contract): the operator
+    # that called sc.setCheckpointDir chose its durable location — the
+    # env var only fills the gap when none is configured
+    if sc.getCheckpointDir() is None:
         sc.setCheckpointDir(ck_dir)
     return df.checkpoint(eager=eager)
 

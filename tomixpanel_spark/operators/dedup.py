@@ -1070,7 +1070,6 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pin a shuffle-hash join explicitly. AQE may still flip a
         # runtime-small side back to broadcast — that's runtime-informed
         # and safe; the hint only stops a planning-time OOM bet.
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         eval_side = eval_sh.hint("shuffle_hash")
     return (
         corpus.join(eval_side, corpus.sh == eval_sh.e_sh)

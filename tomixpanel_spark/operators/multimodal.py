@@ -868,8 +868,8 @@ def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = RESIZE_DIM
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out = {"doc_id": [], "src_w": [], "src_h": [], "px_weighted": [], "px_sum": []}
         for pdf in it:
+            out = {"doc_id": [], "src_w": [], "src_h": [], "px_weighted": [], "px_sum": []}
             for doc_id in pdf["doc_id"]:
                 w = 4 + int(doc_id) % 13
                 h = 4 + int(doc_id) % 7
@@ -886,7 +886,10 @@ def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["src_h"].append(h)
                 out["px_weighted"].append(int((flat * (np.arange(d * d) + 1)).sum()))
                 out["px_sum"].append(int(flat.sum()))
-        yield pd.DataFrame(out)
+            # yield per Arrow batch: buffering the whole partition into
+            # one frame defeats mapInPandas streaming (peak memory grows
+            # with partition size, not batch size)
+            yield pd.DataFrame(out)
 
     return docs.select("doc_id").mapInPandas(
         batches,
@@ -1006,8 +1009,8 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     video = synth_video(docs)
 
     def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out = {"doc_id": [], "frame_idx": [], "n_frames": [], "px_sum": []}
         for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [], "px_sum": []}
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
                 if payload is None:
                     continue
@@ -1020,7 +1023,7 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["frame_idx"].append(idx)
                     out["n_frames"].append(len(frames))
                     out["px_sum"].append(int(px.sum()))
-        yield pd.DataFrame(out)
+            yield pd.DataFrame(out)
 
     return video.mapInPandas(
         sample, schema="doc_id long, frame_idx long, n_frames long, px_sum long"

@@ -68,6 +68,10 @@ def _staged_landing(spark: SparkSession, sf_dir: str) -> str:
     cached = _LANDING_CACHE.get(key)
     if cached and os.environ.get("TOMIX_CACHE_TABLES") and os.path.isdir(cached):
         return cached
+    if cached:
+        # uncached mode re-stages every call: reclaim the previous
+        # landing tree instead of leaking one mkdtemp per invocation
+        shutil.rmtree(os.path.dirname(cached), ignore_errors=True)
     ev = table(spark, sf_dir, "events")
     # slice bound computed from the data (deterministic; oracle mirrors
     # it with a scalar subquery)
@@ -101,7 +105,13 @@ def streaming_cagg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_cagg_parity: availableNow stream did not finish in "
+            "300s — refusing to read a mid-stream store (a partial read "
+            "would surface as a false oracle mismatch)"
+        )
     hourly = cagg.hourly(spark)
     return hourly.select(
         F.col("bucket").cast("string").alias("bucket_start"),

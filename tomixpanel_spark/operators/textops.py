@@ -226,7 +226,6 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_buckets <= _mixture_bucket_cap():
         build = F.broadcast(build)
     else:
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         build = build.hint("shuffle_hash")
     return (
         d.join(build, "bucket")
@@ -910,7 +909,6 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         # vocabulary too big for executor memory: shuffle join, with
         # runtime bloom-filter injection pruning non-matching tf rows
         # map-side (mirrors decontam's above-gate path)
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         build = build.hint("shuffle_hash")
     scored = tf.join(build, "token").select(
         "doc_id",
@@ -1162,14 +1160,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = tfd.join(build, "token").filter(F.col("doc_id") != F.col("q_id"))
-    idf_e6 = F.expr("((2 * (n - df) + 1) * 1000000) div (2 * df + 1)")
-    tfpart_e6 = F.expr(
-        "(22 * tf * avg_e2 * 1000000) div (tf * 10 * avg_e2 + 3 * avg_e2 + 900 * dl)"
-    )
+    # ONE integer expression end to end: idf_e6 * tfpart_e6 exceeds 2^53
+    # at real corpus sizes, where a double `/` would lose low bits and
+    # break parity with the driver fold and the oracle's `//`
     contrib = joined.select(
         "q_id",
         "doc_id",
-        ((idf_e6 * tfpart_e6) / F.lit(1_000_000)).cast("long").alias("c"),
+        F.expr(
+            "(((2 * (n - df) + 1) * 1000000) div (2 * df + 1)"
+            " * ((22 * tf * avg_e2 * 1000000)"
+            "    div (tf * 10 * avg_e2 + 3 * avg_e2 + 900 * dl))"
+            ") div 1000000"
+        ).alias("c"),
     )
     scores = contrib.groupBy("q_id", "doc_id").agg(F.sum("c").alias("score_e6"))
     w = Window.partitionBy("q_id").orderBy(F.col("score_e6").desc(), F.col("doc_id"))

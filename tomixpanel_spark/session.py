@@ -49,6 +49,7 @@ def session_builder(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
@@ -75,6 +76,12 @@ def ensure_semantics(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # Runtime bloom-filter injection is pinned ON at the session level:
+    # the above-gate shuffle-join paths (decontam / tfidf vocab /
+    # mixture buckets) rely on it for map-side pruning, and setting it
+    # per-query from inside a builder was a cross-query side effect —
+    # plan shapes depended on which query ran first (round-8 review).
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     ship_package(spark)
     return spark
 
