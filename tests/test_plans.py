@@ -581,3 +581,15 @@ def test_bm25_paths_agree(spark, monkeypatch):
     monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
     dist = {tuple(r) for r in REG["bm25_topk"].fn(spark, SF_ORACLE).collect()}
     assert fold == dist and len(fold) > 0
+
+
+def test_simhash_paths_agree(spark, monkeypatch):
+    """The simhash / simhash_pairs driver folds and the distributed lane
+    -aggregate + banded-join plans must produce identical rows (the same
+    gate contract as tfidf's and bm25's two paths)."""
+    for name in ("simhash", "simhash_pairs"):
+        monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "1000000")
+        fold = {tuple(r) for r in REG[name].fn(spark, SF_ORACLE).collect()}
+        monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+        dist = {tuple(r) for r in REG[name].fn(spark, SF_ORACLE).collect()}
+        assert fold == dist and len(fold) > 0, name

@@ -503,6 +503,97 @@ _SIMHASH_LANE_BITS = 15  # lane counter width -> docs up to 2^15-1 tokens
 _SIMHASH_LANES = 4  # lanes per packed long (4*15=60 bits used)
 
 
+def _simhash_fold_sigs(docs: DataFrame) -> "pd.DataFrame":
+    """Driver-fold signature computation: the fused Arrow tf pass, then
+    vectorized numpy votes — exactly the lane aggregate's math
+    (bit_j set iff 2*ones_j > n, ones tf-weighted; the occurrence-stream
+    oracle is equivalent because tf occurrences of one token vote
+    identically). One np.add.at scatter replaces the doc_id exchange."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from tomixpanel_spark.operators.textops import tokenize_tf
+
+    tf_pdf = tokenize_tf(docs).toPandas()
+    if not len(tf_pdf):
+        return pd.DataFrame({"doc_id": [], "simhash": []})
+    uniq = tf_pdf["token"].unique()
+    hmap = {
+        t: int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) for t in uniq
+    }
+    h = tf_pdf["token"].map(hmap).to_numpy(dtype="int64")
+    tf = tf_pdf["tf"].to_numpy(dtype="int64")
+    codes, doc_ids = pd.factorize(tf_pdf["doc_id"])
+    bits = ((h[:, None] >> np.arange(SIMHASH_BITS)) & 1).astype(np.int64)
+    ones = np.zeros((len(doc_ids), SIMHASH_BITS), dtype=np.int64)
+    np.add.at(ones, codes, bits * tf[:, None])
+    n = np.zeros(len(doc_ids), dtype=np.int64)
+    np.add.at(n, codes, tf)
+    sig = (
+        (2 * ones > n[:, None]).astype(np.int64) << np.arange(SIMHASH_BITS)
+    ).sum(axis=1)
+    return pd.DataFrame({"doc_id": doc_ids, "simhash": sig})
+
+
+def _popcount64(x):
+    """Vectorized int64 population count (numpy<2 has no bitwise_count):
+    view as 8 bytes and sum a 256-entry per-byte table."""
+    import numpy as np
+
+    table = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+    return table[np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+
+
+def _banded_pairs_fold(sig_pdf, n_bands: int, band_bits: int, ham_max: int):
+    """Driver-fold banded-Hamming pairing over a signature frame — the
+    identical exact-collapse -> band-bucket -> verify -> cluster-expand
+    semantics as ``banded_hamming_pairs``. Bucket pair enumeration and
+    the Hamming verify are vectorized (triu_indices + byte-table
+    popcount): word-soup corpora concentrate hundreds of unique
+    signatures into one band value, where pure-Python nested loops cost
+    seconds and numpy costs milliseconds. Only the qualifying pairs
+    (output-sized) touch Python objects."""
+    import numpy as np
+
+    groups = {
+        int(s): sorted(int(d) for d in ids)
+        for s, ids in sig_pdf.groupby("simhash")["doc_id"]
+    }
+    rows = []
+    for ids in groups.values():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                rows.append((ids[i], ids[j], 0))
+    mask = (1 << band_bits) - 1
+    sig_arr = np.array(sorted(groups), dtype=np.int64)
+    qual: dict = {}
+    for b in range(n_bands):
+        vals = (sig_arr >> (b * band_bits)) & mask
+        order = np.argsort(vals, kind="stable")
+        sv, ss = vals[order], sig_arr[order]
+        starts = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+        ends = np.r_[starts[1:], len(sv)]
+        for s0, e0 in zip(starts, ends):
+            k = int(e0 - s0)
+            if k < 2:
+                continue
+            block = ss[s0:e0]
+            ii, jj = np.triu_indices(k, 1)
+            sa = np.minimum(block[ii], block[jj])
+            sb = np.maximum(block[ii], block[jj])
+            ham = _popcount64(sa ^ sb)
+            keep = ham <= ham_max
+            for a_, b_, h_ in zip(sa[keep], sb[keep], ham[keep]):
+                qual[(int(a_), int(b_))] = int(h_)
+    for (sa, sb), ham in qual.items():
+        for ia in groups[sa]:
+            for ib in groups[sb]:
+                rows.append((min(ia, ib), max(ia, ib), ham))
+    return rows
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over token occurrences: per-bit +/-1 vote weighted by
     term frequency, sign -> bit. One explode + one aggregate.
@@ -523,9 +614,19 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream never materializes. Weighted lane values still fit: bit*tf <
     2^15 per lane, same packed bound as before.
     """
-    from tomixpanel_spark.operators.textops import tokenize_tf
+    from tomixpanel_spark.operators.textops import (
+        _corpus_count,
+        _tfidf_driver_fold_cap,
+        tokenize_tf,
+    )
 
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    if _corpus_count(spark, sf_dir, docs) <= _tfidf_driver_fold_cap():
+        # size-adaptive driver fold (the tfidf/bm25 gate): one Arrow
+        # pass + numpy votes, zero exchanges
+        return spark.createDataFrame(
+            _simhash_fold_sigs(docs), schema="doc_id long, simhash long"
+        )
     toks = tokenize_tf(docs)
     h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
     toks = toks.withColumn("h", h)
@@ -616,6 +717,13 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, band_cap: int | None = None)
     exactly once; intra-cluster (hamming-0) pairs expand directly.
     ``band_cap`` bounds distinct-signature postings, the residual
     hot-bucket guard."""
+    # NOTE: no full driver fold here — at sf0.1 this query emits 83k
+    # pairs, and shipping that expansion through createDataFrame costs
+    # more than the JVM banded join (measured: full fold 1.8s vs 1.0s
+    # hybrid). Under the gate ``simhash()`` already returns the FOLDED
+    # signatures (a local relation), so banding consumes the cheap
+    # signature path either way; ``_banded_pairs_fold`` remains the
+    # library fold for pair-light callers.
     sig = simhash(spark, sf_dir)
     return banded_hamming_pairs(
         sig, "simhash", SIMHASH_BANDS, 8, SIMHASH_HAM_MAX, band_cap=band_cap
