@@ -1114,3 +1114,31 @@ class TestAnnPq:
         assert all(r["dist"] >= 0 for r in rows)
         rows2 = ann_pq_q(spark, sf).collect()
         assert {tuple(r) for r in rows} == {tuple(r) for r in rows2}
+
+
+class TestBm25Edges:
+    def test_query_doc_excluded_and_scores_positive(self, spark):
+        """Every result row excludes the query doc itself; scores are
+        positive (all BM25 terms are positive rationals); each query
+        returns exactly BM25_TOPK rows on a corpus with enough overlap."""
+        from tomixpanel_spark.operators.textops import BM25_QUERIES, BM25_TOPK, bm25_topk
+
+        rows = bm25_topk(spark, "/root/testdata/sf0.001").collect()
+        assert all(r["q_id"] != r["doc_id"] for r in rows)
+        assert all(r["score_e6"] > 0 for r in rows)
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["q_id"], []).append(r["rank"])
+        assert set(per_q) == set(range(BM25_QUERIES))
+        for ranks in per_q.values():
+            assert sorted(ranks) == list(range(1, BM25_TOPK + 1))
+
+    def test_fold_empty_corpus(self, spark):
+        """The driver fold returns an empty typed frame on an empty
+        corpus instead of crashing on the degenerate aggregate."""
+        from tomixpanel_spark.operators.textops import _bm25_driver_fold
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        out = _bm25_driver_fold(empty, 0)
+        assert out.count() == 0
+        assert out.columns == ["q_id", "doc_id", "rank", "score_e6"]
