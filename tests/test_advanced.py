@@ -1142,3 +1142,32 @@ class TestBm25Edges:
         out = _bm25_driver_fold(empty, 0)
         assert out.count() == 0
         assert out.columns == ["q_id", "doc_id", "rank", "score_e6"]
+
+
+class TestAsofBroadcastDtypes:
+    def test_timestamp_columns_through_broadcast(self, spark):
+        """The broadcast strategy's dtype-coercion branch: Arrow batches
+        deliver datetime64[us] while driver toPandas may deliver
+        datetime64[ns] — merge_asof requires equal dtypes, so the small
+        side coerces. Verify timestamps roundtrip and match the window
+        strategy exactly."""
+        from tomixpanel_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 12:00:00", "b")],
+            "k long, t string, tag string",
+        ).selectExpr("k", "CAST(t AS TIMESTAMP) AS t", "tag")
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 09:00:00", 7), (1, "2024-01-01 11:00:00", 9)],
+            "k long, rt string, val long",
+        ).selectExpr("k", "CAST(rt AS TIMESTAMP) AS rt", "val")
+        canon = lambda df: sorted(  # noqa: E731
+            map(tuple, df.select(*sorted(df.columns)).collect())
+        )
+        w = asof_join(left, right, on="k", left_time="t", right_time="rt")
+        b = asof_join(
+            left, right, on="k", left_time="t", right_time="rt", strategy="broadcast"
+        )
+        assert canon(w) == canon(b)
+        vals = {r["tag"]: r["val"] for r in b.collect()}
+        assert vals == {"a": 7, "b": 9}
