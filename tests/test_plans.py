@@ -593,3 +593,17 @@ def test_simhash_paths_agree(spark, monkeypatch):
         monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
         dist = {tuple(r) for r in REG[name].fn(spark, SF_ORACLE).collect()}
         assert fold == dist and len(fold) > 0, name
+
+
+def test_substring_dup_no_text_shuffle(spark):
+    """Exact substring-window discovery must shuffle the 60-bit window
+    HASH, never the window text: the exchange carries fixed-width longs.
+    Also no window function and no cartesian anywhere."""
+    df = REG["substring_dup_stats"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Cartesian" not in plan
+    import re
+    # every hashpartitioning clause keys on doc_id or the wh hash —
+    # never on a string window column
+    for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "wt" not in m, m

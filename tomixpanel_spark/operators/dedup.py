@@ -1201,8 +1201,100 @@ GROUP BY co.doc_id
 """
 
 
+# -- exact substring-window duplication -------------------------------------
+SUBSTR_WIN = 10  # tokens per sliding window (the exact-substring unit)
+
+
+def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-window duplication signal (the C4 / "Deduplicating
+    Training Data" exact-substring criterion, re-expressed windowed): for
+    every SUBSTR_WIN-token sliding window of every document, find windows
+    whose exact text occurs in MORE THAN ONE document, and emit per-doc
+    counts + the duplicated-window fraction — the filter signal for
+    cross-document boilerplate that segment/shingle dedup miss (segments
+    need delimiter structure; shingle Jaccard is whole-doc).
+
+    Scale shape: the window table is one narrow explode (corpus token
+    count rows); windows keyed by a 60-bit md5-prefix integer so the
+    duplicate-discovery aggregate shuffles fixed-width longs, never the
+    window text (a 10-token string key would shuffle ~60 bytes/row —
+    the hash key is 8). Map-side partials collapse repeated boilerplate
+    before the exchange; the duplicated-hash set (aggregate output,
+    bounded by distinct duplicated windows) joins back in the same
+    keyed space. Production suffix-array dedup replaces the window
+    explode with an index build — the decision signal is the same."""
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", tokens("text").alias("w"))
+    win_text = F.expr(
+        f"transform(sequence(1, greatest(size(w) - {SUBSTR_WIN - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(w, i, {SUBSTR_WIN})))"
+    )
+    wins = toks.select(
+        "doc_id", F.explode(win_text).alias("wt")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("wt"), 1, 15), 16, 10).cast("long").alias("wh"),
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    per_doc = (
+        wins.join(dup, "wh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    totals = toks.select(
+        "doc_id",
+        F.greatest(F.size("w") - (SUBSTR_WIN - 1), F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.when(F.col("n_windows") > 0,
+               F.expr("coalesce(n_dup_windows, 0) * 1000000 div n_windows"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_frac_e6"),
+    )
+
+
+_SUBSTR_DUP_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+wins AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(array_to_string(w[i:i+{SUBSTR_WIN - 1}], ' ')), 1, 15)
+              AS BIGINT) AS wh
+  FROM toks, unnest(generate_series(1, greatest(len(w) - {SUBSTR_WIN - 1}, 0))) AS t(i)),
+dup AS (
+  SELECT wh FROM (SELECT wh, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY wh)
+  WHERE nd >= 2),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+  FROM wins WHERE wh IN (SELECT wh FROM dup) GROUP BY doc_id),
+totals AS (
+  SELECT doc_id,
+         CAST(greatest(len(w) - {SUBSTR_WIN - 1}, 0) AS BIGINT) AS n_windows
+  FROM toks)
+SELECT t.doc_id, t.n_windows,
+       CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(CASE WHEN t.n_windows > 0
+                 THEN COALESCE(p.n_dup_windows, 0) * 1000000 // t.n_windows
+                 ELSE 0 END AS BIGINT) AS dup_frac_e6
+FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
+
 REGISTRY = {
     "dedup_exact": QuerySpec(dedup_exact, _DEDUP_EXACT_SQL, "ext:dedup"),
+    "substring_dup_stats": QuerySpec(
+        substring_dup_stats, _SUBSTR_DUP_SQL, "ext:dedup exact substring windows"
+    ),
     "ngram_jaccard_pairs": QuerySpec(ngram_jaccard_pairs, _NGRAM_JACCARD_SQL, "ext:dedup"),
     "minhash_signature": QuerySpec(minhash_signature, _MINHASH_SIGNATURE_SQL, "ext:dedup"),
     "minhash_lsh_pairs": QuerySpec(minhash_lsh_pairs, _MINHASH_LSH_SQL, "ext:dedup"),
