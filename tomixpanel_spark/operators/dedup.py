@@ -1235,10 +1235,15 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("wt"), 1, 15), 16, 10).cast("long").alias("wh"),
     )
+    # two consumers (duplicate discovery, per-doc join-back) — materialize
+    # the explode+md5 once instead of re-running it per branch
+    wins = stage_checkpoint(wins, eager=False)
+    # cross-doc test as min!=max over doc_id: one pair of cheap partial
+    # aggregates instead of a two-phase count_distinct
     dup = (
         wins.groupBy("wh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("wh")
     )
     per_doc = (
