@@ -5,6 +5,13 @@ JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
 
 Each query is forced with a full collect (the driver's comparison does the
 same), so timings include result materialization, not just planning.
+
+Output contract: the LAST stdout line is a compact headline JSON sized to
+fit inside a 2000-char output tail (the harness that records BENCH_r{N}
+keeps only the tail and parses its final line — BENCH_r04..r07 recorded
+``parsed: null`` once the verbose line outgrew it). The verbose record
+(cold/prepared/derived tiers, full precision) is printed on the line
+before it.
 """
 
 from __future__ import annotations
@@ -46,6 +53,9 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     spark = (
         session_builder("tomixpanel_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+        # keep stdout clean for the output contract below: progress bars
+        # and late executor traces must not trail the headline line
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -209,8 +219,57 @@ def main() -> None:
         out["ratio_vs_oracle"] = round(
             out["spark_total_common"] / max(out["oracle_total"], 1e-9), 3
         )
-    print(json.dumps(out))
+    # stop BEFORE printing: nothing may write to stdout after the compact
+    # headline (the recorder parses the last line of a bounded tail)
     spark.stop()
+    print(json.dumps(out))
+    print(compact_headline(timings, sf_val, cpus, out["timing_policy"]))
+
+
+def compact_headline(
+    timings: dict[str, float],
+    sf_val,
+    cpus: int,
+    policy: str,
+    budget: int = 1900,
+) -> str:
+    """One headline JSON line guaranteed <= ``budget`` chars so it survives
+    a bounded stdout tail: full per-query map at 3 then 2 decimals; if
+    still over, fold the fastest queries into ``fast_sum``/``fast_n``
+    (their individual timings are noise-floor anyway and remain on the
+    verbose line above)."""
+    total = round(sum(timings.values()), 3)
+
+    def render(items: list[tuple[str, float]], nd: int, folded: dict[str, float]) -> str:
+        out = {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, nd) for k, v in items},
+            "sf": sf_val,
+            "n_queries": len(items) + len(folded),
+            "cpus": cpus,
+            "timing_policy": policy,
+        }
+        if folded:
+            out["fast_sum"] = round(sum(folded.values()), 3)
+            out["fast_n"] = len(folded)
+        return json.dumps(out, separators=(",", ":"))
+
+    items = sorted(timings.items())
+    for nd in (3, 2):
+        s = render(items, nd, {})
+        if len(s) <= budget:
+            return s
+    by_speed = sorted(timings.items(), key=lambda kv: (kv[1], kv[0]))
+    folded: dict[str, float] = {}
+    while by_speed:
+        k, v = by_speed.pop(0)
+        folded[k] = v
+        s = render(sorted(by_speed), 2, folded)
+        if len(s) <= budget:
+            return s
+    return s
 
 
 if __name__ == "__main__":

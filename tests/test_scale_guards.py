@@ -89,3 +89,39 @@ class TestDegenerateCorpusBounds:
             assert kept == n_total - dropped_mutants
         finally:
             out["pairs"].unpersist()
+
+
+class TestBenchHeadline:
+    """The harness recording BENCH_r{N}.json keeps only a 2000-char stdout
+    tail and parses its LAST line; bench.py's compact headline must always
+    fit (r4-r7 recorded parsed:null after the verbose line outgrew it)."""
+
+    def test_compact_headline_fits_current_registry(self):
+        import json
+
+        from bench import compact_headline
+        from tomixpanel_spark.operators import registry
+
+        timings = {name: 9.8765 for name in registry()}  # worst-case widths
+        line = compact_headline(timings, 0.1, 32, "best_of_3_both_engines")
+        assert len(line) <= 1900
+        parsed = json.loads(line)
+        assert parsed["metric"] == "total_query_seconds"
+        assert parsed["unit"] == "sec"
+        assert parsed["n_queries"] == len(timings)
+        covered = len(parsed["queries"]) + parsed.get("fast_n", 0)
+        assert covered == len(timings)
+        total = sum(parsed["queries"].values()) + parsed.get("fast_sum", 0.0)
+        assert abs(total - parsed["value"]) < 0.01 * len(timings)
+
+    def test_compact_headline_folds_when_huge(self):
+        import json
+
+        from bench import compact_headline
+
+        timings = {f"query_with_a_rather_long_name_{i:03d}": 0.123 for i in range(400)}
+        line = compact_headline(timings, 0.1, 32, "best_of_3_both_engines")
+        assert len(line) <= 1900
+        parsed = json.loads(line)
+        assert parsed["fast_n"] > 0
+        assert parsed["n_queries"] == 400
