@@ -245,6 +245,11 @@ def compact_headline(
             "metric": "total_query_seconds",
             "value": total,
             "unit": "sec",
+            # tier label matters for cross-round reads: the r4-r7 tail
+            # fragments happened to surface PREPARED-tier per-query
+            # numbers (shuffle-reuse serving, ~10x faster on tiny
+            # queries); these are full build+execute headline times
+            "tier": "headline",
             "queries": {k: round(v, nd) for k, v in items},
             "sf": sf_val,
             "n_queries": len(items) + len(folded),
