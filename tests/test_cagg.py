@@ -304,3 +304,103 @@ class TestManifestDurability:
         for b in (0, 1):
             immediate.update_batch(df_for(1), batch_id=b)
         assert set(os.listdir(tmp_path / "s2" / "gen")) == {"1"}
+
+
+class TestDriverMergeGate:
+    """Size-adaptive merge: under TOMIX_CAGG_DRIVER_MERGE_CAP the store
+    merge runs driver-side (pandas/Decimal + pyarrow writes); above it,
+    or at cap=0, the distributed path runs. Both must produce
+    bit-identical stores, including across MIXED generations (a spark-
+    written day later merged by the driver writer and vice versa).
+    Path witness: the Spark writer leaves a _SUCCESS marker in the
+    generation dir, the pyarrow writer does not."""
+
+    def _batches(self, spark):
+        def df(rows):
+            return spark.createDataFrame(
+                rows, "ts string, event_type string, value double"
+            ).withColumn("ts", F.to_timestamp("ts"))
+
+        b0 = df(
+            [("2024-03-01 10:00:00", "click", 1.5)] * 3
+            + [("2024-03-01 11:00:00", None, 2.25)]  # null key survives
+            + [("2024-03-02 09:00:00", "view", 0.125)]
+        )
+        b1 = df(
+            [("2024-03-01 10:00:00", "click", 4.0)] * 2
+            + [(None, "poison", 9.9), ("2024-03-03 23:00:00", "view", 7.75)]
+        )
+        return [b0, b1]
+
+    def _hourly_map(self, spark, cagg):
+        return {
+            (str(r["bucket"]), r["key"]): (r["n"], str(r["sum_dec"]))
+            for r in cagg.hourly(spark).collect()
+        }
+
+    def test_driver_and_spark_paths_bit_identical(self, spark, tmp_path, monkeypatch):
+        from tomixpanel_spark.streaming.cagg import ContinuousAggregate
+
+        monkeypatch.delenv("TOMIX_CAGG_DRIVER_MERGE_CAP", raising=False)
+        drv = ContinuousAggregate(str(tmp_path / "drv"))
+        for i, b in enumerate(self._batches(spark)):
+            drv.update_batch(b, i)
+        monkeypatch.setenv("TOMIX_CAGG_DRIVER_MERGE_CAP", "0")
+        spk = ContinuousAggregate(str(tmp_path / "spk"))
+        for i, b in enumerate(self._batches(spark)):
+            spk.update_batch(b, i)
+        got_d = self._hourly_map(spark, drv)
+        got_s = self._hourly_map(spark, spk)
+        assert got_d == got_s and len(got_d) == 4
+        # schemas of both stores agree (union-compatible generations)
+        assert (
+            drv.hourly(spark).schema.simpleString()
+            == spk.hourly(spark).schema.simpleString()
+        )
+        # path witness: driver generations carry no Spark _SUCCESS marker
+        assert not os.path.exists(tmp_path / "drv" / "gen" / "1" / "_SUCCESS")
+        assert os.path.exists(tmp_path / "spk" / "gen" / "1" / "_SUCCESS")
+
+    def test_mixed_generations_merge_exactly(self, spark, tmp_path, monkeypatch):
+        """Batch 0 through the DISTRIBUTED writer, batch 1 (same day)
+        through the DRIVER writer: the driver merge must read the
+        spark-written generation and the final store must equal an
+        all-driver store."""
+        from tomixpanel_spark.streaming.cagg import ContinuousAggregate
+
+        b0, b1 = self._batches(spark)
+        mixed = ContinuousAggregate(str(tmp_path / "mixed"))
+        monkeypatch.setenv("TOMIX_CAGG_DRIVER_MERGE_CAP", "0")
+        mixed.update_batch(b0, 0)
+        monkeypatch.setenv("TOMIX_CAGG_DRIVER_MERGE_CAP", "65536")
+        mixed.update_batch(b1, 1)
+        monkeypatch.delenv("TOMIX_CAGG_DRIVER_MERGE_CAP")
+        ref = ContinuousAggregate(str(tmp_path / "ref"))
+        ref.update_batch(b0, 0)
+        ref.update_batch(b1, 1)
+        assert self._hourly_map(spark, mixed) == self._hourly_map(spark, ref)
+
+    def test_overflow_falls_back_to_distributed(self, spark, tmp_path, monkeypatch):
+        from tomixpanel_spark.streaming.cagg import ContinuousAggregate
+
+        b0, _ = self._batches(spark)
+        monkeypatch.setenv("TOMIX_CAGG_DRIVER_MERGE_CAP", "1")  # 4 cells > 1
+        cagg = ContinuousAggregate(str(tmp_path / "store"))
+        cagg.update_batch(b0, 0)
+        assert os.path.exists(tmp_path / "store" / "gen" / "0" / "_SUCCESS")
+        assert len(self._hourly_map(spark, cagg)) == 3
+
+    def test_non_string_key_type_stays_distributed(self, spark, tmp_path, monkeypatch):
+        from tomixpanel_spark.streaming.cagg import ContinuousAggregate
+
+        monkeypatch.delenv("TOMIX_CAGG_DRIVER_MERGE_CAP", raising=False)
+        df = spark.createDataFrame(
+            [("2024-03-01 10:00:00", 7, 1.5)], "ts string, k long, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        cagg = ContinuousAggregate(
+            str(tmp_path / "store"), key_col="k", key_type="bigint"
+        )
+        cagg.update_batch(df, 0)
+        assert os.path.exists(tmp_path / "store" / "gen" / "0" / "_SUCCESS")
+        [r] = cagg.hourly(spark).collect()
+        assert r["key"] == 7 and r["n"] == 1

@@ -242,19 +242,58 @@ class ContinuousAggregate:
         partitions the batch touches; writes a fresh generation and
         commits data + batch_id atomically via the manifest swap.
 
-        Partials PERSIST for the duration of the merge: the day-discovery
-        collect and the generation write both consume them, and without
-        the pin each consumer re-aggregates the raw batch (two full
-        passes measured). The write coalesces to ONE task: partial cells
-        are hours x keys x days — aggregate output, bounded by the
-        batch's time spread, never its row count — so a task per
-        shuffle partition just multiplies files and commit overhead
-        (32 tasks x N day dirs for a handful of rows)."""
+        Size-adaptive merge (the tfidf/decontam gate pattern): the
+        batch's raw rows always aggregate Spark-side (that side scales
+        with the stream), but the RESULT is partial cells — hours x keys
+        x days, bounded by the batch's time spread and key cardinality,
+        never its row count. When the cell count fits under
+        ``TOMIX_CAGG_DRIVER_MERGE_CAP`` (default 65536; 0 disables), the
+        store merge runs driver-side: one ``toPandas`` of the partials,
+        a pyarrow read of the touched day partitions, an exact
+        Decimal/pandas merge, and direct parquet writes — replacing the
+        two extra Spark jobs per micro-batch (day-discovery collect +
+        distributed generation write) whose per-job floor dominated
+        update cost on small batches. Above the cap (high-cardinality
+        keys at scale) the merge stays fully distributed. Both paths
+        write the identical generation layout and commit through the
+        same manifest swap, so crash/replay semantics are unchanged."""
         man = self._load_manifest()
         if batch_id <= man["batch_id"]:
             return  # replayed batch: already committed in the manifest
         spark = batch_df.sparkSession
-        partials = self._batch_partials(batch_df).persist()
+        cap = int(os.environ.get("TOMIX_CAGG_DRIVER_MERGE_CAP", "65536"))
+        partials = self._batch_partials(batch_df)
+        pdf = None
+        # driver writer emits a string key column; exotic key_type stores
+        # take the distributed path rather than guessing an arrow type
+        if cap > 0 and self.key_type == "string":
+            # LIMIT cap+1 bounds the driver transfer: exactly-cap-or-less
+            # means we hold ALL cells; cap+1 rows proves overflow without
+            # shipping the full aggregate
+            pdf = partials.limit(cap + 1).toPandas()
+        if pdf is not None and len(pdf) <= cap:
+            days = self._merge_driver_write(pdf, man, batch_id)
+        else:
+            days = self._merge_spark_write(spark, partials, man, batch_id)
+        new_man = {
+            "batch_id": batch_id,
+            "days": {**man["days"], **{d: batch_id for d in days}},
+        }
+        self._commit_manifest(new_man)  # THE commit point (atomic swap)
+        self._gc_superseded(new_man)
+
+    def _merge_spark_write(
+        self, spark: SparkSession, partials: DataFrame, man: dict, batch_id: int
+    ) -> list:
+        """Distributed merge+write (the scale path).
+
+        Partials PERSIST for the duration of the merge: the day-discovery
+        collect and the generation write both consume them, and without
+        the pin each consumer re-aggregates the raw batch (two full
+        passes measured). The write coalesces to ONE task: partial cells
+        are aggregate output, so a task per shuffle partition just
+        multiplies files and commit overhead."""
+        partials = partials.persist()
         try:
             days = sorted(
                 r["day"].isoformat()
@@ -278,12 +317,79 @@ class ContinuousAggregate:
             )
         finally:
             partials.unpersist()
-        new_man = {
-            "batch_id": batch_id,
-            "days": {**man["days"], **{d: batch_id for d in days}},
-        }
-        self._commit_manifest(new_man)  # THE commit point (atomic swap)
-        self._gc_superseded(new_man)
+        return days
+
+    def _merge_driver_write(self, pdf, man: dict, batch_id: int) -> list:
+        """Driver-side merge+write for cell counts under the gate: exact
+        (int64 counts, ``decimal.Decimal`` sums — no float path), same
+        generation layout and parquet schema as the Spark writer (spiked
+        both directions: Spark reads pyarrow generations as
+        ``timestamp``/``decimal(28,6)``, pyarrow reads Spark generations
+        as ns-timestamps/Decimal objects)."""
+        import glob
+        from decimal import Decimal
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def _norm(frame, day_iso=None):
+            out = frame[["bucket", "key", "n", "sum_dec"]].copy()
+            # bucket may arrive as datetime64[ns] (arrow toPandas), as
+            # tz-aware timestamp[us, UTC] (pyarrow read of a driver-written
+            # generation) or object-of-datetime (plain toPandas) —
+            # normalize to one naive unit so concat groups exact-equal cells
+            b = pd.to_datetime(out["bucket"])
+            if getattr(b.dt, "tz", None) is not None:
+                b = b.dt.tz_localize(None)  # session tz is UTC: same wall time
+            out["bucket"] = b.astype("datetime64[us]")
+            out["day"] = (
+                day_iso if day_iso is not None
+                else frame["day"].map(lambda d: d.isoformat())
+            )
+            return out
+
+        days = sorted({d.isoformat() for d in pdf["day"]}) if len(pdf) else []
+        frames = [_norm(pdf)] if len(pdf) else []
+        for d in days:
+            g = man["days"].get(d)
+            if g is None:
+                continue
+            ddir = os.path.join(self._gen_dir(g), f"day={d}")
+            for f in sorted(glob.glob(os.path.join(ddir, "*.parquet"))):
+                frames.append(_norm(pq.read_table(f).to_pandas(), day_iso=d))
+        gen = self._gen_dir(batch_id)
+        # a replayed half-committed batch overwrites its own orphan dir
+        shutil.rmtree(gen, ignore_errors=True)
+        if not frames:
+            return days
+        merged = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["day", "bucket", "key"], dropna=False, sort=True)
+            .agg(
+                n=("n", "sum"),
+                sum_dec=("sum_dec", lambda s: sum(s, Decimal(0))),
+            )
+            .reset_index()
+        )
+        merged["key"] = merged["key"].where(pd.notna(merged["key"]), None)
+        for d in days:
+            sub = merged[merged["day"] == d]
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.Array.from_pandas(sub["bucket"])
+                    .cast(pa.timestamp("us"))
+                    .cast(pa.timestamp("us", "UTC")),
+                    pa.array(sub["key"], type=pa.string()),
+                    pa.array(sub["n"].astype("int64"), type=pa.int64()),
+                    pa.array(sub["sum_dec"], type=pa.decimal128(28, 6)),
+                ],
+                names=["bucket", "key", "n", "sum_dec"],
+            )
+            ddir = os.path.join(gen, f"day={d}")
+            os.makedirs(ddir, exist_ok=True)
+            pq.write_table(tbl, os.path.join(ddir, "part-00000.parquet"))
+        return days
 
     # -- read paths -------------------------------------------------------
     @property
