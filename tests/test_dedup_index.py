@@ -1,0 +1,208 @@
+"""Persistent cross-run dedup index: probe correctness, first-writer
+keeper stability, replay idempotence, bucket-pruned rewrites, and
+driver/distributed merge parity."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedupIndex:
+    def test_probe_flags_cross_run_duplicates(self, spark, tmp_path):
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        idx = DedupIndex(str(tmp_path / "store"))
+        idx.register(_docs(spark, [(0, "alpha"), (2, "beta"), (4, "alpha")]), 0)
+        out = {
+            r["doc_id"]: (r["seen_before"], r["first_doc_id"])
+            for r in idx.probe(
+                _docs(spark, [(1, "alpha"), (3, "gamma"), (5, "beta")])
+            ).collect()
+        }
+        # keeper is the MIN registered doc id for the hash
+        assert out == {1: (True, 0), 3: (False, None), 5: (True, 2)}
+
+    def test_incremental_growth_and_first_writer_wins(self, spark, tmp_path):
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        idx = DedupIndex(str(tmp_path / "store"))
+        idx.register(_docs(spark, [(10, "alpha")]), 0)
+        # batch 1 re-offers "alpha" under a smaller doc id — the ORIGINAL
+        # first-seen row must survive (first-writer-wins, not min-overall)
+        idx.register(_docs(spark, [(1, "alpha"), (11, "delta")]), 1)
+        entries = {
+            r["first_doc_id"]: r["first_batch"]
+            for r in idx.entries(spark).collect()
+        }
+        assert entries == {10: 0, 11: 1}
+
+    def test_replayed_batch_is_skipped(self, spark, tmp_path):
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        idx = DedupIndex(str(tmp_path / "store"))
+        idx.register(_docs(spark, [(1, "alpha")]), 0)
+        before = idx.entries(spark).collect()
+        idx.register(_docs(spark, [(99, "other")]), 0)  # replay of batch 0
+        assert idx.entries(spark).collect() == before
+
+    def test_rewrites_touch_only_probed_buckets(self, spark, tmp_path):
+        """A batch landing in other buckets must leave an untouched
+        bucket's files alone (manifest-pruned generations)."""
+        import time as _time
+
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        idx = DedupIndex(str(tmp_path / "store"), n_buckets=4)
+        idx.register(_docs(spark, [(1, "alpha"), (2, "beta"), (3, "gamma")]), 0)
+        gen0 = tmp_path / "store" / "gen" / "0"
+        bucket_dirs = sorted(p for p in os.listdir(gen0) if p.startswith("b="))
+        assert bucket_dirs  # at least one bucket written
+        probe_dir = gen0 / bucket_dirs[0]
+        before = {
+            p: os.path.getmtime(probe_dir / p)
+            for p in os.listdir(probe_dir)
+            if p.endswith(".parquet")
+        }
+        _time.sleep(1.1)
+        # find a text whose hash lands in a DIFFERENT bucket
+        target = int(bucket_dirs[0][2:])
+        cand = None
+        for i in range(50):
+            t = f"probe-text-{i}"
+            b = _docs(spark, [(0, t)]).select(
+                F.pmod(
+                    F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"),
+                    F.lit(4),
+                ).alias("b")
+            ).collect()[0]["b"]
+            if b != target:
+                cand = t
+                break
+        idx.register(_docs(spark, [(9, cand)]), 1)
+        after = {
+            p: os.path.getmtime(probe_dir / p)
+            for p in os.listdir(probe_dir)
+            if p.endswith(".parquet")
+        }
+        assert before == after
+
+    def test_driver_and_spark_merge_paths_identical(self, spark, tmp_path, monkeypatch):
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        batches = [
+            _docs(spark, [(4, "alpha"), (2, "beta"), (6, "alpha")]),
+            _docs(spark, [(1, "alpha"), (3, "gamma")]),
+        ]
+        monkeypatch.delenv("TOMIX_DEDUP_INDEX_DRIVER_CAP", raising=False)
+        drv = DedupIndex(str(tmp_path / "drv"))
+        for i, b in enumerate(batches):
+            drv.register(b, i)
+        monkeypatch.setenv("TOMIX_DEDUP_INDEX_DRIVER_CAP", "0")
+        spk = DedupIndex(str(tmp_path / "spk"))
+        for i, b in enumerate(batches):
+            spk.register(b, i)
+
+        def snap(ix):
+            return sorted(tuple(r) for r in ix.entries(spark).collect())
+
+        assert snap(drv) == snap(spk)
+        # path witness: the Spark writer leaves a _SUCCESS marker
+        assert os.path.exists(tmp_path / "spk" / "gen" / "1" / "_SUCCESS")
+        assert not os.path.exists(tmp_path / "drv" / "gen" / "1" / "_SUCCESS")
+
+    def test_crash_before_commit_replays_exactly(self, spark, tmp_path, monkeypatch):
+        """Generation written, manifest swap crashed: the replayed batch
+        must re-merge from the pre-batch state with no double count."""
+        from tomixpanel_spark.streaming import dedup_index as mod
+
+        idx = mod.DedupIndex(str(tmp_path / "store"))
+        idx.register(_docs(spark, [(1, "alpha")]), 0)
+
+        real_commit = mod.DedupIndex._commit_manifest
+
+        def boom(self, man):
+            raise RuntimeError("crash before manifest swap")
+
+        monkeypatch.setattr(mod.DedupIndex, "_commit_manifest", boom)
+        try:
+            idx.register(_docs(spark, [(2, "beta")]), 1)
+        except RuntimeError:
+            pass
+        monkeypatch.setattr(mod.DedupIndex, "_commit_manifest", real_commit)
+        # store still at batch 0; replay merges exactly once
+        idx.register(_docs(spark, [(2, "beta")]), 1)
+        got = sorted(tuple(r) for r in idx.entries(spark).collect())
+        hashes = {h for h, _, _ in got}
+        assert len(got) == 2 and len(hashes) == 2
+        assert {(d, b) for _, d, b in got} == {(1, 0), (2, 1)}
+
+    def test_foreachbatch_stream_maintains_index(self, spark, tmp_path):
+        import json as _json
+        import time as _time
+
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        in_dir = tmp_path / "landing"
+        in_dir.mkdir()
+        now = _time.time()
+        for i, rows in enumerate(
+            [[(1, "alpha"), (2, "beta")], [(3, "alpha"), (4, "gamma")]]
+        ):
+            p = in_dir / f"b{i}.ndjson"
+            p.write_text(
+                "\n".join(
+                    _json.dumps({"doc_id": d, "text": t}) for d, t in rows
+                )
+            )
+            os.utime(p, (now - 60 + i * 30,) * 2)
+        idx = DedupIndex(str(tmp_path / "store"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(idx.register)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ent = sorted(tuple(r) for r in idx.entries(spark).collect())
+        # 3 distinct texts; "alpha" keeps its first-seen doc
+        assert len(ent) == 3
+        assert {(d, b) for _, d, b in ent} >= {(1, 0)}
+
+    def test_probe_reads_only_touched_buckets(self, spark, tmp_path):
+        """Scale guard: the probe plan's input files must come only from
+        the bucket partitions the probe's hashes land in — reading the
+        whole index per probe would be O(corpus) at every batch."""
+        from pyspark.sql import functions as F
+
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        idx = DedupIndex(str(tmp_path / "store"), n_buckets=8)
+        seed = [(i, f"text-{i}") for i in range(64)]  # spans all buckets
+        idx.register(_docs(spark, seed), 0)
+        probe_df = _docs(spark, [(100, "text-3")])
+        [b] = (
+            probe_df.select(
+                F.pmod(
+                    F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"),
+                    F.lit(8),
+                ).alias("b")
+            )
+            .collect()
+        )
+        out = idx.probe(probe_df)
+        files = out.inputFiles()
+        bucket_files = [f for f in files if "/b=" in f]
+        assert bucket_files, "probe read no bucket partitions"
+        assert all(f"/b={b['b']}/" in f for f in bucket_files), bucket_files

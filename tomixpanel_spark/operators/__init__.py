@@ -48,6 +48,7 @@ _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
     # -- new in round 8: never externally checked --------------------------
     "ann_pq_q": 0,
+    "incremental_dedup": 0,
     "substring_dup_stats": 0,
     "bm25_topk": 0,
     "label_centroids": 0,

@@ -1295,8 +1295,76 @@ FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
 """
 
 
+# -- persistent cross-run dedup (incremental crawl) ---------------------------
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run exact dedup through the persisted ``DedupIndex``
+    (streaming/dedup_index.py): run 1 (even doc_ids) registers its
+    content hashes into a hash-bucket-partitioned store; run 2 (odd
+    doc_ids) probes it — each run-2 doc reports whether its exact text
+    was already ingested and which keeper it duplicates. This is the
+    incremental-crawl shape: per-batch cost is O(batch + touched
+    buckets), never O(corpus), and the store survives across pipeline
+    runs (manifest-pruned generations, the cagg commit protocol).
+
+    The store builds fresh in a temp dir on every call — registration
+    IS the operator under test (same policy as streaming_cagg_parity),
+    so the timing includes the register leg, not just the probe.
+
+    Run 2 is a synthetic RE-CRAWL: the odd-id docs (fresh content at
+    this scale factor) plus exact copies of every 5th even doc under
+    re-crawl ids (+1,000,000) — the test corpus has no full-text
+    duplicates at sf0.01, and an all-unseen probe would leave the
+    seen branch externally unexercised."""
+    import os as _os
+    import tempfile
+
+    from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    docs = docs.select("doc_id", "text")
+    run1 = docs.filter(F.col("doc_id") % 2 == 0)
+    recrawl = run1.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    run2 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(recrawl)
+    work = tempfile.mkdtemp(prefix="tomix_dedup_idx_")
+    # buckets size the unit of rewrite IO: index-size / target-partition-
+    # size in production (hash prefixes are uniform, so any count is
+    # skew-free); 16 fits this corpus — more buckets just multiply
+    # tiny-file overhead at benchmark scale
+    idx = DedupIndex(_os.path.join(work, "store"), n_buckets=16)
+    idx.register(run1, 0)
+    out = idx.probe(run2)
+    return out.select(
+        "doc_id",
+        F.col("seen_before").cast("int").alias("seen_before"),
+        F.coalesce("first_doc_id", F.lit(-1)).cast("long").alias("dup_of"),
+    )
+
+
+_INCREMENTAL_DEDUP_SQL = """
+WITH h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hh
+  FROM documents),
+run1 AS (SELECT hh, MIN(doc_id) AS keeper FROM h WHERE doc_id % 2 = 0 GROUP BY hh),
+run2 AS (
+  SELECT doc_id, hh FROM h WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000, hh FROM h WHERE doc_id % 2 = 0 AND doc_id % 5 = 0)
+SELECT r2.doc_id,
+       CAST(CASE WHEN r1.hh IS NOT NULL THEN 1 ELSE 0 END AS INT) AS seen_before,
+       CAST(COALESCE(r1.keeper, -1) AS BIGINT) AS dup_of
+FROM run2 r2 LEFT JOIN run1 r1 ON r2.hh = r1.hh
+"""
+
+
 REGISTRY = {
     "dedup_exact": QuerySpec(dedup_exact, _DEDUP_EXACT_SQL, "ext:dedup"),
+    "incremental_dedup": QuerySpec(
+        incremental_dedup,
+        _INCREMENTAL_DEDUP_SQL,
+        "ext:dedup persistent cross-run index (incremental crawl)",
+    ),
     "substring_dup_stats": QuerySpec(
         substring_dup_stats, _SUBSTR_DUP_SQL, "ext:dedup exact substring windows"
     ),
