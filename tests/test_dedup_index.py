@@ -206,3 +206,57 @@ class TestDedupIndex:
         bucket_files = [f for f in files if "/b=" in f]
         assert bucket_files, "probe read no bucket partitions"
         assert all(f"/b={b['b']}/" in f for f in bucket_files), bucket_files
+
+    def test_drop_seen_filters_and_preserves_columns(self, spark, tmp_path):
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        idx = DedupIndex(str(tmp_path / "store"))
+        idx.register(_docs(spark, [(0, "alpha")]), 0)
+        out = idx.drop_seen(_docs(spark, [(1, "alpha"), (2, "gamma")]))
+        assert out.columns == ["doc_id", "text"]
+        assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+class TestDedupIndexProperties:
+    """Property: registering any partition of a document set batch-by-
+    batch indexes exactly the distinct hash set, with a first-writer
+    keeper per hash (min doc id of the EARLIEST batch containing it)."""
+
+    def test_sequential_equals_set_semantics(self, spark, tmp_path):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        texts = st.sampled_from(["a", "b", "c", "dd", "ee"])
+        batches_strategy = st.lists(
+            st.lists(texts, min_size=1, max_size=5), min_size=1, max_size=3
+        )
+        counter = {"i": 0}
+
+        @given(batches_strategy)
+        @settings(max_examples=8, deadline=None)
+        def check(batches):
+            counter["i"] += 1
+            idx = DedupIndex(
+                str(tmp_path / f"store{counter['i']}"), n_buckets=4
+            )
+            expect: dict[str, tuple[int, int]] = {}
+            doc = 0
+            for bi, batch in enumerate(batches):
+                rows = []
+                for t in batch:
+                    rows.append((doc, t))
+                    if t not in expect:
+                        expect[t] = (doc, bi)
+                    elif expect[t][1] == bi:
+                        expect[t] = (min(expect[t][0], doc), bi)
+                    doc += 1
+                idx.register(_docs(spark, rows), bi)
+            got = {
+                (r["first_doc_id"], r["first_batch"])
+                for r in idx.entries(spark).collect()
+            }
+            assert got == set(expect.values())
+
+        check()

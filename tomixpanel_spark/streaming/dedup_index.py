@@ -282,6 +282,15 @@ class DedupIndex:
             return spark.createDataFrame([], StructType.fromDDL(self.SCHEMA))
         return df.select("h", "first_doc_id", "first_batch")
 
+    def drop_seen(self, df: DataFrame) -> DataFrame:
+        """The filter verb pipelines actually want: input rows whose
+        content hash is NOT yet indexed (probe + filter; original
+        columns only). Register the survivors afterwards to claim them."""
+        flagged = self.probe(df)
+        return flagged.filter(~F.col("seen_before")).drop(
+            "seen_before", "first_doc_id"
+        )
+
     def probe(self, df: DataFrame) -> DataFrame:
         """Input rows + ``seen_before`` (hash present in the index) and
         ``first_doc_id`` (the keeper it duplicates, null when unseen).
