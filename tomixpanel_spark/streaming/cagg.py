@@ -262,19 +262,27 @@ class ContinuousAggregate:
             return  # replayed batch: already committed in the manifest
         spark = batch_df.sparkSession
         cap = int(os.environ.get("TOMIX_CAGG_DRIVER_MERGE_CAP", "65536"))
-        partials = self._batch_partials(batch_df)
-        pdf = None
-        # driver writer emits a string key column; exotic key_type stores
-        # take the distributed path rather than guessing an arrow type
-        if cap > 0 and self.key_type == "string":
-            # LIMIT cap+1 bounds the driver transfer: exactly-cap-or-less
-            # means we hold ALL cells; cap+1 rows proves overflow without
-            # shipping the full aggregate
-            pdf = partials.limit(cap + 1).toPandas()
-        if pdf is not None and len(pdf) <= cap:
-            days = self._merge_driver_write(pdf, man, batch_id)
-        else:
-            days = self._merge_spark_write(spark, partials, man, batch_id)
+        # persist ONCE across the gate probe and whichever merge path
+        # runs — without the pin an over-cap batch would re-aggregate the
+        # raw stream for the distributed merge after the probe already
+        # computed the full aggregate
+        partials = self._batch_partials(batch_df).persist()
+        try:
+            pdf = None
+            # driver writer emits a string key column; exotic key_type
+            # stores take the distributed path rather than guessing an
+            # arrow type
+            if cap > 0 and self.key_type == "string":
+                # LIMIT cap+1 bounds the driver transfer: exactly-cap-or-
+                # less means we hold ALL cells; cap+1 rows proves overflow
+                # without shipping the full aggregate
+                pdf = partials.limit(cap + 1).toPandas()
+            if pdf is not None and len(pdf) <= cap:
+                days = self._merge_driver_write(pdf, man, batch_id)
+            else:
+                days = self._merge_spark_write(spark, partials, man, batch_id)
+        finally:
+            partials.unpersist()
         new_man = {
             "batch_id": batch_id,
             "days": {**man["days"], **{d: batch_id for d in days}},

@@ -12,15 +12,24 @@ batch costs O(batch + touched index partitions):
   * rows are partitioned by hash prefix (``b = h mod n_buckets``): a
     batch reads and rewrites ONLY the bucket partitions its hashes land
     in, so per-batch IO is proportional to the batch, not the index —
-    the same manifest-pruned generation protocol as
-    ``streaming/cagg.py`` (fresh ``gen/<batch_id>/b=<k>/`` dirs, one
-    atomic ``os.replace`` manifest swap, replayed batches short-circuit
-    on the recorded batch_id, superseded generations gc with a grace
-    window);
+    the generation protocol shared with ``streaming/cagg.py`` via
+    ``streaming/genstore.py`` (fresh ``gen/<seq>/b=<k>/`` dirs, one
+    atomic ``os.replace`` manifest swap, replayed batches short-circuit,
+    superseded generations gc with a grace window);
   * ``register`` is ``foreachBatch``-shaped (df, batch_id) so a
-    Structured Streaming ingest maintains the index exactly-once;
+    Structured Streaming ingest maintains the index exactly-once.
+    Batch ids are namespaced by ``run``: each crawl stream (each
+    streaming checkpoint) gets its own monotonic id sequence, so a NEW
+    crawl restarting at batch 0 against an existing index registers
+    instead of being silently mistaken for a replay — construct with
+    ``run="crawl-2026-08"`` per ingest lineage;
   * ``probe`` answers "seen before?" per incoming document via a join
-    against only the touched buckets.
+    against only the touched buckets; ``drop_seen`` is the filter verb.
+
+The manifest additionally pins ``n_buckets``: the store's physical
+layout is store-authoritative, so reopening an existing index adopts the
+recorded bucket count and a constructor mismatch cannot silently
+mis-route probes.
 
 Size-adaptive merge (the cagg/tfidf gate pattern): the batch side always
 hashes and de-duplicates Spark-side (scales with the batch), but the
@@ -28,7 +37,9 @@ result is one row per DISTINCT batch hash. Under
 ``TOMIX_DEDUP_INDEX_DRIVER_CAP`` (default 65536 hashes; 0 disables) the
 store merge runs driver-side with pyarrow reads/writes — replacing the
 per-batch Spark job train whose fixed floors dominate small-batch cost.
-Above the cap the merge stays fully distributed.
+Above the cap the merge stays fully distributed; the batch hash table is
+persisted across the gate probe so the overflow path never re-aggregates
+the raw batch.
 
 At 100 TB: ``n_buckets`` sizes the unit of rewrite IO (buckets ~ index
 size / target partition size); the hot path is a long-keyed hash join
@@ -38,13 +49,19 @@ skew-free because md5 prefixes are uniform.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+from tomixpanel_spark.streaming.genstore import (
+    atomic_json_swap,
+    gc_superseded,
+    load_json_manifest,
+    read_partitions,
+)
 
 
 class DedupIndex:
@@ -53,6 +70,7 @@ class DedupIndex:
     driver-accessible (same contract as ``ContinuousAggregate``)."""
 
     SCHEMA = "h long, first_doc_id long, first_batch long"
+    _RESERVED = ("seen_before", "first_doc_id", "__didx_h")
 
     def __init__(
         self,
@@ -62,6 +80,7 @@ class DedupIndex:
         text_col: str = "text",
         gc: bool = True,
         gc_keep: int = 2,
+        run: str = "default",
     ) -> None:
         self.path = path
         self.n_buckets = n_buckets
@@ -69,6 +88,7 @@ class DedupIndex:
         self.text_col = text_col
         self.gc = gc
         self.gc_keep = gc_keep
+        self.run = run
 
     # -- hashing ----------------------------------------------------------
     def _hash_col(self):
@@ -79,7 +99,7 @@ class DedupIndex:
             F.substring(F.md5(F.col(self.text_col)), 1, 15), 16, 10
         ).cast("long")
 
-    def _batch_hashes(self, df: DataFrame) -> DataFrame:
+    def _batch_hashes(self, df: DataFrame, n_buckets: int) -> DataFrame:
         """One row per distinct batch hash with its keep-first doc id
         (min over the batch — deterministic) and bucket."""
         return (
@@ -87,143 +107,140 @@ class DedupIndex:
             .filter(F.col("h").isNotNull())
             .groupBy("h")
             .agg(F.min("doc_id").alias("first_doc_id"))
-            .withColumn("b", F.pmod("h", F.lit(self.n_buckets)).cast("int"))
+            .withColumn("b", F.pmod("h", F.lit(n_buckets)).cast("int"))
         )
 
-    # -- manifest (cagg protocol: bucket -> generation + batch_id) --------
+    # -- manifest ---------------------------------------------------------
+    # v2 schema: {"runs": {run: last_batch}, "gen_seq": int,
+    #             "buckets": {bucket: gen}, "n_buckets": int}
+    # Generations are named by the GLOBAL gen_seq counter (not batch id):
+    # ids restart per run, and two runs must never collide on a dir.
     def _manifest_path(self) -> str:
         return os.path.join(self.path, "_dedup_index_manifest.json")
 
     def _load_manifest(self) -> dict:
+        raw = load_json_manifest(self._manifest_path(), "dedup-index")
+        if raw is None:
+            return {"runs": {}, "gen_seq": -1, "buckets": {}, "n_buckets": None}
         try:
-            with open(self._manifest_path()) as f:
-                raw = f.read()
-        except FileNotFoundError:
-            return {"batch_id": -1, "buckets": {}}
-        try:
-            man = json.loads(raw)
-            return {"batch_id": man["batch_id"], "buckets": dict(man["buckets"])}
-        except (ValueError, KeyError, TypeError) as exc:
+            if "batch_id" in raw:  # v1 (single implicit run, gen = batch id)
+                gens = [int(g) for g in raw["buckets"].values()]
+                return {
+                    "runs": {"default": raw["batch_id"]},
+                    "gen_seq": max(gens, default=raw["batch_id"]),
+                    "buckets": dict(raw["buckets"]),
+                    "n_buckets": raw.get("n_buckets"),
+                }
+            return {
+                "runs": dict(raw["runs"]),
+                "gen_seq": raw["gen_seq"],
+                "buckets": dict(raw["buckets"]),
+                "n_buckets": raw.get("n_buckets"),
+            }
+        except (KeyError, TypeError, ValueError) as exc:
             raise RuntimeError(
                 f"corrupt dedup-index manifest at {self._manifest_path()}: "
-                f"{exc}; recover from the gen/<batch_id>/b=* directories — "
-                "the data files are intact, do NOT delete the store"
+                f"{exc}; recover from the gen/<n>/b=* directories — the "
+                "data files are intact, do NOT delete the store"
             ) from exc
 
-    def _commit_manifest(self, man: dict) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, self._manifest_path())
+    def _effective_buckets(self, man: dict) -> int:
+        """The store owns its physical layout: an existing index's
+        recorded bucket count wins over the constructor argument, so a
+        mismatched reopen cannot silently mis-route hashes."""
+        return man["n_buckets"] if man["n_buckets"] else self.n_buckets
 
     def _gen_dir(self, gen) -> str:
         return os.path.join(self.path, "gen", str(gen))
 
-    def _gc_superseded(self, man: dict) -> None:
-        if not self.gc:
-            return
-        live = {str(g) for g in man["buckets"].values()}
-        root = os.path.join(self.path, "gen")
-        try:
-            gens = os.listdir(root)
-        except OSError:
-            return
-        superseded = sorted(
-            (g for g in gens if g not in live and g.lstrip("-").isdigit()), key=int
-        )
-        for g in superseded[: max(0, len(superseded) - self.gc_keep)]:
-            shutil.rmtree(os.path.join(root, g), ignore_errors=True)
-
     def _read_buckets(self, spark: SparkSession, man: dict, buckets) -> DataFrame | None:
-        by_gen: dict[str, list[str]] = {}
-        for b in buckets:
-            g = man["buckets"].get(str(b))
-            if g is not None:
-                by_gen.setdefault(str(g), []).append(str(b))
-        parts = []
-        for g, bs in by_gen.items():
-            base = self._gen_dir(g)
-            paths = [os.path.join(base, f"b={b}") for b in bs]
-            parts.append(spark.read.option("basePath", base).parquet(*paths))
-        if not parts:
-            return None
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return read_partitions(spark, self._gen_dir, "b", man["buckets"], buckets)
 
     # -- write path -------------------------------------------------------
     def register(self, batch_df: DataFrame, batch_id: int) -> None:
         """Merge one batch's distinct content hashes into the index
         (first-writer-wins: a hash already present keeps its original
         first_doc_id/first_batch). ``foreachBatch``-shaped and replay-
-        idempotent via the manifest batch_id."""
+        idempotent via the per-``run`` batch_id record."""
         man = self._load_manifest()
-        if batch_id <= man["batch_id"]:
-            return  # replayed batch: already committed
+        if batch_id <= man["runs"].get(self.run, -1):
+            return  # replayed batch of THIS run: already committed
+        nb = self._effective_buckets(man)
+        seq = man["gen_seq"] + 1
         spark = batch_df.sparkSession
         cap = int(os.environ.get("TOMIX_DEDUP_INDEX_DRIVER_CAP", "65536"))
-        hashes = self._batch_hashes(batch_df)
-        pdf = None
-        if cap > 0:
-            pdf = hashes.limit(cap + 1).toPandas()
-        if pdf is not None and len(pdf) <= cap:
-            buckets = self._merge_driver_write(pdf, man, batch_id)
-        else:
-            buckets = self._merge_spark_write(spark, hashes, man, batch_id)
+        # persist ONCE across the gate probe and whichever merge path
+        # runs — without the pin the overflow path re-aggregates the raw
+        # batch a second time
+        hashes = self._batch_hashes(batch_df, nb).persist()
+        try:
+            pdf = None
+            if cap > 0:
+                # LIMIT cap+1 bounds the driver transfer: exactly-cap-or-
+                # less means we hold ALL hashes; cap+1 rows proves
+                # overflow without shipping the full table
+                pdf = hashes.limit(cap + 1).toPandas()
+            if pdf is not None and len(pdf) <= cap:
+                buckets = self._merge_driver_write(pdf, man, batch_id, seq)
+            else:
+                buckets = self._merge_spark_write(spark, hashes, man, batch_id, seq)
+        finally:
+            hashes.unpersist()
         new_man = {
-            "batch_id": batch_id,
-            "buckets": {**man["buckets"], **{str(b): batch_id for b in buckets}},
+            "runs": {**man["runs"], self.run: batch_id},
+            "gen_seq": seq,
+            "buckets": {**man["buckets"], **{str(b): seq for b in buckets}},
+            "n_buckets": nb,
         }
-        self._commit_manifest(new_man)
-        self._gc_superseded(new_man)
+        atomic_json_swap(self._manifest_path(), new_man)  # THE commit point
+        if self.gc:
+            gc_superseded(self.path, new_man["buckets"].values(), self.gc_keep)
 
     def _merge_spark_write(
-        self, spark: SparkSession, hashes: DataFrame, man: dict, batch_id: int
+        self,
+        spark: SparkSession,
+        hashes: DataFrame,
+        man: dict,
+        batch_id: int,
+        seq: int,
     ) -> list:
         """Distributed merge (the scale path): union existing touched
         buckets with the batch rows, keep the FIRST writer per hash
-        (min struct — existing rows carry the smaller batch id, so they
-        win), write fresh bucket partitions under this generation."""
-        hashes = hashes.persist()
-        try:
-            buckets = sorted(
-                r["b"] for r in hashes.select("b").distinct().collect()
-            )
-            batch_rows = hashes.select(
-                "h",
-                "first_doc_id",
-                F.lit(batch_id).cast("long").alias("first_batch"),
-                "b",
-            )
-            existing = self._read_buckets(spark, man, buckets)
-            merged = batch_rows
-            if existing is not None:
-                merged = (
-                    existing.withColumn("b", F.col("b").cast("int"))
-                    .unionByName(batch_rows)
-                    .groupBy("h")
-                    .agg(
-                        F.min(
-                            F.struct("first_batch", "first_doc_id", "b")
-                        ).alias("w")
-                    )
-                    .select(
-                        "h",
-                        F.col("w.first_doc_id").alias("first_doc_id"),
-                        F.col("w.first_batch").alias("first_batch"),
-                        F.col("w.b").alias("b"),
-                    )
+        (min struct — existing rows carry the smaller first_batch, so
+        they win), write fresh bucket partitions under this generation.
+        ``hashes`` arrives persisted (pinned by the caller for the
+        bucket-discovery collect AND the write)."""
+        buckets = sorted(r["b"] for r in hashes.select("b").distinct().collect())
+        batch_rows = hashes.select(
+            "h",
+            "first_doc_id",
+            F.lit(batch_id).cast("long").alias("first_batch"),
+            "b",
+        )
+        existing = self._read_buckets(spark, man, buckets)
+        merged = batch_rows
+        if existing is not None:
+            merged = (
+                existing.withColumn("b", F.col("b").cast("int"))
+                .unionByName(batch_rows)
+                .groupBy("h")
+                .agg(F.min(F.struct("first_batch", "first_doc_id", "b")).alias("w"))
+                .select(
+                    "h",
+                    F.col("w.first_doc_id").alias("first_doc_id"),
+                    F.col("w.first_batch").alias("first_batch"),
+                    F.col("w.b").alias("b"),
                 )
-            merged.coalesce(1).write.mode("overwrite").partitionBy("b").parquet(
-                self._gen_dir(batch_id)
             )
-        finally:
-            hashes.unpersist()
+        # a replayed half-committed batch overwrites its own orphan dir
+        # (seq derives from the unchanged manifest, so the replay lands
+        # on the same generation directory)
+        merged.coalesce(1).write.mode("overwrite").partitionBy("b").parquet(
+            self._gen_dir(seq)
+        )
         return buckets
 
-    def _merge_driver_write(self, pdf, man: dict, batch_id: int) -> list:
+    def _merge_driver_write(self, pdf, man: dict, batch_id: int, seq: int) -> list:
         """Driver-side merge for batches under the gate: set-difference
         on int64 hash arrays + direct parquet writes, same layout as the
         Spark writer."""
@@ -233,7 +250,7 @@ class DedupIndex:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        gen = self._gen_dir(batch_id)
+        gen = self._gen_dir(seq)
         shutil.rmtree(gen, ignore_errors=True)  # replayed orphan overwrite
         if not len(pdf):
             return []
@@ -294,14 +311,29 @@ class DedupIndex:
     def probe(self, df: DataFrame) -> DataFrame:
         """Input rows + ``seen_before`` (hash present in the index) and
         ``first_doc_id`` (the keeper it duplicates, null when unseen).
-        Reads ONLY the bucket partitions the probe's hashes touch."""
+        Reads ONLY the bucket partitions the probe's hashes touch; the
+        hashed probe frame materializes once (stage checkpoint) so the
+        bucket-discovery collect and the join see one consistent
+        evaluation — a non-deterministic input cannot hash into buckets
+        outside the collected set."""
+        clash = [c for c in self._RESERVED if c in df.columns]
+        if clash:
+            raise ValueError(
+                f"probe input must not carry reserved columns {clash}; "
+                "rename them before probing"
+            )
+        from tomixpanel_spark.operators.base import stage_checkpoint
+
         spark = df.sparkSession
         man = self._load_manifest()
-        probes = df.withColumn("_h", self._hash_col())
+        nb = self._effective_buckets(man)
+        probes = stage_checkpoint(
+            df.withColumn("__didx_h", self._hash_col()), eager=False
+        )
         touched = sorted(
             r["b"]
             for r in probes.select(
-                F.pmod("_h", F.lit(self.n_buckets)).cast("int").alias("b")
+                F.pmod("__didx_h", F.lit(nb)).cast("int").alias("b")
             )
             .distinct()
             .collect()
@@ -310,14 +342,14 @@ class DedupIndex:
         idx = self._read_buckets(spark, man, touched)
         if idx is None:
             return probes.select(
-                df["*"],
+                *[F.col(c) for c in df.columns],
                 F.lit(False).alias("seen_before"),
                 F.lit(None).cast("long").alias("first_doc_id"),
             )
         idx = idx.select("h", "first_doc_id")
-        joined = probes.join(idx, probes["_h"] == idx["h"], "left")
+        joined = probes.join(idx, probes["__didx_h"] == idx["h"], "left")
         return joined.select(
-            df["*"],
+            *[probes[c] for c in df.columns],
             idx["h"].isNotNull().alias("seen_before"),
             idx["first_doc_id"].alias("first_doc_id"),
         )

@@ -1,0 +1,102 @@
+"""Shared generation-store primitives for the persisted incremental
+artifacts (``streaming/cagg.py``, ``streaming/dedup_index.py``).
+
+Both stores follow the same commit protocol — write a fresh generation
+directory, then atomically swap one manifest JSON that maps partition
+keys to their owning generation — so the crash-critical pieces live
+here ONCE: the atomic swap, the corrupt-manifest load policy (raise
+loudly, never silently reset a store), the superseded-generation gc
+with a grace window, and the by-generation partition read. The stores
+keep their own manifest SCHEMAS (cagg carries legacy-layout adoption;
+the dedup index carries run namespaces and the bucket count) — only the
+mechanics are shared.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def atomic_json_swap(path: str, obj: dict) -> None:
+    """Write ``obj`` next to ``path`` and ``os.replace`` it into place —
+    the POSIX-atomic commit point both stores rely on."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def load_json_manifest(path: str, what: str):
+    """Read + parse a manifest. Returns ``None`` when the file does not
+    exist (caller decides: fresh store or legacy adoption). An
+    existing-but-unparseable manifest RAISES: falling back to an empty
+    manifest would silently reset the store — readers see no data and
+    the next replayed batch re-merges from scratch, a silent
+    double-count."""
+    try:
+        with open(path) as f:
+            raw = f.read()
+    except FileNotFoundError:
+        return None
+    try:
+        return json.loads(raw)
+    except ValueError as exc:
+        raise RuntimeError(
+            f"corrupt {what} manifest at {path}: {exc}; recover by "
+            "rebuilding it from the gen/<n> directories (the data files "
+            "are intact — the manifest is the only pointer), do NOT "
+            "delete the store"
+        ) from exc
+
+
+def gc_superseded(store_path: str, live_gens, gc_keep: int) -> None:
+    """Best-effort removal of generation dirs no longer referenced,
+    RETAINING the ``gc_keep`` newest superseded generations as a grace
+    window so a reader holding a lazy DataFrame resolved against a
+    recent manifest survives the next few commits. Non-integer dir
+    names (foreign files) are never touched."""
+    live = {str(g) for g in live_gens}
+    root = os.path.join(store_path, "gen")
+    try:
+        gens = os.listdir(root)
+    except OSError:
+        return
+    superseded = sorted(
+        (g for g in gens if g not in live and g.lstrip("-").isdigit()), key=int
+    )
+    for g in superseded[: max(0, len(superseded) - gc_keep)]:
+        shutil.rmtree(os.path.join(root, g), ignore_errors=True)
+
+
+def read_partitions(
+    spark: SparkSession,
+    gen_dir_for,
+    part_col: str,
+    owners: dict,
+    keys,
+) -> DataFrame | None:
+    """Union the manifest-selected partitions (``<part_col>=<key>`` dirs),
+    grouped by owning generation so each read keeps its basePath (which
+    restores the partition column). ``owners`` maps key -> generation;
+    ``gen_dir_for`` resolves a generation to its directory."""
+    by_gen: dict[str, list[str]] = {}
+    for k in keys:
+        g = owners.get(str(k))
+        if g is not None:
+            by_gen.setdefault(str(g), []).append(str(k))
+    parts = []
+    for g, ks in by_gen.items():
+        base = gen_dir_for(g)
+        paths = [os.path.join(base, f"{part_col}={k}") for k in ks]
+        parts.append(spark.read.option("basePath", base).parquet(*paths))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
