@@ -1171,3 +1171,49 @@ class TestAsofBroadcastDtypes:
         assert canon(w) == canon(b)
         vals = {r["tag"]: r["val"] for r in b.collect()}
         assert vals == {"a": 7, "b": 9}
+
+
+class TestSubstringDupShortDocs:
+    def test_short_docs_yield_zero_windows_not_error(self, spark, tmp_path):
+        """Docs under SUBSTR_WIN tokens must produce zero windows:
+        unguarded sequence(1, 0) is DESCENDING [1, 0] in Spark and
+        slice(w, 0, n) throws INVALID_PARAMETER_VALUE.START."""
+        from tomixpanel_spark.operators.dedup import substring_dup_stats
+
+        spark.createDataFrame(
+            [
+                (1, "tiny doc"),
+                (2, " ".join(f"w{i}" for i in range(9))),  # 9 < SUBSTR_WIN
+                (3, " ".join(f"w{i % 4}" for i in range(20))),
+                (4, " ".join(f"w{i % 4}" for i in range(20))),  # dup of 3
+            ],
+            "doc_id long, text string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in substring_dup_stats(spark, str(tmp_path)).collect()
+        }
+        assert out[1] == (0, 0) and out[2] == (0, 0)
+        assert out[3][0] == 11 and out[3][1] == 11  # fully duplicated vs 4
+        assert out[4] == out[3]
+
+
+class TestSelfCogroupPruning:
+    def test_count_over_self_cogroup_matches_collect(self, spark):
+        """Self-cogroup (both sides from one parent plan) under a
+        no-output consumer: Spark 4.1's DeduplicateRelations leaves the
+        cogroup function args pointing at the LEFT side's attribute ids,
+        and column pruning (count() needs no UDF output) then strips the
+        right child to key-only frames — KeyError inside the UDF. The
+        fresh_attrs alias barrier must keep count() == len(collect())."""
+        import math
+
+        from tomixpanel_spark.operators.similarity import embedding_neardup_pairs
+
+        rows = [
+            (int(i), [math.sin(0.1 * i + j) for j in range(8)]) for i in range(32)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = embedding_neardup_pairs(df, threshold_e6=500_000, n_blocks=4)
+        n = out.count()  # would raise KeyError without fresh_attrs
+        assert n == len(out.collect()) and n > 0

@@ -404,3 +404,37 @@ class TestDriverMergeGate:
         assert os.path.exists(tmp_path / "store" / "gen" / "0" / "_SUCCESS")
         [r] = cagg.hourly(spark).collect()
         assert r["key"] == 7 and r["n"] == 1
+
+
+class TestAllNullCell:
+    def test_all_null_value_cell_merges_as_null_not_typeerror(self, spark, tmp_path):
+        """A (bucket, key) cell whose values are ALL null: F.sum yields
+        NULL; the driver-side merge must match (and not raise TypeError —
+        in foreachBatch that would redeliver the batch forever)."""
+        from tomixpanel_spark.streaming.cagg import ContinuousAggregate
+
+        def df(rows):
+            return spark.createDataFrame(
+                rows, "ts string, event_type string, value double"
+            ).withColumn("ts", F.to_timestamp("ts"))
+
+        for cap, name in ((None, "drv"), ("0", "spk")):
+            if cap is not None:
+                os.environ["TOMIX_CAGG_DRIVER_MERGE_CAP"] = cap
+            try:
+                cagg = ContinuousAggregate(str(tmp_path / name))
+                cagg.update_batch(
+                    df([("2024-03-01 05:00:00", "click", None),
+                        ("2024-03-01 05:10:00", "click", None),
+                        ("2024-03-01 05:20:00", "view", 1.5)]), 0)
+                # second batch merges MORE nulls into the existing null cell
+                cagg.update_batch(
+                    df([("2024-03-01 05:30:00", "click", None)]), 1)
+            finally:
+                os.environ.pop("TOMIX_CAGG_DRIVER_MERGE_CAP", None)
+            got = {
+                r["key"]: (r["n"], r["sum_dec"])
+                for r in cagg.hourly(spark).collect()
+            }
+            assert got["click"][0] == 3 and got["click"][1] is None, (name, got)
+            assert got["view"][0] == 1 and str(got["view"][1]) == "1.500000", name

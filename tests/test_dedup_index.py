@@ -42,6 +42,33 @@ class TestDedupIndex:
         }
         assert entries == {10: 0, 11: 1}
 
+    def test_first_writer_survives_new_run_namespace(self, spark, tmp_path):
+        """Batch ids restart at 0 per run: a second crawl re-offering an
+        indexed hash at a SMALLER batch id must not steal the keeper —
+        precedence is came-from-store, not batch-id order. Both merge
+        paths (driver-fold and distributed) must agree."""
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        for cap, name in ((None, "drv"), ("0", "spk")):
+            store = str(tmp_path / name)
+            if cap is not None:
+                os.environ["TOMIX_DEDUP_INDEX_DRIVER_CAP"] = cap
+            try:
+                DedupIndex(store, run="crawl-a").register(
+                    _docs(spark, [(10, "alpha")]), 0
+                )
+                # new run: batch id 0 again, smaller doc id — must lose
+                DedupIndex(store, run="crawl-b").register(
+                    _docs(spark, [(1, "alpha"), (11, "delta")]), 0
+                )
+            finally:
+                os.environ.pop("TOMIX_DEDUP_INDEX_DRIVER_CAP", None)
+            entries = {
+                r["first_doc_id"]: r["first_batch"]
+                for r in DedupIndex(store).entries(spark).collect()
+            }
+            assert entries == {10: 0, 11: 0}, (name, entries)
+
     def test_replayed_batch_is_skipped(self, spark, tmp_path):
         from tomixpanel_spark.streaming.dedup_index import DedupIndex
 
@@ -124,17 +151,17 @@ class TestDedupIndex:
         idx = mod.DedupIndex(str(tmp_path / "store"))
         idx.register(_docs(spark, [(1, "alpha")]), 0)
 
-        real_commit = mod.DedupIndex._commit_manifest
+        real_swap = mod.atomic_json_swap
 
-        def boom(self, man):
+        def boom(path, obj):
             raise RuntimeError("crash before manifest swap")
 
-        monkeypatch.setattr(mod.DedupIndex, "_commit_manifest", boom)
+        monkeypatch.setattr(mod, "atomic_json_swap", boom)
         try:
             idx.register(_docs(spark, [(2, "beta")]), 1)
         except RuntimeError:
             pass
-        monkeypatch.setattr(mod.DedupIndex, "_commit_manifest", real_commit)
+        monkeypatch.setattr(mod, "atomic_json_swap", real_swap)
         # store still at batch 0; replay merges exactly once
         idx.register(_docs(spark, [(2, "beta")]), 1)
         got = sorted(tuple(r) for r in idx.entries(spark).collect())

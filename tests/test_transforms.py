@@ -453,6 +453,30 @@ class TestDraft04ConstraintGate:
         ]
         assert got == [r[4] for r in rows]
 
+    def test_enum_null_passes_whether_or_not_enum_lists_null(self, spark):
+        """draft-04: null admissibility is `required`'s job, not enum's.
+        A null value passes the enum check both when the schema lists
+        null explicitly AND when it omits it — previously listing null
+        INVERTED the guard and nulls were counted as violations."""
+        from tomixpanel_spark.functions.schema_constraints import (
+            compile_constraints,
+        )
+
+        df = spark.createDataFrame(
+            [("A",), (None,), ("Z",)], "c string"
+        )
+        for enum in (["A", "B", None], ["A", "B"]):
+            got = [
+                (r["c"], bool(r["ok"]))
+                for r in df.select(
+                    "c",
+                    compile_constraints(
+                        {"type": "object", "properties": {"c": {"enum": enum}}}
+                    ).alias("ok"),
+                ).collect()
+            ]
+            assert got == [("A", True), (None, True), ("Z", False)], enum
+
     def test_unsupported_keywords_raise_not_silently_pass(self, spark):
         import pytest
 

@@ -56,11 +56,12 @@ def _leaf_checks(schema: dict, col: Column) -> list[Column]:
     checks: list[Column] = []
     if "enum" in schema:
         vals = [v for v in schema["enum"] if v is not None]
-        allow_null = None in schema["enum"]
+        # nulls are governed by `required`, never by enum membership
+        # (draft-04): a null value passes the enum check UNCONDITIONALLY —
+        # isin() on a null yields SQL NULL, which the coalesce(ok, false)
+        # consumer would otherwise count as a violation
         pred = col.isin(*vals) if vals else F.lit(False)
-        if not allow_null:
-            pred = col.isNull() | pred
-        checks.append(pred)
+        checks.append(col.isNull() | pred)
     if "pattern" in schema:
         checks.append(col.isNull() | col.rlike(schema["pattern"]))
     return checks

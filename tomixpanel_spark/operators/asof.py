@@ -100,7 +100,18 @@ def asof_join(
         raise ValueError("right side has no value columns to carry")
     if strategy == "auto":
         cap = broadcast_cap if broadcast_cap is not None else _bcast_cap()
-        strategy = "broadcast" if right.count() <= cap else "window"
+        # gate probe is BOUNDED (limit cap+1 proves overflow without a
+        # full count) and memoized per (application, right plan, cap) —
+        # repeated auto calls on the same dimension table cost one job,
+        # not one per invocation (the _corpus_count precedent)
+        key = (
+            right.sparkSession.sparkContext.applicationId,
+            right.semanticHash(),
+            cap,
+        )
+        if key not in _ASOF_GATE_CACHE:
+            _ASOF_GATE_CACHE[key] = right.limit(cap + 1).count() <= cap
+        strategy = "broadcast" if _ASOF_GATE_CACHE[key] else "window"
     if strategy == "cogroup":
         return _asof_cogroup(
             left, right, on, left_time, right_time, right_tiebreak, direction,
@@ -254,11 +265,19 @@ def _asof_cogroup(
                 out[c] = out[c].astype(object).where(out[c].notna(), None)
         return out[out_cols]
 
+    # fresh_attrs guards the caller passing two frames derived from ONE
+    # parent plan: shared attribute ids across a cogroup mis-prune the
+    # right child under no-output consumers (base.fresh_attrs)
+    from tomixpanel_spark.operators.base import fresh_attrs
+
     return (
         left.groupBy(on)
-        .cogroup(right.groupBy(on))
+        .cogroup(fresh_attrs(right).groupBy(on))
         .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
     )
+
+
+_ASOF_GATE_CACHE: dict[tuple, bool] = {}
 
 
 def _bcast_cap() -> int:

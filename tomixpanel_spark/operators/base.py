@@ -143,6 +143,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fresh_attrs(df: DataFrame) -> DataFrame:
+    """Re-alias every column so the frame's output attributes carry FRESH
+    expression ids.
+
+    Required on the RIGHT side of any self-cogroup (both sides derived
+    from one parent plan): Spark's DeduplicateRelations rewrites the
+    right child's conflicting attribute ids but leaves the
+    FlatMapCoGroupsInPandas function arguments pointing at the LEFT
+    side's ids, so column pruning (triggered by e.g. ``count()``, which
+    needs none of the UDF's outputs) strips the right child down to its
+    grouping keys and the Python function receives a key-only frame
+    (observed on Spark 4.1: collect() fine, count() KeyError). One alias
+    Project breaks the id sharing at the cogroup boundary, which is all
+    the dedup rule needs."""
+    return df.select([F.col(c).alias(c) for c in df.columns])
+
+
 def ensure_parallel(df: DataFrame, *cols: str, min_parts: int = 8) -> DataFrame:
     """Repartition a narrow-but-CPU-heavy input ONLY when the source is
     effectively serial (the toy single-row-group parquet files scan as one

@@ -1225,9 +1225,15 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode with an index build — the decision signal is the same."""
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select("doc_id", tokens("text").alias("w"))
+    # guard short docs (the shingles() pattern, functions/text.py): a doc
+    # under SUBSTR_WIN tokens has ZERO windows — unguarded,
+    # sequence(1, 0) is the DESCENDING [1, 0] and slice(w, 0, ..) throws
+    # INVALID_PARAMETER_VALUE.START at runtime
     win_text = F.expr(
-        f"transform(sequence(1, greatest(size(w) - {SUBSTR_WIN - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(w, i, {SUBSTR_WIN})))"
+        f"CASE WHEN size(w) >= {SUBSTR_WIN} THEN "
+        f"transform(sequence(1, size(w) - {SUBSTR_WIN - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {SUBSTR_WIN}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     wins = toks.select(
         "doc_id", F.explode(win_text).alias("wt")

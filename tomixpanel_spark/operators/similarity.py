@@ -41,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tomixpanel_spark.operators.base import QuerySpec, ensure_parallel, table
+from tomixpanel_spark.operators.base import QuerySpec, ensure_parallel, fresh_attrs, table
 from tomixpanel_spark.session import ship_package
 
 N_QUERIES = 10
@@ -59,6 +59,11 @@ def _mat(pdf: pd.DataFrame, col: str = "embedding"):
     """embedding column of an Arrow batch -> L2-normalized float64 matrix."""
     import numpy as np
 
+    if col not in pdf.columns:
+        raise KeyError(
+            f"_mat: column {col!r} absent; got columns={list(pdf.columns)} "
+            f"dtypes={[str(t) for t in pdf.dtypes]} len={len(pdf)}"
+        )
     m = np.array(list(pdf[col]), dtype="float64")
     norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
     norms[norms == 0.0] = 1.0
@@ -258,9 +263,12 @@ def embedding_neardup_pairs(
         return pd.DataFrame({"vec_a": lo, "vec_b": hi, "sim_e6": e6[ai, bj]})
 
     ship_package(spark)
+    # fresh_attrs: both sides derive from v — without it, column pruning
+    # under a no-output consumer (count) strips the deduplicated right
+    # child to key-only frames (see operators/base.fresh_attrs)
     return (
         left.groupBy("pi", "pj")
-        .cogroup(right.groupBy("pi", "pj"))
+        .cogroup(fresh_attrs(right).groupBy("pi", "pj"))
         .applyInPandas(block_pairs, schema="vec_a long, vec_b long, sim_e6 long")
     )
 
@@ -329,9 +337,11 @@ def _cross_blocked_pairs(
         )
 
     ship_package(left_df.sparkSession)
+    # fresh_attrs: callers may split ONE table into the two sides, which
+    # shares attribute ids across the cogroup (base.fresh_attrs)
     return (
         left.groupBy("pi", "pj")
-        .cogroup(right.groupBy("pi", "pj"))
+        .cogroup(fresh_attrs(right).groupBy("pi", "pj"))
         .applyInPandas(block_pairs, schema="train_id long, eval_id long, sim_e6 long")
     )
 

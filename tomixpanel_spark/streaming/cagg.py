@@ -58,6 +58,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def _sum_dec_skipna(s):
+    """Exact-Decimal sum with F.sum's null semantics: skip NULLs, and an
+    all-null group is NULL (None), never 0."""
+    from decimal import Decimal
+
+    vals = [v for v in s if v is not None]
+    return sum(vals, Decimal(0)) if vals else None
+
+
 class ContinuousAggregate:
     """Hourly (bucket, key) -> (n, sum_dec) partial store.
 
@@ -335,7 +344,6 @@ class ContinuousAggregate:
         ``timestamp``/``decimal(28,6)``, pyarrow reads Spark generations
         as ns-timestamps/Decimal objects)."""
         import glob
-        from decimal import Decimal
 
         import pandas as pd
         import pyarrow as pa
@@ -376,7 +384,11 @@ class ContinuousAggregate:
             .groupby(["day", "bucket", "key"], dropna=False, sort=True)
             .agg(
                 n=("n", "sum"),
-                sum_dec=("sum_dec", lambda s: sum(s, Decimal(0))),
+                # skip NULLs like F.sum does (all-null cell => NULL, not
+                # 0): Decimal(0) + None is a TypeError — inside
+                # foreachBatch that poisons the batch into endless
+                # redelivery
+                sum_dec=("sum_dec", _sum_dec_skipna),
             )
             .reset_index()
         )

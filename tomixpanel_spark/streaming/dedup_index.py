@@ -205,26 +205,35 @@ class DedupIndex:
         seq: int,
     ) -> list:
         """Distributed merge (the scale path): union existing touched
-        buckets with the batch rows, keep the FIRST writer per hash
-        (min struct — existing rows carry the smaller first_batch, so
-        they win), write fresh bucket partitions under this generation.
-        ``hashes`` arrives persisted (pinned by the caller for the
-        bucket-discovery collect AND the write)."""
+        buckets with the batch rows, keep the FIRST writer per hash.
+        Precedence is a came-from-store flag, NOT the batch id: batch
+        ids restart at 0 per ``run`` namespace, so a later run's small
+        id must never displace the original keeper — an already-indexed
+        hash unconditionally keeps its row. Writes fresh bucket
+        partitions under this generation. ``hashes`` arrives persisted
+        (pinned by the caller for the bucket-discovery collect AND the
+        write)."""
         buckets = sorted(r["b"] for r in hashes.select("b").distinct().collect())
         batch_rows = hashes.select(
             "h",
             "first_doc_id",
             F.lit(batch_id).cast("long").alias("first_batch"),
             "b",
+            F.lit(1).alias("prec"),
         )
         existing = self._read_buckets(spark, man, buckets)
-        merged = batch_rows
+        merged = batch_rows.drop("prec")
         if existing is not None:
             merged = (
                 existing.withColumn("b", F.col("b").cast("int"))
+                .withColumn("prec", F.lit(0))
                 .unionByName(batch_rows)
                 .groupBy("h")
-                .agg(F.min(F.struct("first_batch", "first_doc_id", "b")).alias("w"))
+                .agg(
+                    F.min(
+                        F.struct("prec", "first_batch", "first_doc_id", "b")
+                    ).alias("w")
+                )
                 .select(
                     "h",
                     F.col("w.first_doc_id").alias("first_doc_id"),
@@ -258,22 +267,24 @@ class DedupIndex:
         for b in buckets:
             sub = pdf[pdf["b"] == b][["h", "first_doc_id"]].copy()
             sub["first_batch"] = batch_id
+            sub["prec"] = 1
             frames = [sub]
             g = man["buckets"].get(str(b))
             if g is not None:
                 bdir = os.path.join(self._gen_dir(g), f"b={b}")
                 for f in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
-                    frames.append(
-                        pq.read_table(f).to_pandas()[
-                            ["h", "first_doc_id", "first_batch"]
-                        ]
-                    )
+                    stored = pq.read_table(f).to_pandas()[
+                        ["h", "first_doc_id", "first_batch"]
+                    ]
+                    stored["prec"] = 0
+                    frames.append(stored)
             allb = pd.concat(frames, ignore_index=True)
-            # first-writer-wins: sort by (first_batch, first_doc_id) and
-            # keep the first row per hash — existing rows (smaller batch)
-            # beat the incoming batch, mirroring the Spark min-struct
+            # first-writer-wins: store rows (prec 0) unconditionally beat
+            # the incoming batch (prec 1) — batch ids restart per run, so
+            # ordering by batch id would let a new run steal the keeper;
+            # mirrors the Spark min-struct precedence
             allb = (
-                allb.sort_values(["first_batch", "first_doc_id"], kind="stable")
+                allb.sort_values(["prec", "first_batch", "first_doc_id"], kind="stable")
                 .drop_duplicates("h", keep="first")
                 .sort_values("h")
             )
