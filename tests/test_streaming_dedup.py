@@ -257,3 +257,24 @@ class TestStreamingCountMin:
         ba.merge(b2).merge(a2)
         assert (ab.cells == ba.cells).all()
         assert ab.estimate("q") == 3 or ab.estimate("q") >= 3
+
+
+class TestStreamingIncrementalParity:
+    def test_stream_union_equals_batch_transform(self, spark):
+        """The registered fused-path query (readStream json +
+        foreachBatch running the real amp_events transform) must union
+        to exactly the batch transform's rows — micro-batch boundaries
+        must be invisible in the result."""
+        from tomixpanel_spark.operators.streaming_parity import (
+            streaming_incremental_parity,
+        )
+        from tomixpanel_spark.operators.transform_parity import amp_transform
+
+        sf = "/root/testdata/sf0.001"
+        got = streaming_incremental_parity(spark, sf)
+        want = amp_transform(spark, sf)
+        assert sorted(got.columns) == sorted(want.columns)
+        canon = lambda df: sorted(  # noqa: E731
+            map(tuple, df.select(*sorted(df.columns)).collect())
+        )
+        assert canon(got) == canon(want)

@@ -46,59 +46,9 @@ from tomixpanel_spark.sources import csv as csv_source
 # has local DuckDB parity in tests/test_oracle_parity.py every round.
 _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
-    # -- new in round 8: never externally checked --------------------------
-    "ann_pq_q": 0,
-    "incremental_dedup": 0,
-    "substring_dup_stats": 0,
-    "bm25_topk": 0,
-    "label_centroids": 0,
-    "tpch_q6": 0,
-    "media_image_resize": 0,
-    "media_video_frames": 0,
-    "media_audio_features": 0,
-    "media_meta": 0,
-    "media_neardup": 0,
-    "streaming_cagg_parity": 0,
-    # -- last green r3/r5 (stalest: first into the r8 window) --------------
-    "project_drop": 3,
-    "project_rename": 3,
-    "coalesce_id": 5,
-    "count_agg": 5,
-    "csv_scan": 5,
-    "explode_hits": 5,
-    "filter_nonempty": 5,
-    # -- last green r6 -----------------------------------------------------
-    "dedup_by_key": 6,
-    "doc_fingerprint": 6,
-    "insert_id_md5": 6,
-    "lang_id": 6,
-    "map_merge": 6,
-    "merge_pairs": 6,
-    "mixture_stats": 6,
-    "part_revenue": 6,
-    "pivot_status": 6,
-    "pushdown_filter": 6,
-    "quality_score": 6,
-    "rollup_orders": 6,
-    "schema_gate": 6,
-    "semi_join": 6,
-    "session_bounds": 6,
-    "stratified_sample": 6,
-    "supplier_balance": 6,
-    "time_normalize": 6,
-    "time_shift": 6,
-    "token_count": 6,
-    "union_all": 6,
-    "when_chain": 6,
-    "window_running": 6,
-    "word_freq": 6,
-    # -- last green r7 (freshest: tail candidates) -------------------------
-    "amp_transform": 7,
-    "ann_ivf_q": 7,
-    "ann_lsh": 7,
-    "asof_latest_order": 7,
-    "attribution_last_touch": 7,
-    "balanced_shards": 7,
+    # -- new in round 9: never externally checked ----------------------------
+    "streaming_incremental_parity": 0,
+    # -- last green r7 -------------------------------------------------------
     "chunk_documents": 7,
     "cms_heavy_hitters": 7,
     "containment_pairs": 7,
@@ -112,7 +62,6 @@ _LAST_EXTERNAL = {
     "embedding_neardup": 7,
     "event_sequences": 7,
     "funnel": 7,
-    "ga_transform": 7,
     "gopher_quality": 7,
     "hypertable_rollup": 7,
     "identity_components": 7,
@@ -142,6 +91,57 @@ _LAST_EXTERNAL = {
     "tpch_q5": 7,
     "value_quantiles": 7,
     "weighted_sample": 7,
+    # -- last green r8 -------------------------------------------------------
+    "amp_transform": 8,
+    "ann_ivf_q": 8,
+    "ann_lsh": 8,
+    "ann_pq_q": 8,
+    "asof_latest_order": 8,
+    "attribution_last_touch": 8,
+    "balanced_shards": 8,
+    "bm25_topk": 8,
+    "coalesce_id": 8,
+    "count_agg": 8,
+    "csv_scan": 8,
+    "dedup_by_key": 8,
+    "doc_fingerprint": 8,
+    "explode_hits": 8,
+    "filter_nonempty": 8,
+    "ga_transform": 8,
+    "incremental_dedup": 8,
+    "insert_id_md5": 8,
+    "label_centroids": 8,
+    "lang_id": 8,
+    "map_merge": 8,
+    "media_audio_features": 8,
+    "media_image_resize": 8,
+    "media_meta": 8,
+    "media_neardup": 8,
+    "media_video_frames": 8,
+    "merge_pairs": 8,
+    "mixture_stats": 8,
+    "part_revenue": 8,
+    "pivot_status": 8,
+    "project_drop": 8,
+    "project_rename": 8,
+    "pushdown_filter": 8,
+    "quality_score": 8,
+    "rollup_orders": 8,
+    "schema_gate": 8,
+    "semi_join": 8,
+    "session_bounds": 8,
+    "stratified_sample": 8,
+    "streaming_cagg_parity": 8,
+    "substring_dup_stats": 8,
+    "supplier_balance": 8,
+    "time_normalize": 8,
+    "time_shift": 8,
+    "token_count": 8,
+    "tpch_q6": 8,
+    "union_all": 8,
+    "when_chain": 8,
+    "window_running": 8,
+    "word_freq": 8,
 }
 
 WINDOW_SIZE = 50  # the driver samples this many leading registry entries

@@ -135,10 +135,118 @@ GROUP BY 1, 2
 """
 
 
+def _stage_json_batches(df: DataFrame, land: str, split_col: str, n: int) -> None:
+    """Write ``df`` as ``n`` single NDJSON files (the json file-source's
+    micro-batch unit), split by a deterministic modular rule."""
+    for b in range(n):
+        part_dir = os.path.join(land, f"_stage_b{b}")
+        (
+            df.filter(F.pmod(F.col(split_col), F.lit(n)) == b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(part_dir)
+        )
+        [part] = [p for p in os.listdir(part_dir) if p.startswith("part-")]
+        os.replace(os.path.join(part_dir, part), os.path.join(land, f"b{b}.json"))
+        shutil.rmtree(part_dir, ignore_errors=True)
+
+
+_AMP_LANDING_CACHE: dict[tuple, str] = {}
+
+
+def _staged_amp_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the synthesized Amplitude export (transform_parity's F1
+    fixture) as NDJSON micro-batch files — the reference's on-disk shape
+    for the fused line-by-line path. Fixture synthesis caches under
+    TOMIX_CACHE_TABLES (same policy as _staged_landing)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "amp")
+    cached = _AMP_LANDING_CACHE.get(key)
+    if cached and os.environ.get("TOMIX_CACHE_TABLES") and os.path.isdir(cached):
+        return cached
+    if cached:
+        shutil.rmtree(os.path.dirname(cached), ignore_errors=True)
+    from tomixpanel_spark.operators.transform_parity import _synth_amp
+
+    land = os.path.join(tempfile.mkdtemp(prefix="tomix_incr_land_"), "landing")
+    os.makedirs(land)
+    # amplitude_id carries event_id through the export shape — the only
+    # integer column, so it is the split key
+    _stage_json_batches(
+        _synth_amp(spark, sf_dir), land, "amplitude_id", N_STREAM_BATCHES
+    )
+    _AMP_LANDING_CACHE[key] = land
+    return land
+
+
+def streaming_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused incremental path (S9 line-by-line scan + K6 micro-batch
+    flush, reference connectors/googleAnalyticsLineByLine.js:47-73) under
+    an EXTERNAL oracle: the staged Amplitude export streams through
+    ``run_incremental`` (readStream json + foreachBatch) running the REAL
+    ``amp_events`` transform per micro-batch into an append sink; the
+    query returns the sink's contents. The DuckDB oracle is the batch
+    transform SQL over the same rows — a row-wise transform over a
+    disjoint micro-batch partition must union to exactly the batch
+    result, whatever the batch boundaries."""
+    from tomixpanel_spark.operators.transform_parity import _amp_output_columns
+    from tomixpanel_spark.schemas import AMP_EVENT_SCHEMA
+    from tomixpanel_spark.streaming.incremental import run_incremental
+    from tomixpanel_spark.transforms.amplitude import amp_events
+
+    land = _staged_amp_landing(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="tomix_incr_q_")
+    out_dir = os.path.join(work, "out")
+
+    def transform(batch: DataFrame) -> DataFrame:
+        return amp_events(batch).select(*_amp_output_columns())
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    q = run_incremental(
+        spark,
+        land,
+        AMP_EVENT_SCHEMA,
+        transform,
+        sink,
+        checkpoint_dir=os.path.join(work, "ck"),
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_incremental_parity: availableNow stream did not "
+            "finish in 300s — refusing to read a partial sink"
+        )
+    return spark.read.parquet(out_dir)
+
+
 REGISTRY = {
     "streaming_cagg_parity": QuerySpec(
         streaming_cagg_parity,
         _STREAMING_CAGG_SQL,
         "streaming: incremental cagg merge == batch aggregate",
     ),
+    "streaming_incremental_parity": QuerySpec(
+        streaming_incremental_parity,
+        None,  # set below: shares amp_transform's oracle verbatim
+        "streaming: fused incremental transform == batch transform",
+    ),
 }
+
+
+def _late_bind_amp_oracle() -> None:
+    """The oracle is EXACTLY transform_parity's _AMP_TRANSFORM_SQL (the
+    stream is a partition of the same synthesized rows through the same
+    transform); bind lazily to keep import order acyclic."""
+    from tomixpanel_spark.operators import transform_parity
+
+    REGISTRY["streaming_incremental_parity"] = QuerySpec(
+        streaming_incremental_parity,
+        transform_parity._AMP_TRANSFORM_SQL,
+        "streaming: fused incremental transform == batch transform",
+    )
+
+
+_late_bind_amp_oracle()
