@@ -167,16 +167,7 @@ def _boundary_props() -> Column:
     )
 
 
-def _boundary(base: DataFrame, name: str, time_ms: Column) -> DataFrame:
-    props = _boundary_props()
-    return base.select(
-        F.lit(name).alias("event"),
-        F.col("distinct_id"),
-        time_ms.alias("time_ms"),
-        props.alias("props"),
-    )
-
-
+@lru_cache(maxsize=1)
 def _last_hit_end_ms() -> Column:
     """Running endTime after the hit loop == last array element's event
     time (reference :178,266-280); sessions without hits end at start."""
@@ -213,6 +204,7 @@ _CONSUMED_HIT_FIELDS = (
 )
 
 
+@lru_cache(maxsize=1)
 def _slim_hits() -> Column:
     def slim(h: Column) -> Column:
         page = F.struct(
@@ -227,19 +219,11 @@ def _slim_hits() -> Column:
     return F.transform("hits", slim)
 
 
-def _hit_events(base: DataFrame) -> DataFrame:
-    h = base.select(
-        "distinct_id", "start_ms", "defaults", F.explode(_slim_hits()).alias("hit")
-    )
-    return h.select(*_hit_event_columns())
-
-
-@lru_cache(maxsize=1)
-def _hit_event_columns() -> tuple:
-    """The per-hit projection (~400 expression nodes) is constant over
-    fixed column names; memoized per process — rebuilding it dominated
-    ga_transform's per-call plan-construction time."""
-    hit = F.col("hit")
+def _hit_event_struct(hit: Column) -> Column:
+    """struct(event, time_ms, props) for one (slimmed) hit — parametrized
+    over the hit expression so the SAME tree runs under ``F.transform``
+    in the fused single-pass plan (``start_ms`` resolves from the outer
+    session row; lambdas see enclosing attributes)."""
     t = hit["time"].cast("bigint")
     time_ms = F.col("start_ms") + F.when(t == 0, 1000).otherwise(t)
 
@@ -326,11 +310,48 @@ def _hit_event_columns() -> tuple:
             custom("metric", "customMetrics"),
         )
     )
+    return F.struct(
+        name.alias("event"), time_ms.alias("time_ms"), props.alias("props")
+    )
+
+
+@lru_cache(maxsize=1)
+def _event_rows() -> Column:
+    """The per-session event array: [begin] ++ per-hit structs ++ [end],
+    each element struct(event, time_ms, props). Building all three row
+    kinds inside ONE array means the session prep (identity, defaults,
+    summary) is scanned and evaluated ONCE per session — the previous
+    union-of-three-selects shape re-ran the scan and prep per branch
+    (A/B at sf0.1: exec 0.70 s -> 0.42 s). Constant tree; memoized."""
+    bp = _boundary_props()
+    begin = F.struct(
+        F.lit("session begins").alias("event"),
+        F.col("start_ms").alias("time_ms"),
+        bp.alias("props"),
+    )
+    end = F.struct(
+        F.lit("session ends").alias("event"),
+        (_last_hit_end_ms() + 1000).alias("time_ms"),
+        bp.alias("props"),
+    )
+    return F.concat(
+        F.array(begin), F.transform(_slim_hits(), _hit_event_struct), F.array(end)
+    )
+
+
+@lru_cache(maxsize=1)
+def _exploded_event_columns() -> tuple:
+    return (F.col("distinct_id"), F.explode(_event_rows()).alias("ev"))
+
+
+@lru_cache(maxsize=1)
+def _event_output_columns() -> tuple:
+    ev = F.col("ev")
     return (
-        name.alias("event"),
+        ev["event"].alias("event"),
         F.col("distinct_id"),
-        time_ms.alias("time_ms"),
-        props.alias("props"),
+        ev["time_ms"].alias("time_ms"),
+        ev["props"].alias("props"),
     )
 
 
@@ -359,17 +380,10 @@ def ga_events(
         from tomixpanel_spark.operators.base import stage_checkpoint
 
         base = stage_checkpoint(base, eager=True)
-    begins = _boundary(base, "session begins", F.col("start_ms"))
-    ends = _boundary(base, "session ends", _last_hit_end_ms() + 1000)
-    events = begins.unionByName(_hit_events(base)).unionByName(ends)
-    events = events.withColumn(
-        "insert_id",
-        canonical_insert_id(
-            F.col("event"),
-            F.col("distinct_id"),
-            F.col("time_ms"),
-            F.md5(F.to_json(F.sort_array(F.map_entries("props")))),
-        ),
+    events = (
+        base.select(*_exploded_event_columns())
+        .select(*_event_output_columns())
+        .withColumn("insert_id", _insert_id_col())
     )
     if move_to_present:
         if anchor_now_ms is None:
@@ -380,6 +394,16 @@ def ga_events(
             F.col("time_ms") + F.lit(anchor_now_ms) - F.col("max_ms") - F.lit(FOUR_DAYS_MS),
         ).drop("max_ms")
     return events.select("event", "distinct_id", "time_ms", "insert_id", "props")
+
+
+@lru_cache(maxsize=1)
+def _insert_id_col() -> Column:
+    return canonical_insert_id(
+        F.col("event"),
+        F.col("distinct_id"),
+        F.col("time_ms"),
+        F.md5(F.to_json(F.sort_array(F.map_entries("props")))),
+    )
 
 
 def ga_profiles(df: DataFrame, token: str | None = None) -> DataFrame:
