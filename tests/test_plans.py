@@ -595,10 +595,13 @@ def test_simhash_paths_agree(spark, monkeypatch):
         assert fold == dist and len(fold) > 0, name
 
 
-def test_substring_dup_no_text_shuffle(spark):
-    """Exact substring-window discovery must shuffle the 60-bit window
+def test_substring_dup_no_text_shuffle(spark, monkeypatch):
+    """Exact substring-window discovery must shuffle the 64-bit window
     HASH, never the window text: the exchange carries fixed-width longs.
-    Also no window function and no cartesian anywhere."""
+    Also no window function and no cartesian anywhere. (Gate forced to
+    the DISTRIBUTED plan — the registered query driver-folds at this
+    corpus size.)"""
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
     df = REG["substring_dup_stats"].fn(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Cartesian" not in plan
@@ -607,3 +610,14 @@ def test_substring_dup_no_text_shuffle(spark):
     # never on a string window column
     for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "wt" not in m, m
+
+
+def test_substring_paths_agree(spark, monkeypatch):
+    """The substring_dup_stats driver fold and the distributed
+    window-hash plan must produce identical rows (the tfidf/bm25/simhash
+    gate contract)."""
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "1000000")
+    fold = {tuple(r) for r in REG["substring_dup_stats"].fn(spark, SF_ORACLE).collect()}
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+    dist = {tuple(r) for r in REG["substring_dup_stats"].fn(spark, SF_ORACLE).collect()}
+    assert fold == dist and len(fold) > 0

