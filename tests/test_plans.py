@@ -281,8 +281,16 @@ def test_cms_single_token_lineage(spark):
     materialized per-token count aggregate (lazy localCheckpoint — NOT
     persist, which would leak into the session CacheManager and get
     substituted into other queries' plans) — the raw-stream
-    double-tokenize shape scans and explodes the corpus twice."""
-    df = REG["cms_heavy_hitters"].fn(spark, SF_ORACLE)
+    double-tokenize shape scans and explodes the corpus twice. (Gate
+    forced to the DISTRIBUTED plan — the registered query driver-folds
+    at this corpus size.)"""
+    import os
+
+    os.environ["TOMIX_TFIDF_DRIVER_FOLD_DOCS"] = "0"
+    try:
+        df = REG["cms_heavy_hitters"].fn(spark, SF_ORACLE)
+    finally:
+        os.environ.pop("TOMIX_TFIDF_DRIVER_FOLD_DOCS", None)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # both branches read the checkpointed tok_counts RDD; the corpus
     # parquet scan is hidden inside the checkpoint build, so the final
@@ -620,4 +628,15 @@ def test_substring_paths_agree(spark, monkeypatch):
     fold = {tuple(r) for r in REG["substring_dup_stats"].fn(spark, SF_ORACLE).collect()}
     monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
     dist = {tuple(r) for r in REG["substring_dup_stats"].fn(spark, SF_ORACLE).collect()}
+    assert fold == dist and len(fold) > 0
+
+
+def test_cms_paths_agree(spark, monkeypatch):
+    """The cms_heavy_hitters driver fold and the distributed
+    sketch-aggregate plan must produce identical estimates (same md5
+    bucket spec both paths)."""
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "1000000")
+    fold = {tuple(r) for r in REG["cms_heavy_hitters"].fn(spark, SF_ORACLE).collect()}
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+    dist = {tuple(r) for r in REG["cms_heavy_hitters"].fn(spark, SF_ORACLE).collect()}
     assert fold == dist and len(fold) > 0

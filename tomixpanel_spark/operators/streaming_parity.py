@@ -244,64 +244,75 @@ def streaming_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
-_WINDOWED_LANDING_CACHE: dict[tuple, str] = {}
+_DAY_LANDING_CACHE: dict[tuple, str] = {}
 
 
-def _staged_windowed_landing(spark: SparkSession, sf_dir: str) -> str:
+def _staged_day_landing(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    day_cols,
+    sentinel_cols=None,
+) -> str:
     """Stage the event slice as per-DAY parquet files (a time-ordered
     stream — each micro-batch's event times follow the previous batch's,
-    so the watermark never classifies in-order data as late) plus one
-    far-future SENTINEL row: append mode only emits a window once the
-    watermark passes it, and on a bounded stream the watermark stops at
-    the last real event — the sentinel batch pushes it past every data
-    window so the final windows flush. mtimes space the files so the
-    file source triggers them oldest-first (the test_cagg precedent)."""
+    so event-time state logic never sees out-of-order data), optionally
+    followed by one far-future SENTINEL row (append-mode watermark
+    consumers only emit a window once the watermark passes it; on a
+    bounded stream the watermark stops at the last real event, so the
+    sentinel batch flushes the final windows). mtimes space the files so
+    the file source triggers them oldest-first (the test_cagg
+    precedent). ``day_cols(ev)`` / ``sentinel_cols(ev)`` pick each
+    consumer's projection."""
     import time as _time
 
-    key = (spark.sparkContext.applicationId, sf_dir, "windowed")
-    cached = _WINDOWED_LANDING_CACHE.get(key)
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    cached = _DAY_LANDING_CACHE.get(key)
     if cached and os.environ.get("TOMIX_CACHE_TABLES") and os.path.isdir(cached):
         return cached
     if cached:
         shutil.rmtree(os.path.dirname(cached), ignore_errors=True)
     ev = table(spark, sf_dir, "events")
     [row] = ev.agg(F.min("ts").alias("mn")).collect()
-    land = os.path.join(tempfile.mkdtemp(prefix="tomix_wnd_land_"), "landing")
+    land = os.path.join(tempfile.mkdtemp(prefix=f"tomix_{tag}_land_"), "landing")
     os.makedirs(land)
     now = _time.time()
+
+    def _move_single(part_dir: str, dst: str, mtime: float) -> None:
+        [part] = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
+        os.replace(os.path.join(part_dir, part), dst)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        os.utime(dst, (mtime,) * 2)
+
     for d in range(SLICE_DAYS):
         lo = F.lit(row["mn"]) + F.expr(f"INTERVAL {d} DAYS")
         hi = F.lit(row["mn"]) + F.expr(f"INTERVAL {d + 1} DAYS")
         part_dir = os.path.join(land, f"_stage_d{d}")
-        (
-            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
-            .select("ts", "event_type")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(part_dir)
+        day_cols(ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))).coalesce(
+            1
+        ).write.mode("overwrite").parquet(part_dir)
+        _move_single(
+            part_dir, os.path.join(land, f"d{d}.parquet"), now - 300 + d * 60
         )
-        [part] = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
-        dst = os.path.join(land, f"d{d}.parquet")
-        os.replace(os.path.join(part_dir, part), dst)
-        shutil.rmtree(part_dir, ignore_errors=True)
-        os.utime(dst, (now - 300 + d * 60,) * 2)
-    sentinel_dir = os.path.join(land, "_stage_sentinel")
-    (
-        ev.agg(
+    if sentinel_cols is not None:
+        sentinel_dir = os.path.join(land, "_stage_sentinel")
+        sentinel_cols(ev).coalesce(1).write.mode("overwrite").parquet(sentinel_dir)
+        _move_single(sentinel_dir, os.path.join(land, "z_sentinel.parquet"), now)
+    _DAY_LANDING_CACHE[key] = land
+    return land
+
+
+def _staged_windowed_landing(spark: SparkSession, sf_dir: str) -> str:
+    return _staged_day_landing(
+        spark,
+        sf_dir,
+        "windowed",
+        lambda sl: sl.select("ts", "event_type"),
+        sentinel_cols=lambda ev: ev.agg(
             (F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("ts"),
             F.lit("__sentinel__").alias("event_type"),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(sentinel_dir)
+        ),
     )
-    [part] = [p for p in os.listdir(sentinel_dir) if p.endswith(".parquet")]
-    dst = os.path.join(land, "z_sentinel.parquet")
-    os.replace(os.path.join(sentinel_dir, part), dst)
-    shutil.rmtree(sentinel_dir, ignore_errors=True)
-    os.utime(dst, (now,) * 2)
-    _WINDOWED_LANDING_CACHE[key] = land
-    return land
 
 
 def streaming_windowed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,6 +365,86 @@ SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS VARCHAR) AS window_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM sliced
+GROUP BY 1, 2
+"""
+
+
+def streaming_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (streaming/stateful.py —
+    ``applyInPandasWithState`` gap sessionization) under an EXTERNAL
+    oracle: the day-staged event slice streams through the live
+    sessionizer (NoTimeout — deterministic: sessions close only via the
+    gap rule, never via wall-clock eviction), per-batch emissions land
+    in a parquet sink, and the FINAL state of every (user, session) is
+    the max-progress row over its snapshots (session_start is constant
+    per session; n_events/session_end grow monotonically, with the
+    closed row last). The DuckDB oracle sessionizes the same slice with
+    the standard lag-gap/running-sum SQL — equality proves cross-batch
+    state carry, in-order gap rolls, and snapshot monotonicity."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from tomixpanel_spark.streaming.stateful import sessionize_with_state
+
+    land = _staged_day_landing(
+        spark,
+        sf_dir,
+        "stateful",
+        lambda sl: sl.select(
+            F.col("user_id"), F.unix_millis("ts").alias("time_ms")
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="tomix_stf_q_")
+    out_dir = os.path.join(work, "out")
+    stream = (
+        spark.readStream.schema("user_id long, time_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    with _stream_shuffle_parts(spark):
+        q = (
+            sessionize_with_state(stream, timeout=GroupStateTimeout.NoTimeout)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_stateful_parity: availableNow stream did not "
+                "finish in 300s — refusing to read a partial sink"
+            )
+    out = spark.read.parquet(out_dir)
+    return out.groupBy("user_id", "session_num").agg(
+        F.max("n_events").cast("bigint").alias("n_events"),
+        F.min("session_start_ms").cast("bigint").alias("session_start_ms"),
+        F.max("session_end_ms").cast("bigint").alias("session_end_ms"),
+    )
+
+
+_STREAMING_STATEFUL_SQL = f"""
+WITH sliced AS (
+  SELECT user_id, epoch_ms(ts) AS t FROM events
+  WHERE ts < (SELECT MIN(ts) FROM events) + INTERVAL {SLICE_DAYS} DAY),
+marked AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > {1800 * 1000}
+              OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM sliced),
+sessions AS (
+  SELECT user_id, t,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS session_num
+  FROM marked)
+SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(t) AS BIGINT) AS session_start_ms,
+       CAST(MAX(t) AS BIGINT) AS session_end_ms
+FROM sessions
 GROUP BY 1, 2
 """
 
@@ -475,6 +566,11 @@ REGISTRY = {
         streaming_cagg_parity,
         _STREAMING_CAGG_SQL,
         "streaming: incremental cagg merge == batch aggregate",
+    ),
+    "streaming_stateful_parity": QuerySpec(
+        streaming_stateful_parity,
+        _STREAMING_STATEFUL_SQL,
+        "streaming: applyInPandasWithState sessions == batch gap SQL",
     ),
     "streaming_windowed_parity": QuerySpec(
         streaming_windowed_parity,

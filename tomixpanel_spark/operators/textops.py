@@ -1062,6 +1062,40 @@ def cms_sketch(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _cms_fold(docs: DataFrame) -> "pd.DataFrame":
+    """Driver-fold count-min heavy hitters: per-token totals from the
+    in-process tokenize, md5 buckets per sketch row (the same spec as
+    ``_cms_bucket``/the oracle), vectorized scatter-add cells, min-over-
+    rows estimate. Gate-bounded by the caller."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    tf = tokenize_tf_pdf(docs)
+    if not len(tf):
+        return pd.DataFrame({"token": [], "est_n": []})
+    counts = tf.groupby("token", sort=False)["tf"].sum()
+    tokens = counts.index.to_numpy()
+    cnt = counts.to_numpy(np.int64)
+    est = np.full(len(tokens), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(CMS_DEPTH):
+        pre = f"{r}:".encode("utf-8")
+        buckets = np.fromiter(
+            (
+                int(hashlib.md5(pre + t.encode("utf-8")).hexdigest()[:8], 16)
+                % CMS_WIDTH
+                for t in tokens
+            ),
+            dtype=np.int64,
+            count=len(tokens),
+        )
+        cells = np.zeros(CMS_WIDTH, dtype=np.int64)
+        np.add.at(cells, buckets, cnt)
+        est = np.minimum(est, cells[buckets])
+    return pd.DataFrame({"token": tokens, "est_n": est})
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch term frequencies: the mergeable-sketch shape for
     heavy-hitter detection over a token stream.
@@ -1086,6 +1120,14 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     only over-count (collisions add), and both engines hash identically,
     so over-counts match exactly too."""
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    if _corpus_count(spark, sf_dir, docs) <= _tfidf_driver_fold_cap():
+        # size-adaptive driver fold (the tfidf/bm25/simhash/substring
+        # gate): tokenize driver-side, build the DEPTHxWIDTH cells with
+        # one scatter-add per row, estimate = min over rows — identical
+        # md5 bucket spec, so over-counts still match the oracle exactly
+        return spark.createDataFrame(
+            _cms_fold(docs), schema="token string, est_n long"
+        )
     # per-token totals fold from the SPARSE tf table (fused Arrow
     # tokenize, round 8) — sum(tf) == count over the occurrence explode,
     # with ~10x fewer rows into the vocab aggregate
