@@ -48,6 +48,8 @@ _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
     # -- new in round 9: never externally checked ----------------------------
     "streaming_incremental_parity": 0,
+    "streaming_dedup_parity": 0,
+    "streaming_sketch_parity": 0,
     "streaming_stateful_parity": 0,
     "streaming_windowed_parity": 0,
     "cagg_store_read": 0,

@@ -449,6 +449,139 @@ GROUP BY 1, 2
 """
 
 
+_DOC_LANDING_CACHE: dict[tuple, str] = {}
+
+
+def _staged_doc_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents as N_STREAM_BATCHES parquet files split by doc_id
+    (order-free: sketch merge is commutative — that is the property
+    under test)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "docs")
+    cached = _DOC_LANDING_CACHE.get(key)
+    if cached and os.environ.get("TOMIX_CACHE_TABLES") and os.path.isdir(cached):
+        return cached
+    if cached:
+        shutil.rmtree(os.path.dirname(cached), ignore_errors=True)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    land = os.path.join(tempfile.mkdtemp(prefix="tomix_cms_land_"), "landing")
+    os.makedirs(land)
+    for b in range(N_STREAM_BATCHES):
+        part_dir = os.path.join(land, f"_stage_b{b}")
+        (
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(N_STREAM_BATCHES)) == b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        [part] = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
+        os.replace(os.path.join(part_dir, part), os.path.join(land, f"b{b}.parquet"))
+        shutil.rmtree(part_dir, ignore_errors=True)
+    _DOC_LANDING_CACHE[key] = land
+    return land
+
+
+def streaming_sketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable count-min sketch (streaming/sketches.py) under
+    an EXTERNAL oracle: documents stream through ``foreachBatch`` ->
+    ``StreamingCountMin`` (per-batch partial sketches, cell-wise driver
+    merge — the mergeability contract at 100 TB), then the accumulated
+    sketch answers a full-vocabulary estimate scan. The oracle is the
+    batch count-min SQL (identical md5 bucket arithmetic), so equality
+    proves partial-sketch merge across micro-batches == one-pass sketch,
+    over-counts included bit-for-bit."""
+    import numpy as np
+
+    from tomixpanel_spark.operators.textops import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        tokenize_tf_pdf,
+    )
+    from tomixpanel_spark.streaming.sketches import StreamingCountMin, _py_bucket
+
+    land = _staged_doc_landing(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="tomix_cms_q_")
+    cms = StreamingCountMin()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    with _stream_shuffle_parts(spark):
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(cms.update_batch)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_sketch_parity: availableNow stream did not "
+                "finish in 300s — refusing to read a partial sketch"
+            )
+    # probe side: the full vocabulary (driver tokenize — probe-building is
+    # harness; the sketch under test answers the estimates)
+    vocab = tokenize_tf_pdf(table(spark, sf_dir, "documents"))["token"].unique()
+    import pandas as pd
+
+    est = np.full(len(vocab), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(CMS_DEPTH):
+        buckets = np.fromiter(
+            (_py_bucket(r, t) for t in vocab), dtype=np.int64, count=len(vocab)
+        )
+        est = np.minimum(est, cms.cells[r][buckets])
+    return spark.createDataFrame(
+        pd.DataFrame({"token": vocab, "est_n": est}),
+        schema="token string, est_n long",
+    )
+
+
+def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/dedup.py —
+    state-store ``dropDuplicates`` on the canonical fingerprint) under an
+    EXTERNAL oracle: documents stream in micro-batches through
+    ``streaming_exact_dedup``; the emitted keepers, projected to their
+    FINGERPRINTS, must equal the distinct-fingerprint set of the corpus
+    (exactly one emission per distinct content, across batch boundaries,
+    through the state store). Keeper IDENTITY is arrival-order-dependent
+    inside a micro-batch, so the hash gate checks the content set — the
+    dedup contract — not the nondeterministic row choice."""
+    from tomixpanel_spark.streaming.dedup import streaming_exact_dedup
+
+    land = _staged_doc_landing(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="tomix_sdd_q_")
+    out_dir = os.path.join(work, "out")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    with _stream_shuffle_parts(spark):
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_dedup_parity: availableNow stream did not "
+                "finish in 300s — refusing to read a partial sink"
+            )
+    return spark.read.parquet(out_dir).select("fp")
+
+
+_STREAMING_DEDUP_SQL = """
+SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
 _STORE_CACHE: dict[tuple, str] = {}
 
 
@@ -567,6 +700,16 @@ REGISTRY = {
         _STREAMING_CAGG_SQL,
         "streaming: incremental cagg merge == batch aggregate",
     ),
+    "streaming_dedup_parity": QuerySpec(
+        streaming_dedup_parity,
+        _STREAMING_DEDUP_SQL,
+        "streaming: state-store exact dedup emits each content once",
+    ),
+    "streaming_sketch_parity": QuerySpec(
+        streaming_sketch_parity,
+        None,  # bound below to the batch CMS oracle
+        "streaming: merged micro-batch sketches == one-pass sketch",
+    ),
     "streaming_stateful_parity": QuerySpec(
         streaming_stateful_parity,
         _STREAMING_STATEFUL_SQL,
@@ -595,17 +738,22 @@ REGISTRY = {
 }
 
 
-def _late_bind_amp_oracle() -> None:
-    """The oracle is EXACTLY transform_parity's _AMP_TRANSFORM_SQL (the
-    stream is a partition of the same synthesized rows through the same
-    transform); bind lazily to keep import order acyclic."""
-    from tomixpanel_spark.operators import transform_parity
+def _late_bind_shared_oracles() -> None:
+    """These parity rows share their batch twins' oracle SQL verbatim
+    (the stream is a partition of the same rows through the same
+    arithmetic); bind lazily to keep import order acyclic."""
+    from tomixpanel_spark.operators import textops, transform_parity
 
     REGISTRY["streaming_incremental_parity"] = QuerySpec(
         streaming_incremental_parity,
         transform_parity._AMP_TRANSFORM_SQL,
         "streaming: fused incremental transform == batch transform",
     )
+    REGISTRY["streaming_sketch_parity"] = QuerySpec(
+        streaming_sketch_parity,
+        textops.REGISTRY["cms_heavy_hitters"].oracle,
+        "streaming: merged micro-batch sketches == one-pass sketch",
+    )
 
 
-_late_bind_amp_oracle()
+_late_bind_shared_oracles()
