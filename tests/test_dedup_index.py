@@ -287,3 +287,25 @@ class TestDedupIndexProperties:
             assert got == set(expect.values())
 
         check()
+
+
+class TestProbeDriverParity:
+    def test_probe_driver_equals_distributed_probe(self, spark, tmp_path):
+        """probe_driver (pyarrow bucket reads + pandas merge) must equal
+        the distributed probe row-for-row, including unseen-null keepers."""
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        idx = DedupIndex(str(tmp_path / "store"), n_buckets=4)
+        idx.register(_docs(spark, [(0, "alpha"), (2, "beta"), (4, "alpha")]), 0)
+        probe = _docs(spark, [(1, "alpha"), (3, "gamma"), (5, "beta")])
+        dist = sorted(
+            (r["doc_id"], r["seen_before"], r["first_doc_id"])
+            for r in idx.probe(probe).collect()
+        )
+        drv_pdf = idx.probe_driver(probe.toPandas())
+        drv = sorted(
+            (int(r.doc_id), bool(r.seen_before),
+             None if r.first_doc_id is None else int(r.first_doc_id))
+            for r in drv_pdf.itertuples(index=False)
+        )
+        assert drv == dist and len(drv) == 3

@@ -319,6 +319,50 @@ class DedupIndex:
             "seen_before", "first_doc_id"
         )
 
+    def probe_driver(self, pdf) -> "object":
+        """Driver-side probe for GATE-BOUNDED batches (caller asserts the
+        fit, e.g. via the tfidf fold gate): hash in-process with the
+        same 60-bit md5-prefix spec, pyarrow-read ONLY the touched
+        bucket files, one pandas merge. Returns the input pandas frame +
+        ``seen_before``/``first_doc_id`` — identical semantics to
+        ``probe`` (paths-agree tested), minus three Spark job floors,
+        which dominate small-batch serving latency."""
+        import glob
+        import hashlib
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        man = self._load_manifest()
+        nb = self._effective_buckets(man)
+        out = pdf.copy()
+        out["__didx_h"] = [
+            None
+            if t is None
+            else int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+            for t in out[self.text_col]
+        ]
+        frames = []
+        for b in sorted({int(h % nb) for h in out["__didx_h"] if h is not None}):
+            g = man["buckets"].get(str(b))
+            if g is None:
+                continue
+            bdir = os.path.join(self._gen_dir(g), f"b={b}")
+            for f in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
+                frames.append(pq.read_table(f).to_pandas()[["h", "first_doc_id"]])
+        if frames:
+            idx = pd.concat(frames, ignore_index=True)
+            out = out.merge(idx, left_on="__didx_h", right_on="h", how="left")
+            out["seen_before"] = out["h"].notna()
+            out["first_doc_id"] = (
+                out["first_doc_id"].astype(object).where(out["first_doc_id"].notna(), None)
+            )
+            out = out.drop(columns=["h"])
+        else:
+            out["seen_before"] = False
+            out["first_doc_id"] = None
+        return out.drop(columns=["__didx_h"])
+
     def probe(self, df: DataFrame) -> DataFrame:
         """Input rows + ``seen_before`` (hash present in the index) and
         ``first_doc_id`` (the keeper it duplicates, null when unseen).
