@@ -554,7 +554,10 @@ def _popcount64(x):
     return ((x * h01) >> np.uint64(56)).astype(np.int64)
 
 
-def _banded_pairs_fold(sig_pdf, n_bands: int, band_bits: int, ham_max: int):
+def _banded_pairs_fold(
+    sig_pdf, n_bands: int, band_bits: int, ham_max: int,
+    sig_col: str = "simhash", id_col: str = "doc_id",
+):
     """Driver-fold banded-Hamming pairing over a signature frame — the
     identical exact-collapse -> band-bucket -> verify -> cluster-expand
     semantics as ``banded_hamming_pairs``, fully vectorized: cluster
@@ -574,9 +577,9 @@ def _banded_pairs_fold(sig_pdf, n_bands: int, band_bits: int, ham_max: int):
         return empty
     # one sort gives contiguous member blocks per signature (the cluster
     # table), ids ascending within a block
-    sp = sig_pdf.sort_values(["simhash", "doc_id"])
-    sigs_all = sp["simhash"].to_numpy(np.int64)
-    ids_all = sp["doc_id"].to_numpy(np.int64)
+    sp = sig_pdf.sort_values([sig_col, id_col])
+    sigs_all = sp[sig_col].to_numpy(np.int64)
+    ids_all = sp[id_col].to_numpy(np.int64)
     starts = np.flatnonzero(np.r_[True, sigs_all[1:] != sigs_all[:-1]])
     ends = np.r_[starts[1:], len(sigs_all)]
     sig_arr = sigs_all[starts]  # unique signatures
@@ -815,7 +818,30 @@ def banded_hamming_pairs(
     Signature-level pairs dedup before the cluster cross-product expands
     doc pairs, so each output pair materializes exactly once;
     intra-cluster (hamming-0) pairs expand directly. ``band_cap`` bounds
-    distinct-signature postings, the residual hot-bucket guard."""
+    distinct-signature postings, the residual hot-bucket guard.
+
+    Size-adaptive: when the SIGNATURE table fits the driver gate (and no
+    band_cap is requested — the fold does not replicate its
+    band-dropping), the whole pairing folds through
+    ``_banded_pairs_fold`` — the signature producer (decode/hash
+    pipeline) still runs distributed; only the output-bounded signature
+    rows transfer. The bounded ``limit(cap+1)`` probe proves overflow
+    without shipping the full table."""
+    if band_cap is None:
+        from tomixpanel_spark.operators.textops import _tfidf_driver_fold_cap
+
+        cap = _tfidf_driver_fold_cap()
+        if cap > 0:
+            probe = sig.select(
+                F.col(id_col).alias("doc_id"), F.col(sig_col).alias("simhash")
+            ).limit(cap + 1).toPandas()
+            if len(probe) <= cap:
+                import pandas as pd  # noqa: F401 (fold returns pandas)
+
+                pdf = _banded_pairs_fold(probe, n_bands, band_bits, ham_max)
+                return sig.sparkSession.createDataFrame(
+                    pdf, schema="doc_a long, doc_b long, hamming long"
+                )
     # The cluster table (one row per DISTINCT signature) is the compact
     # dedup artifact everything else reads: materialize it once — four
     # consumers (intra pairs, band postings, two id join-backs) would
