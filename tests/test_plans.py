@@ -640,3 +640,20 @@ def test_cms_paths_agree(spark, monkeypatch):
     monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
     dist = {tuple(r) for r in REG["cms_heavy_hitters"].fn(spark, SF_ORACLE).collect()}
     assert fold == dist and len(fold) > 0
+
+
+def test_substring_spans_paths_agree_and_distributed_shape(spark, monkeypatch):
+    """substring_dup_spans: driver fold == distributed gaps-and-islands
+    plan, and the distributed exchange carries window hashes, never
+    window text."""
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "1000000")
+    fold = {tuple(r) for r in REG["substring_dup_spans"].fn(spark, SF_ORACLE).collect()}
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+    df = REG["substring_dup_spans"].fn(spark, SF_ORACLE)
+    dist = {tuple(r) for r in df.collect()}
+    assert fold == dist and len(fold) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    import re
+    for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "wt" not in m, m

@@ -1302,6 +1302,61 @@ XOR_CHAIN = " ^ ".join(
 )
 
 
+def _substring_dup_window_positions(pdf):
+    """Shared fold core for the exact-substring family: tokenize the
+    collected docs, window-hash the CONCATENATED token stream with the
+    rotate-XOR combination (factorized token codes -> random 64-bit
+    values; windows crossing a doc boundary mask out), and return the
+    CROSS-DOC duplicated windows as (doc index, 0-based start position)
+    arrays plus per-doc ids/lengths. Stats counts them; spans merges
+    them into islands."""
+    import numpy as np
+    import pandas as pd
+
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    from tomixpanel_spark.operators.textops import _WS_TABLE
+
+    tok_lists = [
+        ("" if t is None else t).translate(_WS_TABLE).split() for t in pdf["text"]
+    ]
+    lens = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+    empty = np.array([], dtype=np.int64)
+    all_toks = [t for ts in tok_lists for t in ts]
+    if not all_toks or int(lens.max()) < SUBSTR_WIN:
+        return doc_ids, lens, empty, empty
+    codes, uniq = pd.factorize(pd.Series(all_toks), sort=False)
+    # deterministic 64-bit value per distinct token (collision-free at
+    # the token level by construction; window-level collisions are the
+    # same ~1e-9 risk the distributed xxhash64 path carries)
+    vals = np.random.default_rng(0x5EED).integers(
+        0, 2**63 - 1, size=len(uniq), dtype=np.int64
+    )
+    h = vals[codes]
+    didx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    W = len(h) - (SUBSTR_WIN - 1)
+    if W <= 0:
+        return doc_ids, lens, empty, empty
+    wh = h[:W].copy()
+    for k in range(1, SUBSTR_WIN):
+        r = (7 * k) % 64
+        x = h[k : k + W].astype(np.uint64)
+        wh ^= ((x << np.uint64(r)) | (x >> np.uint64(64 - r))).astype(np.int64)
+    keep_idx = np.flatnonzero(didx[:W] == didx[SUBSTR_WIN - 1 :])
+    wh = wh[keep_idx]
+    wdoc = didx[keep_idx]
+    wpos = keep_idx - offsets[wdoc]  # 0-based start within the doc
+    order = np.argsort(wh, kind="stable")
+    ws, ds = wh[order], wdoc[order]
+    starts = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
+    ends = np.r_[starts[1:], len(ws)]
+    grp = np.repeat(np.arange(len(starts)), ends - starts)
+    dmin = np.minimum.reduceat(ds, starts)
+    dmax = np.maximum.reduceat(ds, starts)
+    dup_rows = order[(dmin != dmax)[grp]]
+    return doc_ids, lens, wdoc[dup_rows], wpos[dup_rows]
+
+
 def _substring_fold(docs: DataFrame) -> "pd.DataFrame":
     """Driver-fold exact-substring stats: one Arrow transfer of the raw
     documents, then the whole window pipeline vectorized over the
@@ -1326,46 +1381,10 @@ def _substring_fold(docs: DataFrame) -> "pd.DataFrame":
                 "dup_frac_e6": np.array([], dtype=np.int64),
             }
         )
-    doc_ids = pdf["doc_id"].to_numpy(np.int64)
-    tok_lists = [
-        ("" if t is None else t).translate(_WS_TABLE).split() for t in pdf["text"]
-    ]
-    lens = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+    doc_ids, lens, dup_doc, dup_pos = _substring_dup_window_positions(pdf)
     n_windows = np.maximum(lens - (SUBSTR_WIN - 1), 0)
-    all_toks = [t for ts in tok_lists for t in ts]
     n_dup = np.zeros(len(pdf), dtype=np.int64)
-    if all_toks and int(lens.max()) >= SUBSTR_WIN:
-        codes, uniq = pd.factorize(pd.Series(all_toks), sort=False)
-        # deterministic 64-bit value per distinct token (collision-free at
-        # the token level by construction; window-level collisions are the
-        # same ~1e-9 risk the distributed xxhash64 path carries)
-        vals = np.random.default_rng(0x5EED).integers(
-            0, 2**63 - 1, size=len(uniq), dtype=np.int64
-        )
-        h = vals[codes]
-        didx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
-        T = len(h)
-        W = T - (SUBSTR_WIN - 1)
-        if W > 0:
-            wh = h[:W].copy()
-            for k in range(1, SUBSTR_WIN):
-                r = (7 * k) % 64
-                x = h[k : k + W].astype(np.uint64)
-                wh ^= ((x << np.uint64(r)) | (x >> np.uint64(64 - r))).astype(
-                    np.int64
-                )
-            keep = didx[:W] == didx[SUBSTR_WIN - 1 :]
-            wh = wh[keep]
-            wdoc = didx[:W][keep]
-            order = np.argsort(wh, kind="stable")
-            ws, ds = wh[order], wdoc[order]
-            starts = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
-            ends = np.r_[starts[1:], len(ws)]
-            grp = np.repeat(np.arange(len(starts)), ends - starts)
-            dmin = np.minimum.reduceat(ds, starts)
-            dmax = np.maximum.reduceat(ds, starts)
-            dup_rows = (dmin != dmax)[grp]
-            np.add.at(n_dup, ds[dup_rows], 1)
+    np.add.at(n_dup, dup_doc, 1)
     frac = np.where(n_windows > 0, n_dup * 1_000_000 // np.maximum(n_windows, 1), 0)
     return pd.DataFrame(
         {
@@ -1486,6 +1505,144 @@ FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
 """
 
 
+def _substring_spans_fold(docs: DataFrame) -> "pd.DataFrame":
+    """Driver-fold span merge: duplicated window starts from the shared
+    core, islands via the vectorized gaps-and-islands (sort by
+    (doc, pos); new island when the start gap exceeds SUBSTR_WIN),
+    reduceat min/max per island."""
+    import numpy as np
+    import pandas as pd
+
+    from tomixpanel_spark.operators.textops import docs_pdf
+
+    pdf = docs_pdf(docs)
+    empty = pd.DataFrame(
+        {
+            c: np.array([], dtype=np.int64)
+            for c in ("doc_id", "span_start", "span_end", "span_tokens")
+        }
+    )
+    if not len(pdf):
+        return empty
+    doc_ids, _lens, dup_doc, dup_pos = _substring_dup_window_positions(pdf)
+    if not len(dup_doc):
+        return empty
+    order = np.lexsort((dup_pos, dup_doc))
+    d, p = dup_doc[order], dup_pos[order]
+    new_island = np.r_[
+        True, (d[1:] != d[:-1]) | (p[1:] - p[:-1] > SUBSTR_WIN)
+    ]
+    starts = np.flatnonzero(new_island)
+    ends = np.r_[starts[1:], len(p)]
+    span_start = p[starts] + 1  # 1-based token index
+    span_end = np.maximum.reduceat(p, starts) + SUBSTR_WIN
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids[d[starts]],
+            "span_start": span_start,
+            "span_end": span_end,
+            "span_tokens": span_end - span_start + 1,
+        }
+    )
+
+
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL policy (the "Deduplicating Training
+    Data Makes Language Models Better" ExactSubstr cut, windowed): merge
+    every cross-document duplicated SUBSTR_WIN-token window into maximal
+    per-doc token spans — the spans a cleaning pipeline cuts out of the
+    text (``substring_dup_stats`` is the per-doc SIGNAL; this is the
+    actionable span list). Two windows join one span when their starts
+    are within SUBSTR_WIN tokens (overlapping or contiguous coverage).
+
+    Scale shape: identical window-hash discovery as the stats query
+    (fixed-width longs through the exchange, never window text); the
+    span merge is a per-doc gaps-and-islands — one window sort keyed by
+    (doc_id, position), state bounded per doc. Size-adaptive: driver
+    fold under the tfidf gate (vectorized lexsort + reduceat), same
+    shape distributed."""
+    from tomixpanel_spark.operators.textops import _corpus_count, _tfidf_driver_fold_cap
+
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    if _corpus_count(spark, sf_dir, docs) <= _tfidf_driver_fold_cap():
+        return spark.createDataFrame(
+            _substring_spans_fold(docs),
+            schema="doc_id long, span_start long, span_end long, span_tokens long",
+        )
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", tokens("text").alias("w")).select(
+        "doc_id",
+        F.size("w").alias("n"),
+        F.expr("transform(w, t -> xxhash64(t))").alias("th"),
+    )
+    win_structs = F.expr(
+        f"CASE WHEN n >= {SUBSTR_WIN} THEN "
+        f"transform(sequence(1, n - {SUBSTR_WIN - 1}), i -> "
+        f"struct(i AS i, {XOR_CHAIN} AS wh)) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<i: INT, wh: BIGINT>>) END"
+    )
+    wins = toks.select("doc_id", F.explode(win_structs).alias("s")).select(
+        "doc_id", F.col("s.i").alias("i"), F.col("s.wh").alias("wh")
+    )
+    wins = stage_checkpoint(wins, eager=False)
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("wh")
+    )
+    d = wins.join(dup, "wh", "left_semi").select("doc_id", "i")
+    w_ord = Window.partitionBy("doc_id").orderBy("i")
+    flagged = d.withColumn(
+        "nf",
+        F.when(
+            (F.col("i") - F.lag("i").over(w_ord) > SUBSTR_WIN)
+            | F.lag("i").over(w_ord).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("nf").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy("doc_id", "island").agg(
+        F.min("i").cast("long").alias("span_start"),
+        (F.max("i") + (SUBSTR_WIN - 1)).cast("long").alias("span_end"),
+        (F.max("i") + SUBSTR_WIN - F.min("i")).cast("long").alias("span_tokens"),
+    ).drop("island")
+
+
+_SUBSTR_SPANS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+wins AS (
+  SELECT doc_id, i, array_to_string(w[i:i+{SUBSTR_WIN - 1}], ' ') AS wt
+  FROM toks, unnest(generate_series(1, greatest(len(w) - {SUBSTR_WIN - 1}, 0))) AS t(i)),
+dup AS (
+  SELECT wt FROM (SELECT wt, MIN(doc_id) AS a, MAX(doc_id) AS b FROM wins GROUP BY wt)
+  WHERE a <> b),
+d AS (SELECT doc_id, i FROM wins WHERE wt IN (SELECT wt FROM dup)),
+marked AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > {SUBSTR_WIN}
+              OR lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+              THEN 1 ELSE 0 END AS nf
+  FROM d),
+isl AS (
+  SELECT doc_id, i,
+         SUM(nf) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM marked)
+SELECT doc_id,
+       CAST(MIN(i) AS BIGINT) AS span_start,
+       CAST(MAX(i) + {SUBSTR_WIN - 1} AS BIGINT) AS span_end,
+       CAST(MAX(i) + {SUBSTR_WIN} - MIN(i) AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_id, island
+"""
+
+
+
+
 # -- persistent cross-run dedup (incremental crawl) ---------------------------
 def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-run exact dedup through the persisted ``DedupIndex``
@@ -1555,6 +1712,9 @@ REGISTRY = {
         incremental_dedup,
         _INCREMENTAL_DEDUP_SQL,
         "ext:dedup persistent cross-run index (incremental crawl)",
+    ),
+    "substring_dup_spans": QuerySpec(
+        substring_dup_spans, _SUBSTR_SPANS_SQL, "ext:dedup"
     ),
     "substring_dup_stats": QuerySpec(
         substring_dup_stats, _SUBSTR_DUP_SQL, "ext:dedup exact substring windows"
