@@ -657,3 +657,17 @@ def test_substring_spans_paths_agree_and_distributed_shape(spark, monkeypatch):
     import re
     for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "wt" not in m, m
+
+
+def test_substring_clean_paths_agree_and_broadcast(spark, monkeypatch):
+    """substring_dedup_clean: driver fold == distributed plan, and the
+    span table (output-bounded) re-attaches via a broadcast join — a
+    shuffle join on doc_id would exchange the whole corpus to clean it."""
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "1000000")
+    fold = {tuple(r) for r in REG["substring_dedup_clean"].fn(spark, SF_ORACLE).collect()}
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+    df = REG["substring_dedup_clean"].fn(spark, SF_ORACLE)
+    dist = {tuple(r) for r in df.collect()}
+    assert fold == dist and len(fold) > 0
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert "SortMergeJoin" not in join_strategies(df)

@@ -49,6 +49,7 @@ _LAST_EXTERNAL = {
     # -- new in round 9: never externally checked ----------------------------
     "streaming_incremental_parity": 0,
     "streaming_dedup_parity": 0,
+    "substring_dedup_clean": 0,
     "substring_dup_spans": 0,
     "streaming_sketch_parity": 0,
     "streaming_stateful_parity": 0,

@@ -1643,6 +1643,135 @@ GROUP BY doc_id, island
 
 
 
+def _substring_clean_fold(docs: DataFrame) -> "pd.DataFrame":
+    """Driver-fold cleaned-corpus reconstruction: spans from the shared
+    core, per-doc coverage mask via one scatter over token positions,
+    cleaned text joined from the kept tokens."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from tomixpanel_spark.operators.textops import _WS_TABLE, docs_pdf
+
+    pdf = docs_pdf(docs)
+    if not len(pdf):
+        return pd.DataFrame(
+            {"doc_id": [], "kept_tokens": [], "removed_tokens": [], "cleaned_fp": []}
+        )
+    doc_ids, lens, dup_doc, dup_pos = _substring_dup_window_positions(pdf)
+    tok_lists = [
+        ("" if t is None else t).translate(_WS_TABLE).split() for t in pdf["text"]
+    ]
+    covered = [np.zeros(n, dtype=bool) for n in lens]
+    for di, p in zip(dup_doc, dup_pos):
+        covered[di][p : p + SUBSTR_WIN] = True
+    kept_n, removed_n, fps = [], [], []
+    for toks_i, cov in zip(tok_lists, covered):
+        kept = [t for t, c in zip(toks_i, cov) if not c]
+        kept_n.append(len(kept))
+        removed_n.append(len(toks_i) - len(kept))
+        fps.append(hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest())
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "kept_tokens": np.array(kept_n, dtype=np.int64),
+            "removed_tokens": np.array(removed_n, dtype=np.int64),
+            "cleaned_fp": fps,
+        }
+    )
+
+
+def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-substring removal pipeline END-TO-END: cut every
+    duplicated span (``substring_dup_spans``) out of each document and
+    emit the cleaned corpus summary — kept/removed token counts and the
+    md5 of the reconstructed cleaned text (single-space joined), so the
+    oracle hash-verifies the actual reconstruction, not just the span
+    arithmetic.
+
+    Scale shape: the span table is OUTPUT-bounded (duplicated islands),
+    so it re-attaches to the corpus as a broadcast join (plan-locked);
+    per-doc span masking runs as one higher-order filter over the token
+    array — no token-level explode or shuffle on the cleaning side.
+    Size-adaptive via the family's driver-fold gate."""
+    from tomixpanel_spark.operators.textops import _corpus_count, _tfidf_driver_fold_cap
+
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    if _corpus_count(spark, sf_dir, docs) <= _tfidf_driver_fold_cap():
+        return spark.createDataFrame(
+            _substring_clean_fold(docs),
+            schema="doc_id long, kept_tokens long, removed_tokens long, cleaned_fp string",
+        )
+    spans = substring_dup_spans(spark, sf_dir)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    toks = docs.select("doc_id", tokens("text").alias("w"))
+    joined = toks.join(F.broadcast(sp), "doc_id", "left").withColumn(
+        "sp",
+        F.coalesce(
+            "sp",
+            F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+        ),
+    )
+    kept = F.filter(
+        "w",
+        lambda t, i: ~F.exists(
+            F.col("sp"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size(kept).cast("long").alias("kept_tokens"),
+        (F.size("w") - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.md5(F.concat_ws(" ", kept)).alias("cleaned_fp"),
+    )
+
+
+_SUBSTR_CLEAN_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+wins AS (
+  SELECT doc_id, i, array_to_string(w[i:i+{SUBSTR_WIN - 1}], ' ') AS wt
+  FROM toks, unnest(generate_series(1, greatest(len(w) - {SUBSTR_WIN - 1}, 0))) AS t(i)),
+dup AS (
+  SELECT wt FROM (SELECT wt, MIN(doc_id) AS a, MAX(doc_id) AS b FROM wins GROUP BY wt)
+  WHERE a <> b),
+d AS (SELECT doc_id, i FROM wins WHERE wt IN (SELECT wt FROM dup)),
+marked AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > {SUBSTR_WIN}
+              OR lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+              THEN 1 ELSE 0 END AS nf
+  FROM d),
+isl AS (
+  SELECT doc_id, i,
+         SUM(nf) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM marked),
+spans AS (
+  SELECT doc_id, MIN(i) AS s, MAX(i) + {SUBSTR_WIN - 1} AS e
+  FROM isl GROUP BY doc_id, island),
+pos AS (
+  SELECT doc_id, i AS p, w[i] AS token
+  FROM toks, unnest(generate_series(1, len(w))) AS t(i)),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.token
+  FROM pos
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = pos.doc_id AND pos.p BETWEEN s.s AND s.e))
+SELECT t.doc_id,
+       CAST(COALESCE(k.n, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(t.w) - COALESCE(k.n, 0) AS BIGINT) AS removed_tokens,
+       md5(COALESCE(k.txt, '')) AS cleaned_fp
+FROM toks t LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n, string_agg(token, ' ' ORDER BY p) AS txt
+  FROM kept GROUP BY doc_id) k
+ON t.doc_id = k.doc_id
+"""
+
+
 # -- persistent cross-run dedup (incremental crawl) ---------------------------
 def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-run exact dedup through the persisted ``DedupIndex``
@@ -1712,6 +1841,9 @@ REGISTRY = {
         incremental_dedup,
         _INCREMENTAL_DEDUP_SQL,
         "ext:dedup persistent cross-run index (incremental crawl)",
+    ),
+    "substring_dedup_clean": QuerySpec(
+        substring_dedup_clean, _SUBSTR_CLEAN_SQL, "ext:dedup"
     ),
     "substring_dup_spans": QuerySpec(
         substring_dup_spans, _SUBSTR_SPANS_SQL, "ext:dedup"
