@@ -350,7 +350,11 @@ def streaming_windowed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "finish in 300s — refusing to read a partial sink"
             )
     out = spark.read.parquet(out_dir)
-    return out.filter(F.col("event_type") != "__sentinel__").select(
+    # null-safe: a NULL event_type is a legitimate group the oracle also
+    # keeps; plain != would null out and silently drop it
+    return out.filter(
+        ~F.col("event_type").eqNullSafe("__sentinel__")
+    ).select(
         F.col("window_start").cast("string").alias("window_start"),
         "event_type",
         F.col("n").cast("bigint").alias("n"),
