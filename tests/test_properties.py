@@ -709,3 +709,99 @@ class TestResizeGeometry:
 
         px = np.arange(16, dtype=np.uint8).reshape(4, 4)
         assert (resize_nearest(px, 4, 4) == px).all()
+
+
+class TestSubstringFamilyProperties:
+    def test_spans_match_python_reference_random_corpora(self, spark, tmp_path):
+        """Random small-alphabet corpora (dense duplicate windows):
+        substring_dup_spans' driver fold must equal a direct Python
+        reference (exact window content comparison, island merge) — the
+        hash-keyed pipelines may never diverge from first principles."""
+        import random
+
+        from tomixpanel_spark.operators.dedup import SUBSTR_WIN, substring_dup_spans
+
+        rng = random.Random(11)
+        for trial in range(3):
+            docs = []
+            shared = [f"s{rng.randrange(3)}" for _ in range(SUBSTR_WIN + 5)]
+            for d in range(8):
+                toks = [f"w{rng.randrange(4)}" for _ in range(rng.randrange(0, 40))]
+                if rng.random() < 0.7 and len(toks) > 3:
+                    at = rng.randrange(len(toks))
+                    toks = toks[:at] + shared + toks[at:]
+                docs.append((d, " ".join(toks)))
+            # python reference: cross-doc duplicated windows -> islands
+            tok_lists = {d: t.split() for d, t in docs}
+            wins = {}
+            for d, ts in tok_lists.items():
+                for i in range(len(ts) - SUBSTR_WIN + 1):
+                    wins.setdefault(tuple(ts[i : i + SUBSTR_WIN]), set()).add((d, i))
+            dup_pos = {}
+            for w, occs in wins.items():
+                if len({d for d, _ in occs}) >= 2:
+                    for d, i in occs:
+                        dup_pos.setdefault(d, set()).add(i)
+            want = set()
+            for d, ps in dup_pos.items():
+                ps = sorted(ps)
+                start = prev = ps[0]
+                for p in ps[1:]:
+                    if p - prev > SUBSTR_WIN:
+                        want.add((d, start + 1, prev + SUBSTR_WIN, prev + SUBSTR_WIN - start))
+                        start = p
+                    prev = p
+                want.add((d, start + 1, prev + SUBSTR_WIN, prev + SUBSTR_WIN - start))
+            sf = tmp_path / f"t{trial}"
+            sf.mkdir()
+            spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+                "overwrite"
+            ).parquet(str(sf / "documents.parquet"))
+            got = {
+                (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+                for r in substring_dup_spans(spark, str(sf)).collect()
+            }
+            assert got == want, (trial, sorted(got - want)[:3], sorted(want - got)[:3])
+
+
+class TestBandedFoldProperties:
+    def test_fold_equals_brute_force_random_signatures(self, spark):
+        """_banded_pairs_fold vs a brute-force reference on random
+        signatures INCLUDING negatives (arithmetic-shift band values must
+        match the distributed shiftright semantics) and duplicate-
+        signature clusters."""
+        import random
+
+        import pandas as pd
+
+        from tomixpanel_spark.operators.dedup import _banded_pairs_fold, _popcount64
+
+        rng = random.Random(23)
+        n_bands, band_bits, ham_max = 4, 8, 3
+        sigs = []
+        base = [rng.getrandbits(32) - (1 << 31) for _ in range(30)]
+        for i in range(120):
+            s = rng.choice(base)
+            if rng.random() < 0.5:
+                s ^= 1 << rng.randrange(32)
+            sigs.append((i, s))
+        pdf = pd.DataFrame(sigs, columns=["doc_id", "simhash"])
+        got = {
+            tuple(r)
+            for r in _banded_pairs_fold(pdf, n_bands, band_bits, ham_max).itertuples(
+                index=False
+            )
+        }
+        # brute force with the SAME band-recall semantics (pigeonhole makes
+        # banding lossless for ham <= n_bands - 1, so plain all-pairs works)
+        import numpy as np
+
+        want = set()
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                a, sa = sigs[i]
+                b, sb = sigs[j]
+                h = int(_popcount64(np.array([sa ^ sb], dtype=np.int64))[0])
+                if h <= ham_max:
+                    want.add((min(a, b), max(a, b), h))
+        assert got == want and len(want) > 0
