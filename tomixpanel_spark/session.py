@@ -52,6 +52,11 @@ def session_builder(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # static conf, read once at first codegen: the default 100-entry
+        # generated-class cache thrashes under a 100-plus-query serving
+        # workload (every plan's classes recompile per run — the widest
+        # transforms pay ~0.5s of janino per pass); size it to the suite
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.ui.enabled", "false")
     )
