@@ -944,8 +944,6 @@ WHERE bit_count(xor(a.simhash, c.simhash)) <= {SIMHASH_HAM_MAX}
 """
 
 
-
-
 def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup dedup decision: verified Jaccard>=0.8 pairs ->
     drop the higher doc_id of each pair -> emit the keep list.
@@ -1639,8 +1637,6 @@ SELECT doc_id,
 FROM isl
 GROUP BY doc_id, island
 """
-
-
 
 
 def _substring_clean_fold(docs: DataFrame) -> "pd.DataFrame":
