@@ -309,3 +309,36 @@ class TestProbeDriverParity:
             for r in drv_pdf.itertuples(index=False)
         )
         assert drv == dist and len(drv) == 3
+
+    def test_probe_driver_null_text_matches_distributed(self, spark, tmp_path):
+        """Null text must probe as unseen on BOTH paths (round-9 advice:
+        an object-dtype hash column made the pandas merge raise where the
+        distributed probe degraded gracefully)."""
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        idx = DedupIndex(str(tmp_path / "store"), n_buckets=4)
+        idx.register(_docs(spark, [(0, "alpha"), (2, "beta")]), 0)
+        probe = _docs(spark, [(1, "alpha"), (3, None), (5, None), (7, "new")])
+        dist = sorted(
+            (r["doc_id"], r["seen_before"], r["first_doc_id"])
+            for r in idx.probe(probe).collect()
+        )
+        drv_pdf = idx.probe_driver(probe.toPandas())
+        drv = sorted(
+            (int(r.doc_id), bool(r.seen_before),
+             None if r.first_doc_id is None or r.first_doc_id != r.first_doc_id
+             else int(r.first_doc_id))
+            for r in drv_pdf.itertuples(index=False)
+        )
+        assert drv == dist and len(drv) == 4
+        assert (3, False, None) in drv and (5, False, None) in drv
+
+    def test_probe_driver_all_null_batch(self, spark, tmp_path):
+        """A batch of ONLY null text must not raise and reads no buckets."""
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        idx = DedupIndex(str(tmp_path / "store"), n_buckets=4)
+        idx.register(_docs(spark, [(0, "alpha")]), 0)
+        drv_pdf = idx.probe_driver(_docs(spark, [(1, None), (2, None)]).toPandas())
+        assert list(drv_pdf["seen_before"]) == [False, False]
+        assert all(v is None or v != v for v in drv_pdf["first_doc_id"])

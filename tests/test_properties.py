@@ -534,6 +534,41 @@ class TestTokenizeSpec:
         }
         assert jvm == py_counts
 
+    def test_substring_fold_tokenizer_keeps_exotic_whitespace(self, spark):
+        """The substring-family driver fold must follow the SAME pinned
+        spec: NBSP / \\x1c-\\x1f / \\x85 / thin-space are NOT separators
+        (argless str.split() would split on them and silently diverge
+        from tokens() and the DuckDB oracle — round-9 advice)."""
+        from collections import Counter
+
+        from tomixpanel_spark.functions.text import tokens
+        from tomixpanel_spark.operators.dedup import _fold_tokenize
+
+        texts = [
+            "a\xa0b c",            # NBSP inside a token
+            "x\x1cy\x1dz",          # file/group separators
+            "p\x85q",               # NEL
+            "u\u2009v w\u3000t",  # thin space, ideographic space
+            "a\tb\xa0c\nd",         # mix of real and fake separators
+            None,
+            "",
+        ]
+        ids = list(range(len(texts)))
+        df = spark.createDataFrame(
+            list(zip(ids, texts)), "doc_id long, text string"
+        )
+        jvm = {
+            r["doc_id"]: r["t"]
+            for r in df.select("doc_id", tokens("text").alias("t")).collect()
+        }
+        for i, t in zip(ids, texts):
+            # tokens() yields SQL NULL on null text; the fold's [] is the
+            # same zero-token stream downstream
+            assert _fold_tokenize(t) == (jvm[i] or []), (i, t)
+        # the concrete hazard: NBSP-joined text stays ONE token
+        assert _fold_tokenize("a\xa0b c") == ["a\xa0b", "c"]
+        assert Counter(_fold_tokenize("a\xa0b c")) != Counter(["a", "b", "c"])
+
 
 class TestPngCodec:
     @given(st.integers(1, 16), st.integers(1, 16), st.integers(0, 2**32 - 1))

@@ -56,10 +56,17 @@ def _leaf_checks(schema: dict, col: Column) -> list[Column]:
     checks: list[Column] = []
     if "enum" in schema:
         vals = [v for v in schema["enum"] if v is not None]
-        # nulls are governed by `required`, never by enum membership
-        # (draft-04): a null value passes the enum check UNCONDITIONALLY —
-        # isin() on a null yields SQL NULL, which the coalesce(ok, false)
-        # consumer would otherwise count as a violation
+        # Absent/null conflation tradeoff: Spark's typed read collapses an
+        # ABSENT key and an EXPLICIT JSON null to the same SQL NULL, so a
+        # null value passes the enum check unconditionally here (nulls are
+        # then governed by `required` alone). Draft-04 itself (the
+        # reference's jsonschema library, gaToMixpanel.js:51-57) would
+        # REJECT an explicit null against enum:["a","b"] while passing an
+        # absent key — a distinction we cannot recover post-read. This is
+        # the only consistent choice after the collapse; documented
+        # divergence: explicit nulls are accepted where the reference
+        # rejects them. (isin() on null also yields SQL NULL, which the
+        # coalesce(ok,false) consumer would otherwise count as a violation.)
         pred = col.isin(*vals) if vals else F.lit(False)
         checks.append(col.isNull() | pred)
     if "pattern" in schema:

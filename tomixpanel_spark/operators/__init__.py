@@ -46,61 +46,11 @@ from tomixpanel_spark.sources import csv as csv_source
 # has local DuckDB parity in tests/test_oracle_parity.py every round.
 _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
-    # -- new in round 9: never externally checked ----------------------------
-    "streaming_incremental_parity": 0,
-    "streaming_dedup_parity": 0,
-    "substring_dedup_clean": 0,
-    "substring_dup_spans": 0,
-    "streaming_sketch_parity": 0,
-    "streaming_stateful_parity": 0,
-    "streaming_windowed_parity": 0,
-    "cagg_store_read": 0,
-    "dedup_index_probe": 0,
     # -- last green r7 -------------------------------------------------------
-    "chunk_documents": 7,
-    "cms_heavy_hitters": 7,
-    "containment_pairs": 7,
-    "cosine_topk": 7,
-    "cosine_topk_partitioned": 7,
-    "custom_dims": 7,
-    "decontam_overlap": 7,
-    "dedup_exact": 7,
-    "dedup_keep_list": 7,
-    "embedding_decontam": 7,
-    "embedding_neardup": 7,
-    "event_sequences": 7,
-    "funnel": 7,
-    "gopher_quality": 7,
-    "hypertable_rollup": 7,
-    "identity_components": 7,
-    "kmv_distinct": 7,
-    "lsh_keep_list": 7,
-    "minhash_lsh_pairs": 7,
-    "minhash_signature": 7,
-    "mixture_rebalance": 7,
-    "multimodal_meta": 7,
-    "neardup_components": 7,
-    "neardup_keep_best": 7,
-    "ngram_jaccard_pairs": 7,
-    "pii_redact": 7,
-    "range_join_active_windows": 7,
-    "retention": 7,
-    "rolling_active_users": 7,
-    "salted_join_stats": 7,
-    "segment_dedup": 7,
-    "sessionize": 7,
-    "set_ops": 7,
-    "simhash": 7,
-    "simhash_pairs": 7,
-    "tfidf_keywords": 7,
-    "topk_per_group": 7,
-    "tpch_q1": 7,
-    "tpch_q3": 7,
     "tpch_q5": 7,
     "value_quantiles": 7,
     "weighted_sample": 7,
     # -- last green r8 -------------------------------------------------------
-    "amp_transform": 8,
     "ann_ivf_q": 8,
     "ann_lsh": 8,
     "ann_pq_q": 8,
@@ -115,7 +65,6 @@ _LAST_EXTERNAL = {
     "doc_fingerprint": 8,
     "explode_hits": 8,
     "filter_nonempty": 8,
-    "ga_transform": 8,
     "incremental_dedup": 8,
     "insert_id_md5": 8,
     "label_centroids": 8,
@@ -150,6 +99,57 @@ _LAST_EXTERNAL = {
     "when_chain": 8,
     "window_running": 8,
     "word_freq": 8,
+    # -- last green r9 -------------------------------------------------------
+    "amp_transform": 9,
+    "cagg_store_read": 9,
+    "chunk_documents": 9,
+    "cms_heavy_hitters": 9,
+    "containment_pairs": 9,
+    "cosine_topk": 9,
+    "cosine_topk_partitioned": 9,
+    "custom_dims": 9,
+    "decontam_overlap": 9,
+    "dedup_exact": 9,
+    "dedup_index_probe": 9,
+    "dedup_keep_list": 9,
+    "embedding_decontam": 9,
+    "embedding_neardup": 9,
+    "event_sequences": 9,
+    "funnel": 9,
+    "ga_transform": 9,
+    "gopher_quality": 9,
+    "hypertable_rollup": 9,
+    "identity_components": 9,
+    "kmv_distinct": 9,
+    "lsh_keep_list": 9,
+    "minhash_lsh_pairs": 9,
+    "minhash_signature": 9,
+    "mixture_rebalance": 9,
+    "multimodal_meta": 9,
+    "neardup_components": 9,
+    "neardup_keep_best": 9,
+    "ngram_jaccard_pairs": 9,
+    "pii_redact": 9,
+    "range_join_active_windows": 9,
+    "retention": 9,
+    "rolling_active_users": 9,
+    "salted_join_stats": 9,
+    "segment_dedup": 9,
+    "sessionize": 9,
+    "set_ops": 9,
+    "simhash": 9,
+    "simhash_pairs": 9,
+    "streaming_dedup_parity": 9,
+    "streaming_incremental_parity": 9,
+    "streaming_sketch_parity": 9,
+    "streaming_stateful_parity": 9,
+    "streaming_windowed_parity": 9,
+    "substring_dedup_clean": 9,
+    "substring_dup_spans": 9,
+    "tfidf_keywords": 9,
+    "topk_per_group": 9,
+    "tpch_q1": 9,
+    "tpch_q3": 9,
 }
 
 WINDOW_SIZE = 50  # the driver samples this many leading registry entries

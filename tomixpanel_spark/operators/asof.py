@@ -109,9 +109,17 @@ def asof_join(
             right.semanticHash(),
             cap,
         )
-        if key not in _ASOF_GATE_CACHE:
-            _ASOF_GATE_CACHE[key] = right.limit(cap + 1).count() <= cap
-        strategy = "broadcast" if _ASOF_GATE_CACHE[key] else "window"
+        cache_max = _asof_gate_cache_max()
+        hit = _ASOF_GATE_CACHE.get(key) if cache_max > 0 else None
+        if hit is None:
+            hit = right.limit(cap + 1).count() <= cap
+            if cache_max > 0:
+                _ASOF_GATE_CACHE[key] = hit
+                while len(_ASOF_GATE_CACHE) > cache_max:
+                    _ASOF_GATE_CACHE.popitem(last=False)
+        else:
+            _ASOF_GATE_CACHE.move_to_end(key)
+        strategy = "broadcast" if hit else "window"
     if strategy == "cogroup":
         return _asof_cogroup(
             left, right, on, left_time, right_time, right_tiebreak, direction,
@@ -277,7 +285,22 @@ def _asof_cogroup(
     )
 
 
-_ASOF_GATE_CACHE: dict[tuple, bool] = {}
+# LRU-bounded (the _DOCS_PDF_CACHE precedent): an unbounded memo would
+# both grow without limit across many distinct plans AND pin a stale
+# "fits" verdict forever if the right table's files grow within one
+# application — bounding it means a long-lived app re-probes eventually
+# rather than broadcasting an over-cap table into executor OOM. Set
+# TOMIX_ASOF_GATE_CACHE=0 to re-probe every call (mutable-source
+# deployments where the same plan reads growing data).
+from collections import OrderedDict as _OrderedDict
+
+_ASOF_GATE_CACHE: "_OrderedDict[tuple, bool]" = _OrderedDict()
+
+
+def _asof_gate_cache_max() -> int:
+    import os
+
+    return int(os.environ.get("TOMIX_ASOF_GATE_CACHE", "64"))
 
 
 def _bcast_cap() -> int:

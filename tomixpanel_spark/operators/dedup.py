@@ -1300,6 +1300,21 @@ XOR_CHAIN = " ^ ".join(
 )
 
 
+def _fold_tokenize(t) -> "list[str]":
+    """Driver-fold tokenizer — follows the pinned cross-engine spec
+    (``functions.text.tokens`` / ``textops._py_token_counts``): fold the
+    five WHITESPACE_CHARS to ' ', split on the LITERAL space, drop
+    empties. Argless ``str.split()`` would additionally split on
+    NBSP/\\x1c-\\x1f/\\x85 and silently diverge from the distributed
+    plan (and the DuckDB oracle) on non-ASCII whitespace."""
+    from tomixpanel_spark.operators.textops import _WS_TABLE
+
+    t = t or ""
+    if "\t" in t or "\n" in t or "\r" in t or "\x0b" in t or "\x0c" in t:
+        t = t.translate(_WS_TABLE)
+    return [x for x in t.split(" ") if x]
+
+
 def _substring_dup_window_positions(pdf):
     """Shared fold core for the exact-substring family: tokenize the
     collected docs, window-hash the CONCATENATED token stream with the
@@ -1312,11 +1327,8 @@ def _substring_dup_window_positions(pdf):
     import pandas as pd
 
     doc_ids = pdf["doc_id"].to_numpy(np.int64)
-    from tomixpanel_spark.operators.textops import _WS_TABLE
 
-    tok_lists = [
-        ("" if t is None else t).translate(_WS_TABLE).split() for t in pdf["text"]
-    ]
+    tok_lists = [_fold_tokenize(t) for t in pdf["text"]]
     lens = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
     empty = np.array([], dtype=np.int64)
     all_toks = [t for ts in tok_lists for t in ts]
@@ -1367,7 +1379,7 @@ def _substring_fold(docs: DataFrame) -> "pd.DataFrame":
     import numpy as np
     import pandas as pd
 
-    from tomixpanel_spark.operators.textops import _WS_TABLE, docs_pdf
+    from tomixpanel_spark.operators.textops import docs_pdf
 
     pdf = docs_pdf(docs)
     if not len(pdf):
@@ -1648,7 +1660,7 @@ def _substring_clean_fold(docs: DataFrame) -> "pd.DataFrame":
     import numpy as np
     import pandas as pd
 
-    from tomixpanel_spark.operators.textops import _WS_TABLE, docs_pdf
+    from tomixpanel_spark.operators.textops import docs_pdf
 
     pdf = docs_pdf(docs)
     if not len(pdf):
@@ -1656,9 +1668,7 @@ def _substring_clean_fold(docs: DataFrame) -> "pd.DataFrame":
             {"doc_id": [], "kept_tokens": [], "removed_tokens": [], "cleaned_fp": []}
         )
     doc_ids, lens, dup_doc, dup_pos = _substring_dup_window_positions(pdf)
-    tok_lists = [
-        ("" if t is None else t).translate(_WS_TABLE).split() for t in pdf["text"]
-    ]
+    tok_lists = [_fold_tokenize(t) for t in pdf["text"]]
     covered = [np.zeros(n, dtype=bool) for n in lens]
     for di, p in zip(dup_doc, dup_pos):
         covered[di][p : p + SUBSTR_WIN] = True

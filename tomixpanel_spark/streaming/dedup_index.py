@@ -336,14 +336,21 @@ class DedupIndex:
         man = self._load_manifest()
         nb = self._effective_buckets(man)
         out = pdf.copy()
-        out["__didx_h"] = [
-            None
-            if t is None
-            else int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
-            for t in out[self.text_col]
-        ]
+        # nullable Int64, NOT a python-object column: an object column of
+        # ints+None makes the merge against the bucket files' int64 'h'
+        # raise, where the distributed probe() hashes null text to NULL
+        # and reports unseen — the two paths must agree (null -> unseen).
+        out["__didx_h"] = pd.array(
+            [
+                None
+                if t is None
+                else int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                for t in out[self.text_col]
+            ],
+            dtype="Int64",
+        )
         frames = []
-        for b in sorted({int(h % nb) for h in out["__didx_h"] if h is not None}):
+        for b in sorted({int(h) % nb for h in out["__didx_h"].dropna()}):
             g = man["buckets"].get(str(b))
             if g is None:
                 continue
