@@ -27,6 +27,29 @@ from tomixpanel_spark.operators import registry  # noqa: E402
 from tomixpanel_spark.operators.base import TABLES, table  # noqa: E402
 from tomixpanel_spark.session import ensure_semantics, session_builder  # noqa: E402
 
+# Queries whose plan is size-adaptive (driver fold / local union-find /
+# broadcast as-of under a gate, distributed above it). At sf0.1 every
+# corpus sits UNDER its gate, so the headline times the fold paths; the
+# distributed tier re-times these with the gates forced off.
+DISTRIBUTED_TIER = (
+    "tfidf_keywords",
+    "bm25_topk",
+    "cms_heavy_hitters",
+    "simhash",
+    "simhash_pairs",
+    "substring_dup_stats",
+    "substring_dup_spans",
+    "substring_dedup_clean",
+    "dedup_index_probe",
+    "media_neardup",
+    "identity_components",
+    "neardup_components",
+    "neardup_keep_best",
+    "dedup_keep_list",
+    "lsh_keep_list",
+    "asof_latest_order",
+)
+
 
 def main() -> None:
     # engine buffer pool: cache base tables across the query suite (the
@@ -168,6 +191,64 @@ def main() -> None:
             derived_cached[name] = round(run_once(name), 4)
     os.environ.pop("TOMIX_CACHE_DERIVED", None)
 
+    # DISTRIBUTED tier: the size-adaptive families re-timed with every
+    # driver-fold/local-path gate forced OFF, so the ABOVE-GATE plans (the
+    # ones a 100 TB corpus would actually run: distributed window-hash,
+    # label-propagation CC, window-strategy as-of, distributed probe) get
+    # recorded wall-clock signal at sf0.1 — not just paths-agree tests.
+    # Each row also hash-compares its result against the gated headline
+    # pass: `distributed_match` false anywhere is a paths-agree violation.
+    distributed: dict[str, float] = {}
+    distributed_match: dict[str, bool] = {}
+
+    def result_fingerprint(df) -> str:
+        import hashlib
+
+        try:
+            pdf = df.toPandas()
+        except Exception:
+            rows = df.collect()
+            import pandas as pd
+
+            pdf = pd.DataFrame([r.asDict() for r in rows], columns=df.columns)
+        cols = sorted(pdf.columns)
+        pdf = pdf[cols]
+        body = sorted(
+            tuple(repr(round(v, 9)) if isinstance(v, float) else str(v) for v in row)
+            for row in pdf.itertuples(index=False, name=None)
+        )
+        return hashlib.md5(repr((cols, body)).encode()).hexdigest()
+
+    gate_env = {
+        "TOMIX_TFIDF_DRIVER_FOLD_DOCS": "0",  # text/substring/simhash folds
+        "TOMIX_CC_LOCAL_MAX": "0",  # driver union-find -> label propagation
+        "TOMIX_ASOF_BCAST_ROWS": "0",  # broadcast as-of -> window strategy
+    }
+    baseline_fp = {
+        name: result_fingerprint(reg[name].fn(spark, sf_dir))
+        for name in DISTRIBUTED_TIER
+        if name in reg
+    }
+    saved_env = {k: os.environ.get(k) for k in gate_env}
+    os.environ.update(gate_env)
+    try:
+        for name in sorted(baseline_fp):
+            try:
+                reg[name].fn(spark, warm_sf).toPandas()  # codegen warm, new shape
+            except Exception:
+                pass
+            best = min(run_once(name), run_once(name))
+            distributed[name] = round(best, 4)
+            distributed_match[name] = (
+                result_fingerprint(reg[name].fn(spark, sf_dir)) == baseline_fp[name]
+            )
+    finally:
+        for k, v in saved_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
     # Optional oracle leg (TOMIX_BENCH_ORACLE=1): time DuckDB running each
     # query's oracle SQL in the SAME measurement window under the SAME
     # best-of-N policy as the Spark headline — min-of-N on one side only
@@ -209,6 +290,10 @@ def main() -> None:
         "prepared_total": round(sum(prepared.values()), 4),
         "prepared_queries": prepared,
         "derived_cached": derived_cached,
+        "distributed_queries": distributed,
+        "distributed_total": round(sum(distributed.values()), 4),
+        "distributed_match": distributed_match,
+        "distributed_all_match": all(distributed_match.values()),
         "sf": sf_val,
         "n_queries": len(timings),
         "cpus": cpus,
@@ -251,7 +336,12 @@ def main() -> None:
     # headline (the recorder parses the last line of a bounded tail)
     spark.stop()
     print(json.dumps(out))
-    print(compact_headline(timings, sf_val, cpus, out["timing_policy"]))
+    extra = {
+        "distributed_total": out["distributed_total"],
+        "distributed_n": len(distributed),
+        "distributed_all_match": out["distributed_all_match"],
+    }
+    print(compact_headline(timings, sf_val, cpus, out["timing_policy"], extra=extra))
 
 
 def compact_headline(
@@ -260,6 +350,7 @@ def compact_headline(
     cpus: int,
     policy: str,
     budget: int = 1900,
+    extra: dict | None = None,
 ) -> str:
     """One headline JSON line guaranteed <= ``budget`` chars so it survives
     a bounded stdout tail: full per-query map at 3 then 2 decimals; if
@@ -284,6 +375,8 @@ def compact_headline(
             "cpus": cpus,
             "timing_policy": policy,
         }
+        if extra:
+            out.update(extra)
         if folded:
             out["fast_sum"] = round(sum(folded.values()), 3)
             out["fast_n"] = len(folded)

@@ -342,3 +342,105 @@ class TestProbeDriverParity:
         drv_pdf = idx.probe_driver(_docs(spark, [(1, None), (2, None)]).toPandas())
         assert list(drv_pdf["seen_before"]) == [False, False]
         assert all(v is None or v != v for v in drv_pdf["first_doc_id"])
+
+
+class TestRebucket:
+    def test_rebucket_round_trips_entries_and_probes(self, spark, tmp_path):
+        """Grow 4->7 then shrink 7->3: entries identical bit-for-bit,
+        probes identical, and the manifest adopts the new layout (a
+        reopen with a stale constructor count still routes correctly)."""
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        idx = DedupIndex(str(tmp_path / "store"), n_buckets=4)
+        idx.register(_docs(spark, [(0, "alpha"), (2, "beta"), (4, "alpha")]), 0)
+        idx.register(_docs(spark, [(6, "gamma"), (8, "beta")]), 1)
+        before = sorted(tuple(r) for r in idx.entries(spark).collect())
+        probe = _docs(spark, [(1, "alpha"), (3, "delta"), (5, "gamma")])
+        probe_before = sorted(tuple(r) for r in idx.probe(probe).collect())
+
+        for nb in (7, 3):
+            idx.rebucket(spark, nb)
+            assert sorted(tuple(r) for r in idx.entries(spark).collect()) == before
+            assert (
+                sorted(tuple(r) for r in idx.probe(probe).collect())
+                == probe_before
+            )
+            # stale-constructor reopen adopts the stored layout
+            reopened = DedupIndex(str(tmp_path / "store"), n_buckets=99)
+            assert (
+                sorted(tuple(r) for r in reopened.probe(probe).collect())
+                == probe_before
+            )
+
+    def test_rebucket_preserves_first_writer_across_new_run(self, spark, tmp_path):
+        """Keeper identity survives the migration: a NEW run registering
+        the same content after a rebucket must NOT steal the keeper."""
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        idx = DedupIndex(str(tmp_path / "store"), n_buckets=4, run="crawl-a")
+        idx.register(_docs(spark, [(10, "alpha"), (20, "beta")]), 0)
+        idx.rebucket(spark, 9)
+        idx2 = DedupIndex(str(tmp_path / "store"), n_buckets=4, run="crawl-b")
+        idx2.register(_docs(spark, [(1, "alpha"), (2, "new-text")]), 0)
+        got = {
+            r["first_doc_id"]: r["first_batch"]
+            for r in idx2.entries(spark).collect()
+        }
+        assert got == {10: 0, 20: 0, 2: 0}
+
+    def test_rebucket_empty_store_pins_layout(self, spark, tmp_path):
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        idx = DedupIndex(str(tmp_path / "store"), n_buckets=4)
+        idx.rebucket(spark, 16)
+        idx.register(_docs(spark, [(0, "alpha")]), 0)
+        assert idx._load_manifest()["n_buckets"] == 16
+
+    def test_rebucket_distributed_path_matches_driver(self, spark, tmp_path, monkeypatch):
+        """Force the Spark rewrite path (cap=0) and the driver path on
+        two copies of one store: identical entries and manifests."""
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        rows = [(i, f"text-{i % 37}") for i in range(200)]
+        stores = {}
+        for tag, cap in (("drv", "65536"), ("dist", "0")):
+            p = str(tmp_path / tag)
+            idx = DedupIndex(p, n_buckets=4)
+            idx.register(_docs(spark, rows), 0)
+            monkeypatch.setenv("TOMIX_DEDUP_INDEX_DRIVER_CAP", cap)
+            idx.rebucket(spark, 11)
+            monkeypatch.delenv("TOMIX_DEDUP_INDEX_DRIVER_CAP")
+            stores[tag] = sorted(tuple(r) for r in idx.entries(spark).collect())
+            assert idx._load_manifest()["n_buckets"] == 11
+        assert stores["drv"] == stores["dist"] and len(stores["drv"]) == 37
+
+    def test_rebucket_property_random_batches(self, spark, tmp_path):
+        """Property sweep (seeded): random batch contents + random
+        bucket-count migration sequences must always equal the dict
+        model (first writer wins, rebucket changes nothing)."""
+        import random
+
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        rng = random.Random(0xB0CE)
+        for case in range(6):
+            p = str(tmp_path / f"s{case}")
+            idx = DedupIndex(p, n_buckets=rng.choice([1, 2, 5, 8]))
+            model = {}
+            doc = 0
+            for batch in range(3):
+                rows = []
+                for _ in range(rng.randrange(1, 12)):
+                    t = f"t{rng.randrange(8)}"
+                    rows.append((doc, t))
+                    if t not in model:
+                        model[t] = (doc, batch)
+                    doc += 1
+                idx.register(_docs(spark, rows), batch)
+                if rng.random() < 0.7:
+                    idx.rebucket(spark, rng.choice([1, 3, 4, 7, 13]))
+            got = {
+                (r["first_doc_id"], r["first_batch"])
+                for r in idx.entries(spark).collect()
+            }
+            assert got == set(model.values()), (case, got, model)

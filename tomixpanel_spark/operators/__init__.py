@@ -46,7 +46,11 @@ from tomixpanel_spark.sources import csv as csv_source
 # has local DuckDB parity in tests/test_oracle_parity.py every round.
 _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
-    # -- last green r7 -------------------------------------------------------
+    # -- new in round 10: never externally checked ---------------------------
+    "amp_profiles": 0,
+    "ga_profiles": 0,
+    "engage_reshape": 0,
+    # -- last green r7-------------------------------------------------------
     "tpch_q5": 7,
     "value_quantiles": 7,
     "weighted_sample": 7,

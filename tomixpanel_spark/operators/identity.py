@@ -35,7 +35,16 @@ MAX_ITERATIONS = 20
 # graph, tiny relative to the event volume that produced it). Above it,
 # the distributed label-propagation loop runs. ~2M edges of short string
 # ids is low hundreds of MB on the driver — comfortably collectable.
-LOCAL_EDGE_THRESHOLD = int(os.environ.get("TOMIX_CC_LOCAL_MAX", "2000000"))
+LOCAL_EDGE_THRESHOLD = 2_000_000
+
+
+def _local_edge_threshold() -> int:
+    # env read at CALL time (not import) so a bench/ops process can flip
+    # the strategy per pass — TOMIX_CC_LOCAL_MAX=0 forces the distributed
+    # label-propagation loop; unset uses the module default (tests
+    # monkeypatch the attribute)
+    v = os.environ.get("TOMIX_CC_LOCAL_MAX")
+    return int(v) if v is not None else LOCAL_EDGE_THRESHOLD
 
 
 def _local_components(pdf) -> list[tuple]:
@@ -92,7 +101,7 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> 
         .distinct()
     )
     ded = stage_checkpoint(ded, eager=True)  # reused by count + (either) path
-    if ded.count() <= LOCAL_EDGE_THRESHOLD:
+    if ded.count() <= _local_edge_threshold():
         rows = _local_components(ded.toPandas())
         schema = StructType(
             [StructField("node", id_type), StructField("component", id_type)]

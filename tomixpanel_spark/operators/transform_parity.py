@@ -382,8 +382,161 @@ FROM allev
 """
 
 
+def amp_profiles_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 (amp side): real transforms.amplitude.amp_profiles over the
+    synthesized export — the $set shaping (non-empty user_properties
+    filter, map_concat precedence with the truthy-gated pair table, JS
+    identity coalesce, ip passthrough; reference
+    transform/amplitudeToMixpanel.js:86-107) projected to scalars."""
+    from tomixpanel_spark.transforms.amplitude import amp_profiles
+
+    out = amp_profiles(_synth_amp(spark, sf_dir))
+    s = F.col("set")
+    return out.select(
+        F.col("distinct_id"),
+        F.col("ip"),
+        F.element_at(s, "plan").alias("plan"),
+        F.element_at(s, "tier").alias("tier"),
+        F.element_at(s, "$os").alias("os"),
+        F.element_at(s, "$region").alias("region"),
+        F.element_at(s, "$city").alias("city"),
+        F.element_at(s, "$app_version_string").alias("app_ver"),
+        F.element_at(s, "$model").alias("model"),
+    )
+
+
+_AMP_PROFILES_SQL = """
+WITH s AS (
+  SELECT event_id AS e, user_id AS u FROM events WHERE event_id % 4 = 0)
+SELECT
+  COALESCE(CASE WHEN u % 3 = 0 THEN NULL ELSE 'user_' || CAST(u AS VARCHAR) END,
+           CASE WHEN e % 10 = 9 THEN NULL ELSE 'dev_' || CAST(u % 50 AS VARCHAR) END,
+           CAST(e AS VARCHAR)) AS distinct_id,
+  CASE WHEN u % 5 = 0 THEN NULL ELSE '10.0.0.1' END AS ip,
+  'user-plan' AS plan,
+  'gold' AS tier,
+  CASE WHEN u % 5 = 0 THEN NULL ELSE 'ios' END AS os,
+  'ca' AS region,
+  'sf' AS city,
+  CASE WHEN u % 5 < 2 THEN NULL ELSE '1.2.3' END AS app_ver,
+  'iphone' AS model
+FROM s
+"""
+
+
+def ga_profiles_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 (GA side): real transforms.ga.ga_profiles over the synthesized
+    nested sessions — one $set per session from the device/location/
+    attribution pair tables, INCLUDING the lat/long hoist (both-present
+    gate; reference transform/gaToMixpanel.js:101-127,119-122) — projected
+    to scalars."""
+    from tomixpanel_spark.schemas import GA_SESSION_SCHEMA
+    from tomixpanel_spark.transforms.ga import ga_profiles
+
+    sessions = _synth_ga_sessions(spark, sf_dir)
+    sessions = sessions.select(*[F.col(f.name) for f in GA_SESSION_SCHEMA.fields])
+    out = ga_profiles(sessions)
+    s = F.col("set")
+    return out.select(
+        F.col("distinct_id"),
+        F.element_at(s, "$os").alias("os"),
+        F.element_at(s, "mp_country_code").alias("country_code"),
+        F.element_at(s, "$city").alias("city"),
+        F.element_at(s, "utm_keyword").alias("keyword"),
+        F.element_at(s, "UTM Channel").alias("utm_channel"),
+        F.element_at(s, "$latitude").alias("set_latitude"),
+        F.col("latitude"),
+        F.col("longitude"),
+    )
+
+
+_GA_PROFILES_SQL = """
+WITH g AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events)
+SELECT
+  CASE WHEN u % 3 = 0 THEN 'fv' || CAST(u % 7 AS VARCHAR)
+       ELSE 'gu' || CAST(u AS VARCHAR) END AS distinct_id,
+  'Macintosh' AS os,
+  CASE WHEN u % 4 <> 0 THEN 'United States' END AS country_code,
+  'San Francisco' AS city,
+  CASE WHEN u % 2 = 0 THEN 'shoes' END AS keyword,
+  'Organic Search' AS utm_channel,
+  CASE WHEN u % 3 = 0 THEN '37.77' END AS set_latitude,
+  CASE WHEN u % 3 = 0 THEN '37.77' END AS latitude,
+  CASE WHEN u % 3 = 0 THEN '-122.41' END AS longitude
+FROM g
+"""
+
+
+def _synth_engage_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> /engage-result-page-shaped rows (T15 fixture): pages of
+    {$distinct_id, $properties} structs grouped by a modular page key.
+    Fixture synthesis — cached as a derived view like the other synths."""
+
+    def build():
+        ev = table(spark, sf_dir, "events")
+        u = F.col("user_id")
+        return (
+            ev.select(
+                F.pmod("event_id", F.lit(64)).alias("pg"),
+                F.struct(
+                    F.concat(F.lit("u"), u.cast("string")).alias("$distinct_id"),
+                    F.create_map(
+                        F.lit("plan"),
+                        F.when(u % 2 == 0, F.lit("free")).otherwise(F.lit("pro")),
+                        F.lit("$city"),
+                        F.lit("sf"),
+                    ).alias("$properties"),
+                ).alias("r"),
+            )
+            .groupBy("pg")
+            # collect_list order is task-nondeterministic, which is the
+            # POINT: the explode under test must make page order and
+            # in-page order irrelevant (row-multiset compare downstream)
+            .agg(F.collect_list("r").alias("results"))
+        )
+
+    return derived(spark, ("synth_engage", sf_dir), build, kind="fixture")
+
+
+def engage_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15: real transforms.mixpanel.mp_engage_profiles over synthesized
+    /engage result pages — the explode + $-field reshape (reference
+    connectors/mixpanelEngageExport shape) projected to scalars. Page
+    grouping is irrelevant after the explode, so the oracle is the flat
+    per-event projection."""
+    from tomixpanel_spark.transforms.mixpanel import mp_engage_profiles
+
+    out = mp_engage_profiles(_synth_engage_pages(spark, sf_dir))
+    s = F.col("set")
+    return out.select(
+        F.col("distinct_id"),
+        F.element_at(s, "plan").alias("plan"),
+        F.element_at(s, "$city").alias("city"),
+        F.col("ignore_time"),
+    )
+
+
+_ENGAGE_RESHAPE_SQL = """
+SELECT 'u' || CAST(user_id AS VARCHAR) AS distinct_id,
+       CASE WHEN user_id % 2 = 0 THEN 'free' ELSE 'pro' END AS plan,
+       'sf' AS city,
+       TRUE AS ignore_time
+FROM events
+"""
+
+
 REGISTRY = {
     "amp_transform": QuerySpec(amp_transform, _AMP_TRANSFORM_SQL, "T4+T5+T6+T8 e2e"),
     "custom_dims": QuerySpec(custom_dims, _CUSTOM_DIMS_SQL, "T12"),
     "ga_transform": QuerySpec(ga_transform, _GA_TRANSFORM_SQL, "M1+M2+T9+T5 e2e"),
+    "amp_profiles": QuerySpec(
+        amp_profiles_parity, _AMP_PROFILES_SQL, "T14 amp $set shaping"
+    ),
+    "ga_profiles": QuerySpec(
+        ga_profiles_parity, _GA_PROFILES_SQL, "T14 GA $set + lat/long hoist"
+    ),
+    "engage_reshape": QuerySpec(
+        engage_reshape, _ENGAGE_RESHAPE_SQL, "T15 /engage reshape"
+    ),
 }

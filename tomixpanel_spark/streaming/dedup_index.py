@@ -301,6 +301,92 @@ class DedupIndex:
             pq.write_table(tbl, os.path.join(bdir, "part-00000.parquet"))
         return buckets
 
+    def rebucket(self, spark: SparkSession, n_buckets: int) -> None:
+        """Migrate the store to a NEW bucket count in one full rewrite,
+        preserving every entry bit-for-bit (keeper identity included —
+        rows move between buckets; nothing is re-decided).
+
+        When to run: the manifest pins ``n_buckets`` at creation, so a
+        store that has grown far beyond its sizing reads/rewrites
+        oversized bucket partitions on every batch (per-batch IO ~
+        touched_buckets x bucket_size). When index_size / n_buckets
+        exceeds the target partition size (hundreds of MB), rebucket to
+        ~2-4x the bucket count during a quiet window. Cost is one
+        O(index) sequential pass; crash-safe exactly like ``register``:
+        the fresh generation directory is invisible until the single
+        atomic manifest swap, and a retry after a crash overwrites the
+        same orphan generation (seq derives from the unchanged
+        manifest). Concurrent writers must be quiesced — the generation
+        protocol serializes WRITERS through the manifest, and a register
+        committing between this method's read and its swap would be
+        silently superseded."""
+        if n_buckets <= 0:
+            raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+        man = self._load_manifest()
+        if not man["buckets"]:
+            # empty store: just pin the new layout for future batches
+            if man["n_buckets"] != n_buckets:
+                atomic_json_swap(
+                    self._manifest_path(), {**man, "n_buckets": n_buckets}
+                )
+            self.n_buckets = n_buckets
+            return
+        if self._effective_buckets(man) == n_buckets:
+            self.n_buckets = n_buckets
+            return
+        seq = man["gen_seq"] + 1
+        cap = int(os.environ.get("TOMIX_DEDUP_INDEX_DRIVER_CAP", "65536"))
+        df = self.entries(spark)
+        pdf = df.limit(cap + 1).toPandas() if cap > 0 else None
+        if pdf is not None and len(pdf) <= cap:
+            buckets = self._rebucket_driver_write(pdf, n_buckets, seq)
+        else:
+            gen = self._gen_dir(seq)
+            out = df.withColumn(
+                "b", F.pmod("h", F.lit(n_buckets)).cast("int")
+            )
+            out.write.mode("overwrite").partitionBy("b").parquet(gen)
+            buckets = sorted(
+                r["b"] for r in out.select("b").distinct().collect()
+            )
+        new_man = {
+            "runs": man["runs"],
+            "gen_seq": seq,
+            "buckets": {str(b): seq for b in buckets},
+            "n_buckets": n_buckets,
+        }
+        atomic_json_swap(self._manifest_path(), new_man)  # THE commit point
+        self.n_buckets = n_buckets
+        if self.gc:
+            gc_superseded(self.path, new_man["buckets"].values(), self.gc_keep)
+
+    def _rebucket_driver_write(self, pdf, n_buckets: int, seq: int) -> list:
+        """Driver-side rebucket for gate-bounded stores: one pyarrow pass
+        over the collected entries, same per-bucket layout as the merge
+        writers."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        gen = self._gen_dir(seq)
+        shutil.rmtree(gen, ignore_errors=True)  # crashed-retry orphan
+        pdf = pdf.copy()
+        pdf["b"] = pdf["h"] % n_buckets  # h is a 60-bit non-negative long
+        buckets = sorted(int(b) for b in pdf["b"].unique())
+        for b in buckets:
+            sub = pdf[pdf["b"] == b].sort_values("h")
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(sub["h"].astype("int64"), type=pa.int64()),
+                    pa.array(sub["first_doc_id"].astype("int64"), type=pa.int64()),
+                    pa.array(sub["first_batch"].astype("int64"), type=pa.int64()),
+                ],
+                names=["h", "first_doc_id", "first_batch"],
+            )
+            bdir = os.path.join(gen, f"b={b}")
+            os.makedirs(bdir, exist_ok=True)
+            pq.write_table(tbl, os.path.join(bdir, "part-00000.parquet"))
+        return buckets
+
     # -- read paths -------------------------------------------------------
     def entries(self, spark: SparkSession) -> DataFrame:
         """Every indexed hash with its first-seen doc/batch."""
