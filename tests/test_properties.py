@@ -840,3 +840,44 @@ class TestBandedFoldProperties:
                 if h <= ham_max:
                     want.add((min(a, b), max(a, b), h))
         assert got == want and len(want) > 0
+
+
+class TestPngGoldenVector:
+    # Sphinx's `plus.png` doc icon (11x11 8-bit grayscale, 90 bytes) —
+    # produced by an EXTERNAL PNG tool-chain (libpng-family encoder), not
+    # by encode_png_gray, so the codec is checked against foreign zlib
+    # streams/CRC layout, not only against itself (round-9 advice).
+    PLUS_PNG_B64 = (
+        "iVBORw0KGgoAAAANSUhEUgAAAAsAAAALCAAAAACMxyj6AAAAIUlEQVR4AWM4g"
+        "wAMZz5AwTsoW5MQWxMCiFX/DgpAbAQAAC0hYZTz8EAEAAAAAElFTkSuQmCC"
+    )
+
+    def test_external_grayscale_png_decodes_to_known_pixels(self):
+        """Golden vector: the decoded matrix must be the known 'plus'
+        glyph (cross of 41s on a 240 field inside a 204 border, 238
+        right/bottom inner edge) — independently reconstructed with
+        stdlib zlib + the PNG spec's unfilter rules."""
+        import base64
+
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import decode_png_gray
+
+        got = decode_png_gray(base64.b64decode(self.PLUS_PNG_B64))
+        want = np.full((11, 11), 240, dtype=np.uint8)
+        want[5, 2:9] = 41   # horizontal bar
+        want[2:9, 5] = 41   # vertical bar
+        want[1:10, 9] = 238  # inner right edge
+        want[9, 1:10] = 238  # inner bottom edge
+        want[0, :] = want[10, :] = 204
+        want[:, 0] = want[:, 10] = 204
+        assert got.shape == (11, 11)
+        assert (got == want).all(), got
+
+    def test_external_png_header_meta(self):
+        import base64
+
+        from tomixpanel_spark.operators.multimodal import decode_payload
+
+        meta = decode_payload(base64.b64decode(self.PLUS_PNG_B64), "image/png")
+        assert (meta["width"], meta["height"], meta["bit_depth"]) == (11, 11, 8)

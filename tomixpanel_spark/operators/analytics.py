@@ -67,6 +67,13 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row aggregate stack. The old form (per-step groupBy + join back)
     evaluated step k's lineage 4-k times and shuffled 6x at any scale."""
     ev = table(spark, sf_dir, "events")
+    # only step rows can set a step time, and a user with no step rows
+    # contributes nothing to any count() — so non-step events are dead
+    # weight in the exchange. Filtering BEFORE the window shuffle cuts
+    # the shuffled bytes to the step types' share of the corpus (the
+    # win that matters at 100 TB; result-identical by the null-count
+    # argument above).
+    ev = ev.filter(F.col("event_type").isin("view", "click", "purchase"))
     w = Window.partitionBy("user_id")
     t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     e1 = ev.select("user_id", "event_type", "ts", t1.alias("t1"))

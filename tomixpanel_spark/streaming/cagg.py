@@ -58,6 +58,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+# hourly() read-plan cache (LRU): key includes the manifest's day->gen
+# map, so any committed write changes the key — see hourly() for why a
+# hit can never be stale.
+from collections import OrderedDict
+
+_HOURLY_PLAN_CACHE: OrderedDict = OrderedDict()
+_HOURLY_PLAN_CACHE_MAX = 8
+
+
 def _sum_dec_skipna(s):
     """Exact-Decimal sum with F.sum's null semantics: skip NULLs, and an
     all-null group is NULL (None), never 0."""
@@ -421,12 +430,32 @@ class ContinuousAggregate:
 
     def hourly(self, spark: SparkSession) -> DataFrame:
         man = self._load_manifest()
+        # serving-read plan cache: building the read (file listing +
+        # footer/schema pass per generation) costs ~2x the actual scan at
+        # interactive store sizes. The key is the manifest's day->gen map,
+        # so a register()/rebucket that commits a new generation misses
+        # the cache by construction — generation dirs are immutable, a hit
+        # can never serve stale data. The manifest read itself stays
+        # per-call (it IS the freshness check).
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(self.path),
+            tuple(sorted(man["days"].items())),
+        )
+        hit = _HOURLY_PLAN_CACHE.get(key)
+        if hit is not None:
+            _HOURLY_PLAN_CACHE.move_to_end(key)
+            return hit
         df = self._read_day_partitions(spark, man, sorted(man["days"]))
         if df is None:
             return spark.createDataFrame([], StructType.fromDDL(self._READ_SCHEMA))
-        return df.select(
+        out = df.select(
             "bucket", "key", F.col("n").cast("bigint").alias("n"), "sum_dec"
         )
+        _HOURLY_PLAN_CACHE[key] = out
+        while len(_HOURLY_PLAN_CACHE) > _HOURLY_PLAN_CACHE_MAX:
+            _HOURLY_PLAN_CACHE.popitem(last=False)
+        return out
 
     def daily(self, spark: SparkSession) -> DataFrame:
         """Daily grain from the stored hourly partials — never re-reads

@@ -63,6 +63,18 @@ from tomixpanel_spark.streaming.genstore import (
     read_partitions,
 )
 
+# probe_driver per-bucket frame cache (LRU): keyed (store path, bucket,
+# owning generation) — generation dirs are immutable, so a hit can never
+# be stale; a register()/rebucket that rewrites a bucket commits a NEW
+# generation and misses by construction. Serving probes re-read the
+# manifest every call (the freshness check) but skip re-opening unchanged
+# bucket parquet files, which dominates interactive probe latency
+# (~2-3 ms/file open x touched buckets).
+from collections import OrderedDict as _OrderedDict
+
+_BUCKET_FRAME_CACHE: "_OrderedDict[tuple, object]" = _OrderedDict()
+_BUCKET_FRAME_CACHE_MAX = 512
+
 
 class DedupIndex:
     """Content-hash index: ``register`` merges a batch's new hashes,
@@ -436,13 +448,31 @@ class DedupIndex:
             dtype="Int64",
         )
         frames = []
+        store_key = os.path.abspath(self.path)
         for b in sorted({int(h) % nb for h in out["__didx_h"].dropna()}):
             g = man["buckets"].get(str(b))
             if g is None:
                 continue
-            bdir = os.path.join(self._gen_dir(g), f"b={b}")
-            for f in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
-                frames.append(pq.read_table(f).to_pandas()[["h", "first_doc_id"]])
+            ck = (store_key, b, str(g))
+            cached = _BUCKET_FRAME_CACHE.get(ck)
+            if cached is None:
+                bdir = os.path.join(self._gen_dir(g), f"b={b}")
+                parts = [
+                    pq.read_table(f).to_pandas()[["h", "first_doc_id"]]
+                    for f in sorted(glob.glob(os.path.join(bdir, "*.parquet")))
+                ]
+                cached = (
+                    pd.concat(parts, ignore_index=True)
+                    if parts
+                    else pd.DataFrame({"h": pd.array([], dtype="int64"),
+                                       "first_doc_id": pd.array([], dtype="int64")})
+                )
+                _BUCKET_FRAME_CACHE[ck] = cached
+                while len(_BUCKET_FRAME_CACHE) > _BUCKET_FRAME_CACHE_MAX:
+                    _BUCKET_FRAME_CACHE.popitem(last=False)
+            else:
+                _BUCKET_FRAME_CACHE.move_to_end(ck)
+            frames.append(cached)
         if frames:
             idx = pd.concat(frames, ignore_index=True)
             out = out.merge(idx, left_on="__didx_h", right_on="h", how="left")
