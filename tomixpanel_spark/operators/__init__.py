@@ -50,6 +50,7 @@ _LAST_EXTERNAL = {
     "amp_profiles": 0,
     "ga_profiles": 0,
     "engage_reshape": 0,
+    "reverse_events": 0,
     # -- last green r7-------------------------------------------------------
     "tpch_q5": 7,
     "value_quantiles": 7,

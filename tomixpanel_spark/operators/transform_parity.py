@@ -526,6 +526,71 @@ FROM events
 """
 
 
+def _synth_mp_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> /export-shaped rows {event, properties} (T16 fixture):
+    reserved mp keys + two custom props, SQL-mirrorable modular rules."""
+
+    def build():
+        ev = table(spark, sf_dir, "events")
+        u = F.col("user_id")
+        e = F.col("event_id")
+        return ev.select(
+            F.col("event_type").alias("event"),
+            F.create_map(
+                F.lit("distinct_id"), F.concat(F.lit("u"), u.cast("string")),
+                F.lit("$device_id"), F.concat(F.lit("d"), (u % 50).cast("string")),
+                F.lit("time"), F.unix_seconds("ts").cast("string"),
+                F.lit("$insert_id"), F.concat(F.lit("i"), e.cast("string")),
+                F.lit("ip"), F.lit("10.0.0.9"),
+                F.lit("plan"),
+                F.when(u % 2 == 0, F.lit("free")).otherwise(F.lit("pro")),
+                F.lit("step"), (e % 7).cast("string"),
+            ).alias("properties"),
+        )
+
+    return derived(spark, ("synth_mp_export", sf_dir), build, kind="fixture")
+
+
+def reverse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16: real transforms.mixpanel.mp_to_amplitude_events over
+    synthesized /export rows — the reverse-ETL projection (reserved-key
+    lift + sec->ms time + reserved-key strip from event_properties;
+    reference connectors/mixpanelETL.js reverse path) projected to
+    scalars. The map strip is checked BOTH ways: a custom key survives,
+    a reserved key is absent."""
+    from tomixpanel_spark.transforms.mixpanel import mp_to_amplitude_events
+
+    out = mp_to_amplitude_events(_synth_mp_export(spark, sf_dir))
+    ep = F.col("event_properties")
+    return out.select(
+        F.col("user_id"),
+        F.col("device_id"),
+        F.col("event_type"),
+        F.col("time"),
+        F.col("insert_id"),
+        F.col("ip"),
+        F.element_at(ep, "plan").alias("plan"),
+        F.element_at(ep, "step").alias("step"),
+        F.element_at(ep, "$insert_id").alias("stripped_reserved"),
+        F.size(F.map_keys(ep)).alias("n_custom"),
+    )
+
+
+_REVERSE_EVENTS_SQL = """
+SELECT 'u' || CAST(user_id AS VARCHAR) AS user_id,
+       'd' || CAST(user_id % 50 AS VARCHAR) AS device_id,
+       event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS time,
+       'i' || CAST(event_id AS VARCHAR) AS insert_id,
+       '10.0.0.9' AS ip,
+       CASE WHEN user_id % 2 = 0 THEN 'free' ELSE 'pro' END AS plan,
+       CAST(event_id % 7 AS VARCHAR) AS step,
+       NULL AS stripped_reserved,
+       2 AS n_custom
+FROM events
+"""
+
+
 REGISTRY = {
     "amp_transform": QuerySpec(amp_transform, _AMP_TRANSFORM_SQL, "T4+T5+T6+T8 e2e"),
     "custom_dims": QuerySpec(custom_dims, _CUSTOM_DIMS_SQL, "T12"),
@@ -538,5 +603,8 @@ REGISTRY = {
     ),
     "engage_reshape": QuerySpec(
         engage_reshape, _ENGAGE_RESHAPE_SQL, "T15 /engage reshape"
+    ),
+    "reverse_events": QuerySpec(
+        reverse_events, _REVERSE_EVENTS_SQL, "T16 reverse-ETL event projection"
     ),
 }
