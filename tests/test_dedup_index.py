@@ -444,3 +444,23 @@ class TestRebucket:
                 for r in idx.entries(spark).collect()
             }
             assert got == set(model.values()), (case, got, model)
+
+    def test_probe_driver_sees_rebucketed_store(self, spark, tmp_path):
+        """probe_driver's bucket-frame cache is keyed by generation, so
+        a rebucket (new generation, new layout) must be picked up
+        immediately — same answers before and after, through the cache."""
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        idx = DedupIndex(str(tmp_path / "store"), n_buckets=4)
+        idx.register(_docs(spark, [(0, "alpha"), (2, "beta")]), 0)
+        probe = _docs(spark, [(1, "alpha"), (3, "new")]).toPandas()
+        before = [
+            (int(r.doc_id), bool(r.seen_before))
+            for r in idx.probe_driver(probe).itertuples(index=False)
+        ]
+        idx.rebucket(spark, 7)
+        after = [
+            (int(r.doc_id), bool(r.seen_before))
+            for r in idx.probe_driver(probe).itertuples(index=False)
+        ]
+        assert before == after == [(1, True), (3, False)]
