@@ -391,8 +391,13 @@ def amp_profiles_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tomixpanel_spark.transforms.amplitude import amp_profiles
 
     out = amp_profiles(_synth_amp(spark, sf_dir))
+    return out.select(*_amp_profiles_columns())
+
+
+@lru_cache(maxsize=1)
+def _amp_profiles_columns() -> tuple:
     s = F.col("set")
-    return out.select(
+    return (
         F.col("distinct_id"),
         F.col("ip"),
         F.element_at(s, "plan").alias("plan"),
@@ -436,8 +441,13 @@ def ga_profiles_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = _synth_ga_sessions(spark, sf_dir)
     sessions = sessions.select(*[F.col(f.name) for f in GA_SESSION_SCHEMA.fields])
     out = ga_profiles(sessions)
+    return out.select(*_ga_profiles_columns())
+
+
+@lru_cache(maxsize=1)
+def _ga_profiles_columns() -> tuple:
     s = F.col("set")
-    return out.select(
+    return (
         F.col("distinct_id"),
         F.element_at(s, "$os").alias("os"),
         F.element_at(s, "mp_country_code").alias("country_code"),
@@ -561,8 +571,13 @@ def reverse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tomixpanel_spark.transforms.mixpanel import mp_to_amplitude_events
 
     out = mp_to_amplitude_events(_synth_mp_export(spark, sf_dir))
+    return out.select(*_reverse_events_columns())
+
+
+@lru_cache(maxsize=1)
+def _reverse_events_columns() -> tuple:
     ep = F.col("event_properties")
-    return out.select(
+    return (
         F.col("user_id"),
         F.col("device_id"),
         F.col("event_type"),

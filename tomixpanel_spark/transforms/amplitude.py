@@ -111,6 +111,7 @@ def _distinct_id() -> Column:
     )
 
 
+@lru_cache(maxsize=1)
 def _pair_map() -> Column:
     return _opt_entries([(dst, F.col(src)) for src, dst in AMP_MIX_PAIRS])
 

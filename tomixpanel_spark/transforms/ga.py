@@ -117,6 +117,7 @@ def _uuid() -> Column:
     )
 
 
+@lru_cache(maxsize=1)
 def _default_entries() -> Column:
     """mapDefaults(session) as a filtered ENTRY ARRAY: device + location +
     attribution pairs, UTM Channel. Kept in array form so downstream
