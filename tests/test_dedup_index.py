@@ -464,3 +464,24 @@ class TestRebucket:
             for r in idx.probe_driver(probe).itertuples(index=False)
         ]
         assert before == after == [(1, True), (3, False)]
+
+    def test_probe_driver_rejects_reserved_and_keeps_h_column(self, spark, tmp_path):
+        """probe_driver mirrors probe()'s reserved-column contract, and an
+        input column literally named 'h' must survive the internal merge
+        (probe() keeps it; the driver path must too)."""
+        import pandas as pd
+        import pytest
+
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        idx = DedupIndex(str(tmp_path / "store"), n_buckets=4)
+        idx.register(_docs(spark, [(0, "alpha")]), 0)
+        with pytest.raises(ValueError, match="reserved"):
+            idx.probe_driver(pd.DataFrame({"doc_id": [1], "text": ["x"],
+                                           "seen_before": [False]}))
+        out = idx.probe_driver(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["alpha", "nope"],
+                          "h": ["keep-me", "keep-me-too"]})
+        )
+        assert list(out["h"]) == ["keep-me", "keep-me-too"]
+        assert list(out["seen_before"]) == [True, False]

@@ -358,8 +358,13 @@ class DedupIndex:
                 "b", F.pmod("h", F.lit(n_buckets)).cast("int")
             )
             out.write.mode("overwrite").partitionBy("b").parquet(gen)
+            # enumerate the buckets from what was WRITTEN, not a second
+            # evaluation of the plan — one pass, and the manifest can
+            # never disagree with the files on disk
             buckets = sorted(
-                r["b"] for r in out.select("b").distinct().collect()
+                int(d.split("=", 1)[1])
+                for d in os.listdir(gen)
+                if d.startswith("b=")
             )
         new_man = {
             "runs": man["runs"],
@@ -431,6 +436,12 @@ class DedupIndex:
         import pandas as pd
         import pyarrow.parquet as pq
 
+        clash = [c for c in self._RESERVED if c in pdf.columns]
+        if clash:
+            raise ValueError(
+                f"probe input must not carry reserved columns {clash}; "
+                "rename them before probing"
+            )
         man = self._load_manifest()
         nb = self._effective_buckets(man)
         out = pdf.copy()
@@ -474,13 +485,18 @@ class DedupIndex:
                 _BUCKET_FRAME_CACHE.move_to_end(ck)
             frames.append(cached)
         if frames:
-            idx = pd.concat(frames, ignore_index=True)
-            out = out.merge(idx, left_on="__didx_h", right_on="h", how="left")
-            out["seen_before"] = out["h"].notna()
-            out["first_doc_id"] = (
-                out["first_doc_id"].astype(object).where(out["first_doc_id"].notna(), None)
+            # internal column names for the index side: an input frame
+            # carrying its own 'h' / 'first_doc_id'-adjacent columns must
+            # not collide with the merge (probe() keeps input 'h' too)
+            idx = pd.concat(frames, ignore_index=True).rename(
+                columns={"h": "__didx_ih", "first_doc_id": "__didx_keeper"}
             )
-            out = out.drop(columns=["h"])
+            out = out.merge(idx, left_on="__didx_h", right_on="__didx_ih", how="left")
+            out["seen_before"] = out["__didx_ih"].notna()
+            out["first_doc_id"] = (
+                out["__didx_keeper"].astype(object).where(out["__didx_keeper"].notna(), None)
+            )
+            out = out.drop(columns=["__didx_ih", "__didx_keeper"])
         else:
             out["seen_before"] = False
             out["first_doc_id"] = None
