@@ -74,6 +74,14 @@ from collections import OrderedDict as _OrderedDict
 
 _BUCKET_FRAME_CACHE: "_OrderedDict[tuple, object]" = _OrderedDict()
 _BUCKET_FRAME_CACHE_MAX = 512
+# per-frame row cap: a production-sized index bucket (manifest sizing
+# targets hundreds of MB) must NOT pin driver memory through the cache —
+# oversized frames are served but never cached (TOMIX_DIDX_CACHE_ROWS,
+# 0 disables caching entirely)
+
+
+def _bucket_cache_row_cap() -> int:
+    return int(os.environ.get("TOMIX_DIDX_CACHE_ROWS", "2000000"))
 
 
 class DedupIndex:
@@ -478,9 +486,11 @@ class DedupIndex:
                     else pd.DataFrame({"h": pd.array([], dtype="int64"),
                                        "first_doc_id": pd.array([], dtype="int64")})
                 )
-                _BUCKET_FRAME_CACHE[ck] = cached
-                while len(_BUCKET_FRAME_CACHE) > _BUCKET_FRAME_CACHE_MAX:
-                    _BUCKET_FRAME_CACHE.popitem(last=False)
+                cap = _bucket_cache_row_cap()
+                if cap > 0 and len(cached) <= cap:
+                    _BUCKET_FRAME_CACHE[ck] = cached
+                    while len(_BUCKET_FRAME_CACHE) > _BUCKET_FRAME_CACHE_MAX:
+                        _BUCKET_FRAME_CACHE.popitem(last=False)
             else:
                 _BUCKET_FRAME_CACHE.move_to_end(ck)
             frames.append(cached)
