@@ -75,3 +75,23 @@ class TestWindowedWatermark:
                 for r in windowed_event_counts(df).collect()}
         assert rows[("2024-01-01 00:00:00", "click")] == 2
         assert rows[("2024-01-01 00:10:00", "view")] == 1
+
+
+class TestSentinelFoldedLanding:
+    def test_windowed_landing_has_no_separate_sentinel_batch(self, spark, monkeypatch):
+        """The watermark sentinel rides IN the final day file (round-10:
+        availableNow's no-data finalization batch flushes the last
+        windows), so the staged landing must be exactly SLICE_DAYS files
+        — a separate sentinel file silently re-adds a ~0.5 s trigger."""
+        import os
+
+        from tomixpanel_spark.operators import streaming_parity as SP
+
+        monkeypatch.delenv("TOMIX_CACHE_TABLES", raising=False)
+        land = SP._staged_windowed_landing(spark, "/root/testdata/sf0.001")
+        files = sorted(f for f in os.listdir(land) if f.endswith(".parquet"))
+        assert files == [f"d{d}.parquet" for d in range(SP.SLICE_DAYS)]
+        # and the sentinel row IS present, inside the last day file
+        last = spark.read.parquet(os.path.join(land, files[-1]))
+        n_sentinel = last.filter("event_type = '__sentinel__'").count()
+        assert n_sentinel == 1
