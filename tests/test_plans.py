@@ -151,6 +151,22 @@ def test_connected_components_local_matches_distributed(spark, monkeypatch):
     assert ("iso1", "iso1") in local and ("iso2", "iso1") in local
 
 
+def test_connected_components_deep_chain_converges(spark, monkeypatch):
+    """Pointer jumping (round-10): a diameter-200 chain must converge
+    inside MAX_ITERATIONS (plain neighbor-min needs diameter rounds and
+    previously RAISED here) — the O(log d) property at 100 TB identity
+    graphs, pinned at a size the 20-round cap cannot brute-force."""
+    from tomixpanel_spark.operators import identity as idmod
+
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(200)],
+        "id_a string, id_b string",
+    )
+    monkeypatch.setattr(idmod, "LOCAL_EDGE_THRESHOLD", 0)
+    out = {tuple(r) for r in idmod.connected_components(edges).collect()}
+    assert out == {(f"n{i:04d}", "n0000") for i in range(201)}
+
+
 def test_decontam_broadcasts_eval_side(spark):
     """The held-out set is ~1% of shingle rows — it must broadcast, or at
     corpus scale contamination becomes a full shuffle join."""
