@@ -125,3 +125,31 @@ class TestBenchHeadline:
         parsed = json.loads(line)
         assert parsed["fast_n"] > 0
         assert parsed["n_queries"] == 400
+
+
+class TestEmptyInputs:
+    def test_previously_crashing_queries_handle_zero_rows(self, spark, tmp_path):
+        """Zero-row tables must produce empty results (or a documented
+        ValueError for training ops), never analysis/axis crashes:
+        the streaming slice bound is typed (min(ts) NULL + INTERVAL) and
+        the embedding ops early-out on an empty query set (round 10)."""
+        import duckdb
+
+        from tomixpanel_spark.operators import registry
+
+        con = duckdb.connect()
+        d = str(tmp_path)
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet("
+                f"'/root/testdata/sf0.001/{t}.parquet') LIMIT 0) "
+                f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        reg = registry()
+        for name in (
+            "cosine_topk", "cosine_topk_partitioned", "embedding_decontam",
+            "ann_lsh", "cagg_store_read", "streaming_cagg_parity",
+        ):
+            out = reg[name].fn(spark, d).toPandas()
+            assert len(out) == 0, (name, out)

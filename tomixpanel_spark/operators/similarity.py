@@ -64,6 +64,11 @@ def _mat(pdf: pd.DataFrame, col: str = "embedding"):
             f"_mat: column {col!r} absent; got columns={list(pdf.columns)} "
             f"dtypes={[str(t) for t in pdf.dtypes]} len={len(pdf)}"
         )
+    if not len(pdf):
+        # empty input yields a 1-D (0,) array from np.array(list(...)) —
+        # axis-1 ops would raise a cryptic AxisError; give callers a
+        # typed empty matrix instead (queries-empty paths early-out)
+        return np.zeros((0, 0), dtype="float64")
     m = np.array(list(pdf[col]), dtype="float64")
     norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
     norms[norms == 0.0] = 1.0
@@ -104,6 +109,8 @@ def _scored_pairs(
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not len(q_ids):
+            return  # no queries -> no rows (empty-corpus/empty-suite path)
         for pdf in it:
             if not len(pdf):
                 continue
@@ -604,6 +611,12 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = ensure_parallel(table(spark, sf_dir, "embeddings"), "vec_id")
     q_ids, q_mat = _collect_queries(emb)
+    if not len(q_ids):
+        # empty corpus / no query rows: empty result, correct schema
+        return _topk_window(
+            spark.createDataFrame([], "q_id long, neighbor_id long, sim_e6 long"),
+            TOP_K,
+        )
     # Query signatures DRIVER-SIDE from the already-collected query matrix
     # (bucket bits are sign(dot) — norm-invariant, so the unit rows give
     # the same bits as raw vectors): no extra Spark job.

@@ -98,7 +98,8 @@ def _staged_landing(spark: SparkSession, sf_dir: str) -> str:
     # it with a scalar subquery)
     [row] = ev.agg(F.min("ts").alias("mn")).collect()
     bound = ev.filter(
-        F.col("ts") < F.lit(row["mn"]) + F.expr(f"INTERVAL {SLICE_DAYS} DAYS")
+        F.col("ts")
+        < F.lit(row["mn"]).cast("timestamp") + F.expr(f"INTERVAL {SLICE_DAYS} DAYS")
     )
     land = os.path.join(tempfile.mkdtemp(prefix="tomix_cagg_land_"), "landing")
     os.makedirs(land)
@@ -285,8 +286,8 @@ def _staged_day_landing(
         os.utime(dst, (mtime,) * 2)
 
     for d in range(SLICE_DAYS):
-        lo = F.lit(row["mn"]) + F.expr(f"INTERVAL {d} DAYS")
-        hi = F.lit(row["mn"]) + F.expr(f"INTERVAL {d + 1} DAYS")
+        lo = F.lit(row["mn"]).cast("timestamp") + F.expr(f"INTERVAL {d} DAYS")
+        hi = F.lit(row["mn"]).cast("timestamp") + F.expr(f"INTERVAL {d + 1} DAYS")
         part_dir = os.path.join(land, f"_stage_d{d}")
         day = day_cols(ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)))
         if sentinel_cols is not None and d == SLICE_DAYS - 1:
@@ -607,7 +608,8 @@ def _built_cagg_store(spark: SparkSession, sf_dir: str) -> str:
     ev = table(spark, sf_dir, "events")
     [row] = ev.agg(F.min("ts").alias("mn")).collect()
     sliced = ev.filter(
-        F.col("ts") < F.lit(row["mn"]) + F.expr(f"INTERVAL {SLICE_DAYS} DAYS")
+        F.col("ts")
+        < F.lit(row["mn"]).cast("timestamp") + F.expr(f"INTERVAL {SLICE_DAYS} DAYS")
     ).select("ts", "event_type", "value")
     store = os.path.join(tempfile.mkdtemp(prefix="tomix_cagg_store_"), "store")
     cagg = ContinuousAggregate(store)
