@@ -153,3 +153,44 @@ class TestEmptyInputs:
         ):
             out = reg[name].fn(spark, d).toPandas()
             assert len(out) == 0, (name, out)
+
+    def test_all_null_text_and_embeddings_handled(self, spark, tmp_path):
+        """All-NULL text/embedding columns must behave like the oracle
+        (NULL rows contribute nothing): empty results or the documented
+        training ValueError — never numpy Axis/Index crashes."""
+        import duckdb
+        import pytest
+
+        from tomixpanel_spark.operators import registry
+
+        con = duckdb.connect()
+        d = str(tmp_path)
+        for t in ("region nation customer supplier part orders "
+                  "lineitem events").split():
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet("
+                f"'/root/testdata/sf0.001/{t}.parquet')) "
+                f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        con.execute(
+            f"COPY (SELECT doc_id, CAST(NULL AS VARCHAR) AS text, lang, "
+            f"source, n_chars FROM read_parquet("
+            f"'/root/testdata/sf0.001/documents.parquet')) "
+            f"TO '{d}/documents.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"COPY (SELECT * REPLACE (CAST(NULL AS DOUBLE[]) AS embedding) "
+            f"FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')) "
+            f"TO '{d}/embeddings.parquet' (FORMAT PARQUET)"
+        )
+        reg = registry()
+        for name in ("cosine_topk", "embedding_neardup", "embedding_decontam",
+                     "ann_lsh"):
+            assert len(reg[name].fn(spark, d).toPandas()) == 0, name
+        # per-doc text ops keep one row per doc (null counts), like the oracle
+        for name in ("token_count", "substring_dup_stats"):
+            out = reg[name].fn(spark, d).toPandas()
+            assert len(out) == 500, name
+        for name in ("ann_ivf_q", "ann_pq_q"):
+            with pytest.raises(ValueError, match="empty training sample"):
+                reg[name].fn(spark, d).toPandas()

@@ -80,7 +80,10 @@ def _collect_queries(emb: DataFrame, with_label: bool = False):
     Sorted by vec_id so the closure is deterministic under any scan order."""
     cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
     pdf = (
+        # null-vector rows contribute nothing on either engine (NULL sim
+        # fails every predicate in the oracle SQL) — drop them up front
         emb.filter(F.col("vec_id") < N_QUERIES)
+        .filter(F.col("embedding").isNotNull())
         .select(*cols)
         .toPandas()
         .sort_values("vec_id")
@@ -163,7 +166,7 @@ def _topk_window(scored: DataFrame, k: int) -> DataFrame:
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k neighbors for the first N_QUERIES vectors."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     q_ids, q_mat = _collect_queries(emb)
     cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     scored = _scored_pairs(cand, q_ids, q_mat, local_k=TOP_K, threshold_e6=None)
@@ -185,7 +188,7 @@ WHERE rank <= {TOP_K}
 def cosine_topk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style pruned top-k: only candidates in the query's coarse cell
     (label) are scored — per-cell scan instead of full scan."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     q_ids, q_mat, q_labels = _collect_queries(emb, with_label=True)
     cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding", "label")
     scored = _scored_pairs(cand, q_ids, q_mat, local_k=3, threshold_e6=None, q_labels=q_labels)
@@ -232,7 +235,7 @@ def embedding_neardup_pairs(
     # % follows the dividend's sign, so a negative id would land in a
     # blk < 0 that never matches the exploded 0..B-1 partner blocks and
     # every pair involving that row would silently vanish.
-    v = df.select(
+    v = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         F.pmod(F.col(id_col), F.lit(B)).cast("int").alias("blk"),
@@ -374,6 +377,10 @@ def embedding_decontam_pairs(
     (``_cross_blocked_pairs``) — same answers, bounded task memory —
     instead of trusting the caller not to collect an oversized suite.
     """
+    # null-vector rows contribute nothing on either engine (NULL sim
+    # fails every predicate) — drop them before gating and collecting
+    train = train.filter(F.col(vec_col).isNotNull())
+    held_out = held_out.filter(F.col(vec_col).isNotNull())
     if held_out.count() > _emb_bcast_cap():
         return _cross_blocked_pairs(
             train, held_out, threshold_e6, id_col=id_col, vec_col=vec_col
@@ -446,6 +453,7 @@ def ann_ivf_topk(emb: DataFrame, k: int = TOP_K, nprobe: int = 2) -> DataFrame:
     # NPROBE > #centroids just probes them all (argsort slice saturates)
     K, N_ITER, NPROBE = 16, 8, nprobe
     spark = emb.sparkSession
+    emb = emb.filter(F.col("embedding").isNotNull())  # null vecs score nothing
     n = emb.count()
     step = max(2, n // 1024)  # ~1-2k training vectors at any corpus size
     sample_pdf = (
@@ -769,6 +777,7 @@ def ann_ivf_quantized(
     import numpy as np
 
     spark = emb.sparkSession
+    emb = emb.filter(F.col("embedding").isNotNull())  # null vecs score nothing
     n = emb.count()
     step = max(2, n // 1024)
     sample_pdf = (
@@ -971,6 +980,7 @@ def ann_pq_quantized(emb: DataFrame, k: int = TOP_K) -> DataFrame:
     import numpy as np
 
     spark = emb.sparkSession
+    emb = emb.filter(F.col("embedding").isNotNull())  # null vecs score nothing
     n = emb.count()
     step = max(2, n // 1024)
     sample_pdf = (
