@@ -194,3 +194,56 @@ class TestEmptyInputs:
         for name in ("ann_ivf_q", "ann_pq_q"):
             with pytest.raises(ValueError, match="empty training sample"):
                 reg[name].fn(spark, d).toPandas()
+
+    def test_nan_poisoned_embeddings_excluded_by_policy(self, spark, tmp_path):
+        """Non-finite vectors are EXCLUDED like nulls (engine policy): a
+        NaN component otherwise casts to INT_MIN sim_e6 garbage rows, and
+        engines do not agree on NaN ordering. Parity is checked against
+        the policy-mirrored oracle (same finite filter in SQL)."""
+        import duckdb
+
+        from tomixpanel_spark.operators import registry
+
+        con = duckdb.connect()
+        d = str(tmp_path)
+        for t in ("region nation customer supplier part orders "
+                  "lineitem events documents").split():
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet("
+                f"'/root/testdata/sf0.001/{t}.parquet')) "
+                f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        con.execute(
+            f"""COPY (SELECT vec_id, label,
+                 CASE WHEN vec_id IN (3, 17)
+                      THEN list_transform(embedding,
+                           x -> CASE WHEN x = embedding[1]
+                                THEN 'NaN'::DOUBLE ELSE x END)
+                      ELSE embedding END AS embedding
+               FROM read_parquet(
+                 '/root/testdata/sf0.001/embeddings.parquet'))
+               TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+        )
+        for t in ("region nation customer supplier part orders "
+                  "lineitem events documents").split():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet' "
+            "WHERE NOT list_has_any(list_transform(embedding, "
+            "x -> isnan(x) OR NOT isfinite(x)), [true])"
+        )
+
+        def canon(cols, rows):
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            return sorted(cols), sorted(
+                tuple(str(v) for v in (r[i] for i in order)) for r in rows
+            )
+
+        reg = registry()
+        for name in ("cosine_topk", "cosine_topk_partitioned",
+                     "embedding_neardup", "ann_lsh"):
+            sdf = reg[name].fn(spark, d)
+            a = canon(sdf.columns, [tuple(r) for r in sdf.collect()])
+            res = con.execute(reg[name].oracle)
+            b = canon([c[0] for c in res.description], res.fetchall())
+            assert a == b, name

@@ -55,6 +55,17 @@ _SQL_SIM = (
 )
 
 
+def _finite_vecs(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Drop null and NON-FINITE vectors (engine policy, documented): a
+    NaN/Inf component poisons the integer ``sim_e6`` cast (NaN -> INT_MIN
+    garbage rows) and engines do not even agree on NaN ordering, so a
+    garbage vector must contribute nothing — the same contract as a NULL
+    vector (NULL sim fails every predicate in the oracle SQL)."""
+    e = F.col(vec_col)
+    non_finite = F.exists(e, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+    return df.filter(e.isNotNull() & ~non_finite)
+
+
 def _mat(pdf: pd.DataFrame, col: str = "embedding"):
     """embedding column of an Arrow batch -> L2-normalized float64 matrix."""
     import numpy as np
@@ -82,8 +93,7 @@ def _collect_queries(emb: DataFrame, with_label: bool = False):
     pdf = (
         # null-vector rows contribute nothing on either engine (NULL sim
         # fails every predicate in the oracle SQL) — drop them up front
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .filter(F.col("embedding").isNotNull())
+        _finite_vecs(emb.filter(F.col("vec_id") < N_QUERIES))
         .select(*cols)
         .toPandas()
         .sort_values("vec_id")
@@ -166,7 +176,7 @@ def _topk_window(scored: DataFrame, k: int) -> DataFrame:
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k neighbors for the first N_QUERIES vectors."""
-    emb = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    emb = _finite_vecs(table(spark, sf_dir, "embeddings"))
     q_ids, q_mat = _collect_queries(emb)
     cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     scored = _scored_pairs(cand, q_ids, q_mat, local_k=TOP_K, threshold_e6=None)
@@ -188,7 +198,7 @@ WHERE rank <= {TOP_K}
 def cosine_topk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style pruned top-k: only candidates in the query's coarse cell
     (label) are scored — per-cell scan instead of full scan."""
-    emb = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    emb = _finite_vecs(table(spark, sf_dir, "embeddings"))
     q_ids, q_mat, q_labels = _collect_queries(emb, with_label=True)
     cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding", "label")
     scored = _scored_pairs(cand, q_ids, q_mat, local_k=3, threshold_e6=None, q_labels=q_labels)
@@ -235,7 +245,7 @@ def embedding_neardup_pairs(
     # % follows the dividend's sign, so a negative id would land in a
     # blk < 0 that never matches the exploded 0..B-1 partner blocks and
     # every pair involving that row would silently vanish.
-    v = df.filter(F.col(vec_col).isNotNull()).select(
+    v = _finite_vecs(df, vec_col).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         F.pmod(F.col(id_col), F.lit(B)).cast("int").alias("blk"),
@@ -379,8 +389,8 @@ def embedding_decontam_pairs(
     """
     # null-vector rows contribute nothing on either engine (NULL sim
     # fails every predicate) — drop them before gating and collecting
-    train = train.filter(F.col(vec_col).isNotNull())
-    held_out = held_out.filter(F.col(vec_col).isNotNull())
+    train = _finite_vecs(train, vec_col)
+    held_out = _finite_vecs(held_out, vec_col)
     if held_out.count() > _emb_bcast_cap():
         return _cross_blocked_pairs(
             train, held_out, threshold_e6, id_col=id_col, vec_col=vec_col
@@ -453,7 +463,7 @@ def ann_ivf_topk(emb: DataFrame, k: int = TOP_K, nprobe: int = 2) -> DataFrame:
     # NPROBE > #centroids just probes them all (argsort slice saturates)
     K, N_ITER, NPROBE = 16, 8, nprobe
     spark = emb.sparkSession
-    emb = emb.filter(F.col("embedding").isNotNull())  # null vecs score nothing
+    emb = _finite_vecs(emb)  # null/NaN/Inf vecs score nothing
     n = emb.count()
     step = max(2, n // 1024)  # ~1-2k training vectors at any corpus size
     sample_pdf = (
@@ -617,7 +627,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (t, bucket) — the bucket-join analog of minhash-LSH band pairs."""
     import numpy as np
 
-    emb = ensure_parallel(table(spark, sf_dir, "embeddings"), "vec_id")
+    emb = _finite_vecs(ensure_parallel(table(spark, sf_dir, "embeddings"), "vec_id"))
     q_ids, q_mat = _collect_queries(emb)
     if not len(q_ids):
         # empty corpus / no query rows: empty result, correct schema
@@ -777,7 +787,7 @@ def ann_ivf_quantized(
     import numpy as np
 
     spark = emb.sparkSession
-    emb = emb.filter(F.col("embedding").isNotNull())  # null vecs score nothing
+    emb = _finite_vecs(emb)  # null/NaN/Inf vecs score nothing
     n = emb.count()
     step = max(2, n // 1024)
     sample_pdf = (
@@ -980,7 +990,7 @@ def ann_pq_quantized(emb: DataFrame, k: int = TOP_K) -> DataFrame:
     import numpy as np
 
     spark = emb.sparkSession
-    emb = emb.filter(F.col("embedding").isNotNull())  # null vecs score nothing
+    emb = _finite_vecs(emb)  # null/NaN/Inf vecs score nothing
     n = emb.count()
     step = max(2, n // 1024)
     sample_pdf = (
@@ -1188,7 +1198,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-pass dedup counting scales). Values quantize to int64 e6 before
     any summation, so the centroid (truncating integer mean, DuckDB's
     ``//``) is bit-exact under any partitioning."""
-    emb = ensure_parallel(table(spark, sf_dir, "embeddings"), "vec_id")
+    emb = _finite_vecs(ensure_parallel(table(spark, sf_dir, "embeddings"), "vec_id"))
     q = F.floor(F.col("val").cast("double") * IVFQ_SCALE).cast("long")
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "val"))
