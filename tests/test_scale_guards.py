@@ -247,3 +247,55 @@ class TestEmptyInputs:
             res = con.execute(reg[name].oracle)
             b = canon([c[0] for c in res.description], res.fetchall())
             assert a == b, name
+
+    def test_unicode_whitespace_corpus_matches_oracle(self, spark, tmp_path):
+        """NBSP/NEL/thin-space/CJK/emoji text through the text family —
+        the round-10 fold-tokenizer fix end-to-end: the gate selects the
+        DRIVER FOLD at this corpus size, so this pins the fixed fold
+        (literal-space split) against DuckDB on exactly the input class
+        where argless str.split() silently diverged."""
+        import duckdb
+
+        from tomixpanel_spark.operators import registry
+
+        con = duckdb.connect()
+        d = str(tmp_path)
+        for t in ("region nation customer supplier part orders "
+                  "lineitem events embeddings").split():
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet("
+                f"'/root/testdata/sf0.001/{t}.parquet')) "
+                f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        con.execute(
+            f"""COPY (SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN 'alpha' || chr(160) || 'beta gamma ' || text
+                   WHEN 1 THEN '宇宙 飛行士 ' || text
+                   WHEN 2 THEN 'emoji \U0001f680 mixed ' || text
+                   WHEN 3 THEN 'nel' || chr(133) || 'joined thin' ||
+                               chr(8201) || 'space ' || text
+                   ELSE text END AS text,
+                 lang, source, n_chars
+               FROM read_parquet(
+                 '/root/testdata/sf0.001/documents.parquet'))
+               TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+        )
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+
+        def canon(cols, rows):
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            return sorted(cols), sorted(
+                tuple(str(v) for v in (r[i] for i in order)) for r in rows
+            )
+
+        reg = registry()
+        for name in ("token_count", "word_freq", "substring_dup_stats",
+                     "substring_dedup_clean", "dedup_exact", "cms_heavy_hitters"):
+            sdf = reg[name].fn(spark, d)
+            a = canon(sdf.columns, [tuple(r) for r in sdf.collect()])
+            res = con.execute(reg[name].oracle)
+            b = canon([c[0] for c in res.description], res.fetchall())
+            assert a == b, name
