@@ -1,4 +1,4 @@
-"""Above-gate scale probe: replicate the sf0.1 documents table 10x (500k
+"""Above-gate scale probe: replicate the sf0.1 documents table 10x (5k
 -> 50k docs, doc_id-offset, per-replica text suffix on 2/3 of docs so the
 duplicate structure stays rich without being degenerate) and run the
 text/dedup families at a corpus size where the size-adaptive gates flip

@@ -438,3 +438,31 @@ class TestAllNullCell:
             }
             assert got["click"][0] == 3 and got["click"][1] is None, (name, got)
             assert got["view"][0] == 1 and str(got["view"][1]) == "1.500000", name
+
+    def test_hourly_cache_survives_store_recreation(self, spark, tmp_path):
+        """Round-10 advice: the hourly() plan cache was keyed on the
+        days->gen map alone — a store deleted and recreated at the same
+        path restarts batch ids at 0, so an identical map could serve
+        the DEAD store's plan. The recreated store must serve ITS OWN
+        values."""
+        import shutil
+
+        from tomixpanel_spark.streaming.cagg import ContinuousAggregate
+
+        store = str(tmp_path / "store")
+
+        def batch(val):
+            return spark.createDataFrame(
+                [("2024-03-01 05:00:00", "click", val)],
+                "ts string, event_type string, value double",
+            ).withColumn("ts", F.to_timestamp("ts"))
+
+        c1 = ContinuousAggregate(store)
+        c1.update_batch(batch(1.0), 0)
+        first = c1.hourly(spark).collect()  # fills the plan cache
+        assert [(r["n"], str(r["sum_dec"])) for r in first] == [(1, "1.000000")]
+        shutil.rmtree(store)
+        c2 = ContinuousAggregate(store)
+        c2.update_batch(batch(7.0), 0)  # same day, same batch id: key clash
+        out = c2.hourly(spark).collect()
+        assert [(r["n"], str(r["sum_dec"])) for r in out] == [(1, "7.000000")]

@@ -485,3 +485,129 @@ class TestRebucket:
         )
         assert list(out["h"]) == ["keep-me", "keep-me-too"]
         assert list(out["seen_before"]) == [True, False]
+
+    def test_register_interleaved_into_rebucket_window_serializes(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Round-10 advice made mechanical: a register arriving INSIDE
+        rebucket's read->rewrite->swap window must wait on the writer
+        lock and then merge into the REBUCKETED store — never be
+        silently superseded by rebucket's manifest swap. The rebucket
+        body pauses mid-window (injected), the register fires, and the
+        final store must hold BOTH the migrated entries and the new
+        batch, at the new bucket count."""
+        import threading
+
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        idx = DedupIndex(str(tmp_path / "store"), n_buckets=4)
+        idx.register(_docs(spark, [(0, "alpha"), (2, "beta")]), 0)
+
+        in_window = threading.Event()
+        release = threading.Event()
+        orig = DedupIndex._rebucket_driver_write
+
+        def paused(self, pdf, n_buckets, seq):
+            in_window.set()
+            assert release.wait(30), "test deadlock: release never set"
+            return orig(self, pdf, n_buckets, seq)
+
+        monkeypatch.setattr(DedupIndex, "_rebucket_driver_write", paused)
+        errs = []
+
+        def do_rebucket():
+            try:
+                idx.rebucket(spark, 9)
+            except Exception as exc:  # surfaced after join
+                errs.append(exc)
+
+        def do_register():
+            try:
+                idx.register(_docs(spark, [(7, "gamma")]), 1)
+            except Exception as exc:
+                errs.append(exc)
+
+        ra = threading.Thread(target=do_rebucket)
+        ra.start()
+        assert in_window.wait(30), "rebucket never reached its window"
+        rb = threading.Thread(target=do_register)
+        rb.start()
+        # the register must BLOCK (not commit, not die) while rebucket
+        # holds the writer lock
+        rb.join(timeout=1.0)
+        assert rb.is_alive(), "register did not serialize behind rebucket"
+        release.set()
+        ra.join(60)
+        rb.join(60)
+        assert not errs, f"writer raised: {errs}"
+        man = idx._load_manifest()
+        assert man["n_buckets"] == 9
+        entries = {
+            r["first_doc_id"]: r["first_batch"]
+            for r in idx.entries(spark).collect()
+        }
+        # migrated keepers intact AND the interleaved batch present
+        assert entries == {0: 0, 2: 0, 7: 1}
+
+    def test_cas_check_fails_loudly_on_noncooperating_writer(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A writer that bypasses the lock (old code, flock-less mount)
+        and commits inside our window must trip the gen_seq CAS at the
+        commit point — loud ConcurrentWriteError, never a silent
+        supersede of its commit."""
+        import contextlib
+
+        from tomixpanel_spark.streaming import dedup_index as di
+        from tomixpanel_spark.streaming.genstore import (
+            ConcurrentWriteError,
+            atomic_json_swap,
+        )
+
+        idx = di.DedupIndex(str(tmp_path / "store"), n_buckets=4)
+        idx.register(_docs(spark, [(0, "alpha")]), 0)
+        # neutralize the lock so the foreign commit can land in-window
+        monkeypatch.setattr(di, "writer_lock",
+                            lambda path: contextlib.nullcontext())
+        orig = di.DedupIndex._merge_driver_write
+
+        def sneak_foreign_commit(self, pdf, man, batch_id, seq):
+            out = orig(self, pdf, man, batch_id, seq)
+            foreign = dict(self._load_manifest())
+            foreign["gen_seq"] = foreign["gen_seq"] + 5
+            atomic_json_swap(self._manifest_path(), foreign)
+            return out
+
+        monkeypatch.setattr(di.DedupIndex, "_merge_driver_write",
+                            sneak_foreign_commit)
+        import pytest
+
+        with pytest.raises(ConcurrentWriteError, match="commit token moved"):
+            idx.register(_docs(spark, [(1, "beta")]), 1)
+
+    def test_probe_driver_cache_survives_store_recreation(self, spark, tmp_path):
+        """Round-10 advice: the per-process bucket-frame cache is keyed
+        by (path, bucket, gen) — a store deleted and recreated at the
+        same path restarts gen_seq at 0, so without the store-instance
+        nonce a probe could serve frames from the DEAD store. The
+        recreated store must answer from ITS OWN buckets."""
+        import shutil
+
+        from tomixpanel_spark.streaming.dedup_index import DedupIndex
+
+        store = str(tmp_path / "store")
+        probe = _docs(spark, [(1, "alpha"), (2, "beta")]).toPandas()
+        # ONE bucket: both stores' sole generation collides on the same
+        # (path, bucket=0, gen=0) cache key by construction
+        idx = DedupIndex(store, n_buckets=1)
+        idx.register(_docs(spark, [(0, "alpha")]), 0)
+        first = idx.probe_driver(probe)  # fills the cache
+        assert list(first["seen_before"]) == [True, False]
+        shutil.rmtree(store)
+        idx2 = DedupIndex(store, n_buckets=1)
+        idx2.register(_docs(spark, [(9, "beta")]), 0)  # same gen numbering
+        out = idx2.probe_driver(probe)
+        assert list(out["seen_before"]) == [False, True]
+        assert list(
+            out["first_doc_id"].astype(object).where(out["first_doc_id"].notna(), None)
+        ) == [None, 9]

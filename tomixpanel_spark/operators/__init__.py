@@ -46,57 +46,7 @@ from tomixpanel_spark.sources import csv as csv_source
 # has local DuckDB parity in tests/test_oracle_parity.py every round.
 _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
-    # -- new in round 10: never externally checked ---------------------------
-    "amp_profiles": 0,
-    "ga_profiles": 0,
-    "engage_reshape": 0,
-    "reverse_events": 0,
-    # -- last green r7-------------------------------------------------------
-    "tpch_q5": 7,
-    "value_quantiles": 7,
-    "weighted_sample": 7,
-    # -- last green r8 -------------------------------------------------------
-    "ann_ivf_q": 8,
-    "ann_lsh": 8,
-    "ann_pq_q": 8,
-    "asof_latest_order": 8,
-    "attribution_last_touch": 8,
-    "balanced_shards": 8,
-    "bm25_topk": 8,
-    "coalesce_id": 8,
-    "count_agg": 8,
-    "csv_scan": 8,
-    "dedup_by_key": 8,
-    "doc_fingerprint": 8,
-    "explode_hits": 8,
-    "filter_nonempty": 8,
-    "incremental_dedup": 8,
-    "insert_id_md5": 8,
-    "label_centroids": 8,
-    "lang_id": 8,
-    "map_merge": 8,
-    "media_audio_features": 8,
-    "media_image_resize": 8,
-    "media_meta": 8,
-    "media_neardup": 8,
-    "media_video_frames": 8,
-    "merge_pairs": 8,
-    "mixture_stats": 8,
-    "part_revenue": 8,
-    "pivot_status": 8,
-    "project_drop": 8,
-    "project_rename": 8,
-    "pushdown_filter": 8,
-    "quality_score": 8,
-    "rollup_orders": 8,
-    "schema_gate": 8,
-    "semi_join": 8,
-    "session_bounds": 8,
-    "stratified_sample": 8,
-    "streaming_cagg_parity": 8,
-    "substring_dup_stats": 8,
-    "supplier_balance": 8,
-    "time_normalize": 8,
+    # -- last green r8 ---------------------------------------------------
     "time_shift": 8,
     "token_count": 8,
     "tpch_q6": 8,
@@ -104,8 +54,7 @@ _LAST_EXTERNAL = {
     "when_chain": 8,
     "window_running": 8,
     "word_freq": 8,
-    # -- last green r9 -------------------------------------------------------
-    "amp_transform": 9,
+    # -- last green r9 ---------------------------------------------------
     "cagg_store_read": 9,
     "chunk_documents": 9,
     "cms_heavy_hitters": 9,
@@ -121,7 +70,6 @@ _LAST_EXTERNAL = {
     "embedding_neardup": 9,
     "event_sequences": 9,
     "funnel": 9,
-    "ga_transform": 9,
     "gopher_quality": 9,
     "hypertable_rollup": 9,
     "identity_components": 9,
@@ -155,6 +103,57 @@ _LAST_EXTERNAL = {
     "topk_per_group": 9,
     "tpch_q1": 9,
     "tpch_q3": 9,
+    # -- last green r10 --------------------------------------------------
+    "amp_profiles": 10,
+    "amp_transform": 10,
+    "ann_ivf_q": 10,
+    "ann_lsh": 10,
+    "ann_pq_q": 10,
+    "asof_latest_order": 10,
+    "attribution_last_touch": 10,
+    "balanced_shards": 10,
+    "bm25_topk": 10,
+    "coalesce_id": 10,
+    "count_agg": 10,
+    "csv_scan": 10,
+    "dedup_by_key": 10,
+    "doc_fingerprint": 10,
+    "engage_reshape": 10,
+    "explode_hits": 10,
+    "filter_nonempty": 10,
+    "ga_profiles": 10,
+    "ga_transform": 10,
+    "incremental_dedup": 10,
+    "insert_id_md5": 10,
+    "label_centroids": 10,
+    "lang_id": 10,
+    "map_merge": 10,
+    "media_audio_features": 10,
+    "media_image_resize": 10,
+    "media_meta": 10,
+    "media_neardup": 10,
+    "media_video_frames": 10,
+    "merge_pairs": 10,
+    "mixture_stats": 10,
+    "part_revenue": 10,
+    "pivot_status": 10,
+    "project_drop": 10,
+    "project_rename": 10,
+    "pushdown_filter": 10,
+    "quality_score": 10,
+    "reverse_events": 10,
+    "rollup_orders": 10,
+    "schema_gate": 10,
+    "semi_join": 10,
+    "session_bounds": 10,
+    "stratified_sample": 10,
+    "streaming_cagg_parity": 10,
+    "substring_dup_stats": 10,
+    "supplier_balance": 10,
+    "time_normalize": 10,
+    "tpch_q5": 10,
+    "value_quantiles": 10,
+    "weighted_sample": 10,
 }
 
 WINDOW_SIZE = 50  # the driver samples this many leading registry entries

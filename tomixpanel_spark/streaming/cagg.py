@@ -57,10 +57,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from tomixpanel_spark.streaming.genstore import (
+    cas_check,
+    mint_store_id,
+    store_nonce,
+    writer_lock,
+)
 
 # hourly() read-plan cache (LRU): key includes the manifest's day->gen
-# map, so any committed write changes the key — see hourly() for why a
-# hit can never be stale.
+# map AND the store-instance nonce, so any committed write — or a store
+# deleted and recreated at the same path — changes the key; see hourly()
+# for why a hit can never be stale.
 from collections import OrderedDict
 
 _HOURLY_PLAN_CACHE: OrderedDict = OrderedDict()
@@ -133,7 +140,11 @@ class ContinuousAggregate:
             return self._legacy_manifest()
         try:
             man = json.loads(raw)
-            return {"batch_id": man["batch_id"], "days": dict(man["days"])}
+            return {
+                "batch_id": man["batch_id"],
+                "days": dict(man["days"]),
+                "store_id": man.get("store_id"),
+            }
         except (ValueError, KeyError, TypeError) as exc:
             raise RuntimeError(
                 f"corrupt cagg manifest at {self._manifest_path()}: {exc}; "
@@ -156,14 +167,14 @@ class ContinuousAggregate:
                 if e.startswith("day=") and os.path.isdir(os.path.join(self.path, e)):
                     days[e[len("day="):]] = "legacy"
         except OSError:
-            return {"batch_id": -1, "days": {}}
+            return {"batch_id": -1, "days": {}, "store_id": None}
         batch_id = -1
         try:
             with open(os.path.join(self.path, "_cagg_meta.json")) as f:
                 batch_id = int(json.load(f)["batch_id"])
         except (OSError, ValueError, KeyError, TypeError):
             pass
-        return {"batch_id": batch_id, "days": days}
+        return {"batch_id": batch_id, "days": days, "store_id": None}
 
     def _commit_manifest(self, man: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
@@ -274,38 +285,49 @@ class ContinuousAggregate:
         update cost on small batches. Above the cap (high-cardinality
         keys at scale) the merge stays fully distributed. Both paths
         write the identical generation layout and commit through the
-        same manifest swap, so crash/replay semantics are unchanged."""
-        man = self._load_manifest()
-        if batch_id <= man["batch_id"]:
-            return  # replayed batch: already committed in the manifest
-        spark = batch_df.sparkSession
-        cap = int(os.environ.get("TOMIX_CAGG_DRIVER_MERGE_CAP", "65536"))
-        # persist ONCE across the gate probe and whichever merge path
-        # runs — without the pin an over-cap batch would re-aggregate the
-        # raw stream for the distributed merge after the probe already
-        # computed the full aggregate
-        partials = self._batch_partials(batch_df).persist()
-        try:
-            pdf = None
-            # driver writer emits a string key column; exotic key_type
-            # stores take the distributed path rather than guessing an
-            # arrow type
-            if cap > 0 and self.key_type == "string":
-                # LIMIT cap+1 bounds the driver transfer: exactly-cap-or-
-                # less means we hold ALL cells; cap+1 rows proves overflow
-                # without shipping the full aggregate
-                pdf = partials.limit(cap + 1).toPandas()
-            if pdf is not None and len(pdf) <= cap:
-                days = self._merge_driver_write(pdf, man, batch_id)
-            else:
-                days = self._merge_spark_write(spark, partials, man, batch_id)
-        finally:
-            partials.unpersist()
-        new_man = {
-            "batch_id": batch_id,
-            "days": {**man["days"], **{d: batch_id for d in days}},
-        }
-        self._commit_manifest(new_man)  # THE commit point (atomic swap)
+        same manifest swap, so crash/replay semantics are unchanged.
+
+        Writer exclusion is mechanical (the dedup-index contract): the
+        read->merge->swap window holds ``writer_lock``, and a
+        ``cas_check`` on batch_id at the commit point fails loudly if a
+        non-cooperating writer committed inside the window."""
+        with writer_lock(self._manifest_path()):
+            man = self._load_manifest()
+            if batch_id <= man["batch_id"]:
+                return  # replayed batch: already committed in the manifest
+            spark = batch_df.sparkSession
+            cap = int(os.environ.get("TOMIX_CAGG_DRIVER_MERGE_CAP", "65536"))
+            # persist ONCE across the gate probe and whichever merge path
+            # runs — without the pin an over-cap batch would re-aggregate
+            # the raw stream for the distributed merge after the probe
+            # already computed the full aggregate
+            partials = self._batch_partials(batch_df).persist()
+            try:
+                pdf = None
+                # driver writer emits a string key column; exotic key_type
+                # stores take the distributed path rather than guessing an
+                # arrow type
+                if cap > 0 and self.key_type == "string":
+                    # LIMIT cap+1 bounds the driver transfer: exactly-cap-
+                    # or-less means we hold ALL cells; cap+1 rows proves
+                    # overflow without shipping the full aggregate
+                    pdf = partials.limit(cap + 1).toPandas()
+                if pdf is not None and len(pdf) <= cap:
+                    days = self._merge_driver_write(pdf, man, batch_id)
+                else:
+                    days = self._merge_spark_write(spark, partials, man, batch_id)
+            finally:
+                partials.unpersist()
+            new_man = {
+                "batch_id": batch_id,
+                "days": {**man["days"], **{d: batch_id for d in days}},
+                "store_id": mint_store_id(man),
+            }
+            cas_check(
+                "cagg", self.path, man["batch_id"],
+                self._load_manifest()["batch_id"],
+            )
+            self._commit_manifest(new_man)  # THE commit point (atomic swap)
         self._gc_superseded(new_man)
 
     def _merge_spark_write(
@@ -440,6 +462,10 @@ class ContinuousAggregate:
         key = (
             spark.sparkContext.applicationId,
             os.path.abspath(self.path),
+            # store-instance nonce: a store deleted and recreated at the
+            # same path restarts batch ids at 0 — without the nonce an
+            # identical days->gen map could serve the dead store's plan
+            store_nonce(self._manifest_path(), man.get("store_id")),
             tuple(sorted(man["days"].items())),
         )
         hit = _HOURLY_PLAN_CACHE.get(key)

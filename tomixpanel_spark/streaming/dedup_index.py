@@ -58,9 +58,13 @@ from pyspark.sql.types import StructType
 
 from tomixpanel_spark.streaming.genstore import (
     atomic_json_swap,
+    cas_check,
     gc_superseded,
     load_json_manifest,
+    mint_store_id,
     read_partitions,
+    store_nonce,
+    writer_lock,
 )
 
 # probe_driver per-bucket frame cache (LRU): keyed (store path, bucket,
@@ -90,7 +94,16 @@ class DedupIndex:
     driver-accessible (same contract as ``ContinuousAggregate``)."""
 
     SCHEMA = "h long, first_doc_id long, first_batch long"
-    _RESERVED = ("seen_before", "first_doc_id", "__didx_h")
+    _RESERVED = (
+        "seen_before",
+        "first_doc_id",
+        "__didx_h",
+        # internal merge-side names in probe_driver: an input frame
+        # carrying either would make pandas suffix both sides of the
+        # merge and break the out["__didx_ih"] read
+        "__didx_ih",
+        "__didx_keeper",
+    )
 
     def __init__(
         self,
@@ -141,7 +154,13 @@ class DedupIndex:
     def _load_manifest(self) -> dict:
         raw = load_json_manifest(self._manifest_path(), "dedup-index")
         if raw is None:
-            return {"runs": {}, "gen_seq": -1, "buckets": {}, "n_buckets": None}
+            return {
+                "runs": {},
+                "gen_seq": -1,
+                "buckets": {},
+                "n_buckets": None,
+                "store_id": None,
+            }
         try:
             if "batch_id" in raw:  # v1 (single implicit run, gen = batch id)
                 gens = [int(g) for g in raw["buckets"].values()]
@@ -150,12 +169,14 @@ class DedupIndex:
                     "gen_seq": max(gens, default=raw["batch_id"]),
                     "buckets": dict(raw["buckets"]),
                     "n_buckets": raw.get("n_buckets"),
+                    "store_id": raw.get("store_id"),
                 }
             return {
                 "runs": dict(raw["runs"]),
                 "gen_seq": raw["gen_seq"],
                 "buckets": dict(raw["buckets"]),
                 "n_buckets": raw.get("n_buckets"),
+                "store_id": raw.get("store_id"),
             }
         except (KeyError, TypeError, ValueError) as exc:
             raise RuntimeError(
@@ -181,38 +202,53 @@ class DedupIndex:
         """Merge one batch's distinct content hashes into the index
         (first-writer-wins: a hash already present keeps its original
         first_doc_id/first_batch). ``foreachBatch``-shaped and replay-
-        idempotent via the per-``run`` batch_id record."""
-        man = self._load_manifest()
-        if batch_id <= man["runs"].get(self.run, -1):
-            return  # replayed batch of THIS run: already committed
-        nb = self._effective_buckets(man)
-        seq = man["gen_seq"] + 1
-        spark = batch_df.sparkSession
-        cap = int(os.environ.get("TOMIX_DEDUP_INDEX_DRIVER_CAP", "65536"))
-        # persist ONCE across the gate probe and whichever merge path
-        # runs — without the pin the overflow path re-aggregates the raw
-        # batch a second time
-        hashes = self._batch_hashes(batch_df, nb).persist()
-        try:
-            pdf = None
-            if cap > 0:
-                # LIMIT cap+1 bounds the driver transfer: exactly-cap-or-
-                # less means we hold ALL hashes; cap+1 rows proves
-                # overflow without shipping the full table
-                pdf = hashes.limit(cap + 1).toPandas()
-            if pdf is not None and len(pdf) <= cap:
-                buckets = self._merge_driver_write(pdf, man, batch_id, seq)
-            else:
-                buckets = self._merge_spark_write(spark, hashes, man, batch_id, seq)
-        finally:
-            hashes.unpersist()
-        new_man = {
-            "runs": {**man["runs"], self.run: batch_id},
-            "gen_seq": seq,
-            "buckets": {**man["buckets"], **{str(b): seq for b in buckets}},
-            "n_buckets": nb,
-        }
-        atomic_json_swap(self._manifest_path(), new_man)  # THE commit point
+        idempotent via the per-``run`` batch_id record.
+
+        Writer exclusion is MECHANICAL, not documented-only: the whole
+        read->merge->write->swap window runs under ``writer_lock``, so a
+        concurrent register/rebucket waits and then applies on top of
+        this commit; the gen_seq ``cas_check`` at the commit point
+        additionally fails loudly if a non-cooperating writer (flock-less
+        mount, old code) committed inside the window."""
+        with writer_lock(self._manifest_path()):
+            man = self._load_manifest()
+            if batch_id <= man["runs"].get(self.run, -1):
+                return  # replayed batch of THIS run: already committed
+            nb = self._effective_buckets(man)
+            seq = man["gen_seq"] + 1
+            spark = batch_df.sparkSession
+            cap = int(os.environ.get("TOMIX_DEDUP_INDEX_DRIVER_CAP", "65536"))
+            # persist ONCE across the gate probe and whichever merge path
+            # runs — without the pin the overflow path re-aggregates the
+            # raw batch a second time
+            hashes = self._batch_hashes(batch_df, nb).persist()
+            try:
+                pdf = None
+                if cap > 0:
+                    # LIMIT cap+1 bounds the driver transfer: exactly-cap-
+                    # or-less means we hold ALL hashes; cap+1 rows proves
+                    # overflow without shipping the full table
+                    pdf = hashes.limit(cap + 1).toPandas()
+                if pdf is not None and len(pdf) <= cap:
+                    buckets = self._merge_driver_write(pdf, man, batch_id, seq)
+                else:
+                    buckets = self._merge_spark_write(
+                        spark, hashes, man, batch_id, seq
+                    )
+            finally:
+                hashes.unpersist()
+            new_man = {
+                "runs": {**man["runs"], self.run: batch_id},
+                "gen_seq": seq,
+                "buckets": {**man["buckets"], **{str(b): seq for b in buckets}},
+                "n_buckets": nb,
+                "store_id": mint_store_id(man),
+            }
+            cas_check(
+                "dedup-index", self.path, man["gen_seq"],
+                self._load_manifest()["gen_seq"],
+            )
+            atomic_json_swap(self._manifest_path(), new_man)  # THE commit point
         if self.gc:
             gc_superseded(self.path, new_man["buckets"].values(), self.gc_keep)
 
@@ -336,51 +372,59 @@ class DedupIndex:
         the fresh generation directory is invisible until the single
         atomic manifest swap, and a retry after a crash overwrites the
         same orphan generation (seq derives from the unchanged
-        manifest). Concurrent writers must be quiesced — the generation
-        protocol serializes WRITERS through the manifest, and a register
-        committing between this method's read and its swap would be
-        silently superseded."""
+        manifest). Writer exclusion is MECHANICAL: the whole
+        read->rewrite->swap window holds ``writer_lock``, so a register
+        arriving mid-rebucket waits and then merges into the REBUCKETED
+        store (never silently superseded, exercised by
+        tests/test_dedup_index.py); the gen_seq ``cas_check`` at the
+        commit point fails loudly against non-cooperating writers."""
         if n_buckets <= 0:
             raise ValueError(f"n_buckets must be positive, got {n_buckets}")
-        man = self._load_manifest()
-        if not man["buckets"]:
-            # empty store: just pin the new layout for future batches
-            if man["n_buckets"] != n_buckets:
-                atomic_json_swap(
-                    self._manifest_path(), {**man, "n_buckets": n_buckets}
+        with writer_lock(self._manifest_path()):
+            man = self._load_manifest()
+            if not man["buckets"]:
+                # empty store: just pin the new layout for future batches
+                if man["n_buckets"] != n_buckets:
+                    atomic_json_swap(
+                        self._manifest_path(), {**man, "n_buckets": n_buckets}
+                    )
+                self.n_buckets = n_buckets
+                return
+            if self._effective_buckets(man) == n_buckets:
+                self.n_buckets = n_buckets
+                return
+            seq = man["gen_seq"] + 1
+            cap = int(os.environ.get("TOMIX_DEDUP_INDEX_DRIVER_CAP", "65536"))
+            df = self.entries(spark)
+            pdf = df.limit(cap + 1).toPandas() if cap > 0 else None
+            if pdf is not None and len(pdf) <= cap:
+                buckets = self._rebucket_driver_write(pdf, n_buckets, seq)
+            else:
+                gen = self._gen_dir(seq)
+                out = df.withColumn(
+                    "b", F.pmod("h", F.lit(n_buckets)).cast("int")
                 )
-            self.n_buckets = n_buckets
-            return
-        if self._effective_buckets(man) == n_buckets:
-            self.n_buckets = n_buckets
-            return
-        seq = man["gen_seq"] + 1
-        cap = int(os.environ.get("TOMIX_DEDUP_INDEX_DRIVER_CAP", "65536"))
-        df = self.entries(spark)
-        pdf = df.limit(cap + 1).toPandas() if cap > 0 else None
-        if pdf is not None and len(pdf) <= cap:
-            buckets = self._rebucket_driver_write(pdf, n_buckets, seq)
-        else:
-            gen = self._gen_dir(seq)
-            out = df.withColumn(
-                "b", F.pmod("h", F.lit(n_buckets)).cast("int")
+                out.write.mode("overwrite").partitionBy("b").parquet(gen)
+                # enumerate the buckets from what was WRITTEN, not a second
+                # evaluation of the plan — one pass, and the manifest can
+                # never disagree with the files on disk
+                buckets = sorted(
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(gen)
+                    if d.startswith("b=")
+                )
+            new_man = {
+                "runs": man["runs"],
+                "gen_seq": seq,
+                "buckets": {str(b): seq for b in buckets},
+                "n_buckets": n_buckets,
+                "store_id": mint_store_id(man),
+            }
+            cas_check(
+                "dedup-index", self.path, man["gen_seq"],
+                self._load_manifest()["gen_seq"],
             )
-            out.write.mode("overwrite").partitionBy("b").parquet(gen)
-            # enumerate the buckets from what was WRITTEN, not a second
-            # evaluation of the plan — one pass, and the manifest can
-            # never disagree with the files on disk
-            buckets = sorted(
-                int(d.split("=", 1)[1])
-                for d in os.listdir(gen)
-                if d.startswith("b=")
-            )
-        new_man = {
-            "runs": man["runs"],
-            "gen_seq": seq,
-            "buckets": {str(b): seq for b in buckets},
-            "n_buckets": n_buckets,
-        }
-        atomic_json_swap(self._manifest_path(), new_man)  # THE commit point
+            atomic_json_swap(self._manifest_path(), new_man)  # THE commit point
         self.n_buckets = n_buckets
         if self.gc:
             gc_superseded(self.path, new_man["buckets"].values(), self.gc_keep)
@@ -467,7 +511,13 @@ class DedupIndex:
             dtype="Int64",
         )
         frames = []
-        store_key = os.path.abspath(self.path)
+        # store-instance nonce in the key: without it, a store deleted
+        # and recreated at the same path restarts gen_seq at 0 and a hit
+        # could serve frames from the DEAD store (round-10 advice)
+        store_key = (
+            os.path.abspath(self.path),
+            store_nonce(self._manifest_path(), man.get("store_id")),
+        )
         for b in sorted({int(h) % nb for h in out["__didx_h"].dropna()}):
             g = man["buckets"].get(str(b))
             if g is None:

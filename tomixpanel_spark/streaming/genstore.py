@@ -14,11 +14,94 @@ mechanics are shared.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+try:  # flock is POSIX-only; the CAS check at commit covers its absence
+    import fcntl as _fcntl
+except ImportError:  # pragma: no cover - non-POSIX host
+    _fcntl = None
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Two writers raced on one store manifest: a commit landed inside
+    another writer's read->merge->swap window. The losing writer's
+    generation directory is an orphan (overwritten or gc'd later); the
+    store itself is consistent. Re-invoke the failed operation — it
+    re-reads the committed manifest and applies on top."""
+
+
+@contextlib.contextmanager
+def writer_lock(manifest_path: str):
+    """Serialize store WRITERS (register / update_batch / rebucket)
+    across threads and processes: flock on ``<manifest>.lock`` held for
+    the WHOLE read->merge->write->swap window, so a writer landing
+    inside another's window waits, then applies on top of the committed
+    state — never silently superseded, and two writers can never
+    interleave writes into the same generation directory. flock is
+    released by the OS on crash (no stale-lock recovery), and it is
+    per-open-file-description, so threads in one process exclude each
+    other too. On filesystems without flock the ``cas_check`` at commit
+    remains the (loud-failure) tripwire. For an object store, replace
+    with a conditional-put on the manifest key."""
+    os.makedirs(os.path.dirname(manifest_path) or ".", exist_ok=True)
+    with open(manifest_path + ".lock", "a") as lk:
+        if _fcntl is not None:
+            try:
+                _fcntl.flock(lk, _fcntl.LOCK_EX)
+            except OSError:
+                pass  # flock-less mount: fall through to the CAS check
+        try:
+            yield
+        finally:
+            if _fcntl is not None:
+                try:
+                    _fcntl.flock(lk, _fcntl.LOCK_UN)
+                except OSError:
+                    pass
+
+
+def cas_check(what: str, path: str, expected, current) -> None:
+    """Compare-and-swap guard at the commit point: ``expected`` is the
+    commit token (gen_seq / batch_id) the writer derived its work from,
+    ``current`` is a fresh re-read under the writer lock. A mismatch
+    means a non-cooperating writer committed inside our window — raise
+    loudly rather than silently supersede its commit."""
+    if expected != current:
+        raise ConcurrentWriteError(
+            f"{what} store at {path}: commit token moved {expected!r} -> "
+            f"{current!r} during this writer's window; another writer "
+            "committed concurrently (writers must serialize through "
+            "writer_lock). Re-invoke this operation to apply it on top "
+            "of the committed state."
+        )
+
+
+def mint_store_id(man: dict) -> str:
+    """The store-instance nonce: minted at the first commit, carried
+    verbatim through every later manifest swap. Per-process caches key
+    on it so a store deleted and recreated at the same path (gen_seq
+    restarts at 0) can never serve cached frames from the dead store."""
+    return man.get("store_id") or uuid.uuid4().hex
+
+
+def store_nonce(manifest_path: str, store_id) -> str:
+    """Cache-key component identifying the store INSTANCE at a path:
+    the manifest's store_id when present, else a stat fingerprint of
+    the manifest file (pre-store_id manifests upgrade at their next
+    commit) — either way a recreated store yields a different nonce."""
+    if store_id:
+        return str(store_id)
+    try:
+        st = os.stat(manifest_path)
+        return f"st:{st.st_ino}:{st.st_mtime_ns}"
+    except OSError:
+        return "absent"
 
 
 def atomic_json_swap(path: str, obj: dict) -> None:

@@ -1,12 +1,28 @@
-"""Custom stateful streaming operator: gap-based sessionization with
-``applyInPandasWithState`` (the Structured Streaming shape the brief's
-"custom stateful operators" point names).
+"""Custom stateful streaming operators: gap-based sessionization, in TWO
+strategies (the ``asof.py`` two-strategy precedent):
+
+* ``sessionize_session_window`` — the SERVING strategy: pure-JVM
+  ``session_window`` aggregation. No python workers in the trigger loop;
+  state lives in the JVM state store, rows cross no Arrow boundary. The
+  measured host floor is ~0.35 s/trigger vs ~0.78 s/trigger for the
+  python state channel, so this is the path a latency-sensitive pipeline
+  runs. Append mode: each session emits EXACTLY ONCE, when the watermark
+  passes its close — bounded replays need a far-future sentinel row to
+  flush the final sessions (streaming_parity's windowed precedent).
+* ``sessionize_with_state`` — the flexible-logic LIBRARY path:
+  ``applyInPandasWithState`` (the Structured Streaming shape the brief's
+  "custom stateful operators" point names). Emits live OPEN-session
+  snapshots each trigger and supports arbitrary per-group logic
+  (timeout-driven eviction, custom emission) that a declarative
+  aggregation can't express.
+
+Both implement the same gap rule (a new session starts when
+``t - last > gap_ms``, strictly greater — the DuckDB-oracle semantics);
+``tests/test_windowed.py`` asserts their final sessions row-equal.
 
 Batch sessionization (operators.analytics.sessionize) answers the query
-historically; this operator maintains LIVE per-user session state across
-micro-batches: each user's group state holds (current_session_num,
-last_seen_ms); events extend or roll the session, timed-out state emits a
-final session summary row.
+historically; these operators maintain LIVE per-user session state across
+micro-batches.
 
 Scale shape: state is keyed by user_id — Spark hash-partitions state across
 executors; each micro-batch shuffles only that batch's events to their
@@ -21,6 +37,7 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_MS = 1800 * 1000
