@@ -95,3 +95,161 @@ class TestSentinelFoldedLanding:
         last = spark.read.parquet(os.path.join(land, files[-1]))
         n_sentinel = last.filter("event_type = '__sentinel__'").count()
         assert n_sentinel == 1
+
+
+class TestSessionizeStrategiesAgree:
+    """The two stateful sessionization strategies (JVM ``session_window``
+    serving path vs ``applyInPandasWithState`` library path) must emit
+    row-equal FINAL sessions — the asof.py two-strategy precedent. The
+    fixture pins the boundary cases: an event EXACTLY gap after the last
+    one extends the session (strictly-greater rule, the gap+1ms window
+    trick), a gap+1 event rolls it, null event times are skipped, and
+    state carries across micro-batch files."""
+
+    GAP = 10_000  # ms
+
+    def _landing(self, tmp_path):
+        base = 1_600_000_000_000
+        g = self.GAP
+        b1 = [
+            {"user_id": 1, "time_ms": base},
+            {"user_id": 1, "time_ms": base + 1000},
+            {"user_id": 2, "time_ms": base + 500},
+            {"user_id": 3, "time_ms": None},  # both paths must skip
+        ]
+        b2 = [
+            # EXACTLY gap after b1's last user-1 event: extends (boundary)
+            {"user_id": 1, "time_ms": base + 1000 + g},
+            # gap+1 later: rolls a new session
+            {"user_id": 1, "time_ms": base + 1000 + g + g + 1},
+            {"user_id": 3, "time_ms": base + 2000},
+            # far-future sentinel flushes the JVM path's final sessions
+            {"user_id": -1, "time_ms": base + 10 * g},
+        ]
+        in_dir = tmp_path / "land"
+        in_dir.mkdir()
+        import os
+        import time as _time
+
+        (in_dir / "b1.ndjson").write_text("\n".join(json.dumps(r) for r in b1))
+        (in_dir / "b2.ndjson").write_text("\n".join(json.dumps(r) for r in b2))
+        now = _time.time()
+        os.utime(in_dir / "b1.ndjson", (now - 120,) * 2)
+        os.utime(in_dir / "b2.ndjson", (now - 60,) * 2)
+        return str(in_dir)
+
+    # final sessions both strategies must produce (session_num by start)
+    def _want(self):
+        base = 1_600_000_000_000
+        g = self.GAP
+        return {
+            (1, 1, 3, base, base + 1000 + g),
+            (1, 2, 1, base + 1000 + 2 * g + 1, base + 1000 + 2 * g + 1),
+            (2, 1, 1, base + 500, base + 500),
+            (3, 1, 1, base + 2000, base + 2000),
+        }
+
+    def _stream(self, spark, land):
+        return (
+            spark.readStream.schema("user_id long, time_ms long")
+            .option("maxFilesPerTrigger", 1)
+            .json(land)
+        )
+
+    def test_jvm_serving_path(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from tomixpanel_spark.streaming.stateful import sessionize_session_window
+
+        land = self._landing(tmp_path)
+        out_dir = str(tmp_path / "out")
+        q = (
+            sessionize_session_window(self._stream(spark, land), gap_ms=self.GAP)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["session_num"], r["n_events"],
+             r["session_start_ms"], r["session_end_ms"])
+            for r in spark.read.parquet(out_dir)
+            .filter("user_id != -1")
+            .withColumn(
+                "session_num",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy("session_start_ms")
+                ).cast("long"),
+            )
+            .collect()
+        }
+        assert got == self._want()
+
+    def test_library_path_agrees(self, spark, tmp_path):
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        from tomixpanel_spark.streaming.stateful import sessionize_with_state
+
+        land = self._landing(tmp_path)
+        snaps = []
+        q = (
+            sessionize_with_state(
+                self._stream(spark, land),
+                gap_ms=self.GAP,
+                timeout=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: snaps.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        final = {}
+        for r in snaps:
+            if r["user_id"] == -1:
+                continue
+            k = (r["user_id"], r["session_num"])
+            cur = final.get(k)
+            if cur is None or r["n_events"] > cur["n_events"]:
+                final[k] = r
+        got = {
+            (u, s, r["n_events"], r["session_start_ms"], r["session_end_ms"])
+            for (u, s), r in final.items()
+        }
+        assert got == self._want()
+
+    def test_jvm_batch_mode_agrees(self, spark):
+        """session_window is a plain grouping expression in batch mode —
+        the same function must produce the same sessions on a batch
+        DataFrame (no sentinel needed: batch has no watermark gate)."""
+        base = 1_600_000_000_000
+        g = self.GAP
+        from tomixpanel_spark.streaming.stateful import sessionize_session_window
+
+        df = spark.createDataFrame(
+            [(1, base), (1, base + 1000), (1, base + 1000 + g),
+             (1, base + 1000 + 2 * g + 1), (2, base + 500),
+             (3, None), (3, base + 2000)],
+            "user_id long, time_ms long",
+        )
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        got = {
+            (r["user_id"], r["session_num"], r["n_events"],
+             r["session_start_ms"], r["session_end_ms"])
+            for r in sessionize_session_window(df, gap_ms=self.GAP)
+            .withColumn(
+                "session_num",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy("session_start_ms")
+                ).cast("long"),
+            )
+            .collect()
+        }
+        assert got == self._want()

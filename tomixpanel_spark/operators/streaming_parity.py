@@ -32,27 +32,59 @@ from tomixpanel_spark.operators.base import QuerySpec, table
 
 N_STREAM_BATCHES = 3
 SLICE_DAYS = 3
-STREAM_STATE_PARTS = "8"
+STREAM_STATE_PARTS = "4"
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp for the parity queries' EPHEMERAL artifacts (staged
+    landings, checkpoints, sinks, stores), rooted at tmpfs when the host
+    has one. Every micro-batch fsyncs its offset WAL, commit log, and
+    state-store delta files; on this harness's disk-backed /tmp those
+    fsyncs are ~90 ms/trigger of host I/O floor that measures the DISK,
+    not the streaming machinery under test. The artifacts live only for
+    the query call, so tmpfs is their natural home — a production
+    deployment sizes checkpoint storage for durability instead, which is
+    a deployment property the parity gate doesn't exercise. Override
+    with TOMIX_STREAM_SCRATCH; falls back to the tempfile default when
+    no tmpfs exists."""
+    root = os.environ.get("TOMIX_STREAM_SCRATCH")
+    if root is None and os.path.isdir("/dev/shm"):
+        root = "/dev/shm"
+    if root:
+        os.makedirs(root, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=root)
+    return tempfile.mkdtemp(prefix=prefix)
 
 
 class _stream_shuffle_parts:
-    """Temporarily size ``spark.sql.shuffle.partitions`` for a bounded
-    parity stream. Stateful micro-batch aggregation creates one state
-    store per shuffle partition PER TRIGGER; at the parity slices' key
-    cardinality (hundreds of windows/hours) a 32-partition default pays
-    ~4x trigger overhead for no parallelism win. Real deployments size
-    state partitions to key cardinality the same way — this is that
-    sizing, scoped to the stream's planning and restored after."""
+    """Temporarily size a bounded parity stream's partitioning. Two dials,
+    both the sizing a real deployment applies and both restored after:
+
+    * ``spark.sql.shuffle.partitions`` — stateful micro-batch aggregation
+      creates one state store per shuffle partition PER TRIGGER; at the
+      parity slices' key cardinality (hundreds of windows/hours) the
+      32-partition default pays ~4x trigger overhead for no parallelism
+      win (4 measured best of 2/4/8 on this host).
+    * ``spark.sql.files.maxPartitionBytes`` — maxFilesPerTrigger=1 makes
+      each micro-batch ONE ~13 MB file, which the 128 MB default maps to
+      ONE scan task; a single-threaded NDJSON parse was ~80% of the
+      incremental path's addBatch time. 2 MB splits the line-delimited
+      batch file across ~7 tasks (measured addBatch 0.57s -> ~0.2s).
+      Parquet batch files are single-row-group (coalesce(1) staging), so
+      this is a no-op for them — row groups are parquet's split floor."""
 
     def __init__(self, spark: SparkSession, n: str = STREAM_STATE_PARTS) -> None:
         self.spark, self.n = spark, n
 
     def __enter__(self):
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.prev_mpb = self.spark.conf.get("spark.sql.files.maxPartitionBytes")
         self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", self.prev_mpb)
 
 
 def _stage_batches(ev: DataFrame, land: str) -> None:
@@ -101,7 +133,7 @@ def _staged_landing(spark: SparkSession, sf_dir: str) -> str:
         F.col("ts")
         < F.lit(row["mn"]).cast("timestamp") + F.expr(f"INTERVAL {SLICE_DAYS} DAYS")
     )
-    land = os.path.join(tempfile.mkdtemp(prefix="tomix_cagg_land_"), "landing")
+    land = os.path.join(_scratch_dir(prefix="tomix_cagg_land_"), "landing")
     os.makedirs(land)
     _stage_batches(bound, land)
     _LANDING_CACHE[key] = land
@@ -112,7 +144,7 @@ def streaming_cagg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tomixpanel_spark.streaming.cagg import ContinuousAggregate
 
     land = _staged_landing(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="tomix_cagg_q_")
+    work = _scratch_dir(prefix="tomix_cagg_q_")
 
     cagg = ContinuousAggregate(os.path.join(work, "store"))
     stream = (
@@ -120,20 +152,21 @@ def streaming_cagg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(land)
     )
-    q = (
-        stream.writeStream.outputMode("update")
-        .foreachBatch(cagg.update_batch)
-        .option("checkpointLocation", os.path.join(work, "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "streaming_cagg_parity: availableNow stream did not finish in "
-            "300s — refusing to read a mid-stream store (a partial read "
-            "would surface as a false oracle mismatch)"
+    with _stream_shuffle_parts(spark):
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(cagg.update_batch)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_cagg_parity: availableNow stream did not finish "
+                "in 300s — refusing to read a mid-stream store (a partial "
+                "read would surface as a false oracle mismatch)"
+            )
     hourly = cagg.hourly(spark)
     return hourly.select(
         F.col("bucket").cast("string").alias("bucket_start"),
@@ -189,7 +222,7 @@ def _staged_amp_landing(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(os.path.dirname(cached), ignore_errors=True)
     from tomixpanel_spark.operators.transform_parity import _synth_amp
 
-    land = os.path.join(tempfile.mkdtemp(prefix="tomix_incr_land_"), "landing")
+    land = os.path.join(_scratch_dir(prefix="tomix_incr_land_"), "landing")
     os.makedirs(land)
     # amplitude_id carries event_id through the export shape — the only
     # integer column, so it is the split key
@@ -216,7 +249,7 @@ def streaming_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tomixpanel_spark.transforms.amplitude import amp_events
 
     land = _staged_amp_landing(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="tomix_incr_q_")
+    work = _scratch_dir(prefix="tomix_incr_q_")
     out_dir = os.path.join(work, "out")
 
     def transform(batch: DataFrame) -> DataFrame:
@@ -275,7 +308,7 @@ def _staged_day_landing(
         shutil.rmtree(os.path.dirname(cached), ignore_errors=True)
     ev = table(spark, sf_dir, "events")
     [row] = ev.agg(F.min("ts").alias("mn")).collect()
-    land = os.path.join(tempfile.mkdtemp(prefix=f"tomix_{tag}_land_"), "landing")
+    land = os.path.join(_scratch_dir(prefix=f"tomix_{tag}_land_"), "landing")
     os.makedirs(land)
     now = _time.time()
 
@@ -330,7 +363,7 @@ def streaming_windowed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tomixpanel_spark.streaming.windowed import windowed_event_counts
 
     land = _staged_windowed_landing(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="tomix_wnd_q_")
+    work = _scratch_dir(prefix="tomix_wnd_q_")
     out_dir = os.path.join(work, "out")
     stream = (
         spark.readStream.schema("ts timestamp, event_type string")
@@ -378,20 +411,28 @@ GROUP BY 1, 2
 
 
 def streaming_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator (streaming/stateful.py —
-    ``applyInPandasWithState`` gap sessionization) under an EXTERNAL
-    oracle: the day-staged event slice streams through the live
-    sessionizer (NoTimeout — deterministic: sessions close only via the
-    gap rule, never via wall-clock eviction), per-batch emissions land
-    in a parquet sink, and the FINAL state of every (user, session) is
-    the max-progress row over its snapshots (session_start is constant
-    per session; n_events/session_end grow monotonically, with the
-    closed row last). The DuckDB oracle sessionizes the same slice with
-    the standard lag-gap/running-sum SQL — equality proves cross-batch
-    state carry, in-order gap rolls, and snapshot monotonicity."""
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from tomixpanel_spark.streaming.stateful import sessionize_with_state
+    """Stateful gap sessionization under an EXTERNAL oracle, running the
+    SERVING strategy (streaming/stateful.py ``sessionize_session_window``
+    — pure-JVM ``session_window`` aggregation, no python workers in the
+    trigger loop; the ``applyInPandasWithState`` library path stays
+    strategies-agree-tested against it in tests/test_windowed.py): the
+    day-staged event slice streams through the JVM sessionizer in APPEND
+    mode — each session emits EXACTLY ONCE when the watermark passes its
+    close, with a far-future sentinel row (user_id -1, the windowed
+    precedent) flushing the final sessions — into a parquet sink.
+    ``session_num`` (the oracle's 1-based per-user session ordinal) is
+    assigned in the serving read by start-time rank, which is exactly
+    what emit-once-per-session makes possible. The DuckDB oracle
+    sessionizes the same slice with the standard lag-gap/running-sum
+    SQL — equality proves cross-batch JVM state carry, gap-boundary
+    agreement (touching session windows merge — the strictly-greater
+    rule, pinned by the strategies-agree tests), and exactly-once
+    emission (a double emit would double row counts; a lost final
+    session would drop rows)."""
+    from tomixpanel_spark.streaming.stateful import (
+        SESSION_GAP_MS,
+        sessionize_session_window,
+    )
 
     land = _staged_day_landing(
         spark,
@@ -400,8 +441,14 @@ def streaming_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda sl: sl.select(
             F.col("user_id"), F.unix_millis("ts").alias("time_ms")
         ),
+        sentinel_cols=lambda ev: ev.agg(
+            F.lit(-1).cast("long").alias("user_id"),
+            (F.unix_millis(F.max("ts")) + F.lit(2 * SESSION_GAP_MS)).alias(
+                "time_ms"
+            ),
+        ),
     )
-    work = tempfile.mkdtemp(prefix="tomix_stf_q_")
+    work = _scratch_dir(prefix="tomix_stf_q_")
     out_dir = os.path.join(work, "out")
     stream = (
         spark.readStream.schema("user_id long, time_ms long")
@@ -410,7 +457,7 @@ def streaming_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with _stream_shuffle_parts(spark):
         q = (
-            sessionize_with_state(stream, timeout=GroupStateTimeout.NoTimeout)
+            sessionize_session_window(stream)
             .writeStream.outputMode("append")
             .format("parquet")
             .option("path", out_dir)
@@ -424,11 +471,18 @@ def streaming_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "streaming_stateful_parity: availableNow stream did not "
                 "finish in 300s — refusing to read a partial sink"
             )
-    out = spark.read.parquet(out_dir)
-    return out.groupBy("user_id", "session_num").agg(
-        F.max("n_events").cast("bigint").alias("n_events"),
-        F.min("session_start_ms").cast("bigint").alias("session_start_ms"),
-        F.max("session_end_ms").cast("bigint").alias("session_end_ms"),
+    from pyspark.sql.window import Window
+
+    out = spark.read.parquet(out_dir).filter(F.col("user_id") != -1)
+    return out.select(
+        "user_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("session_start_ms"))
+        .cast("bigint")
+        .alias("session_num"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("session_start_ms").cast("bigint").alias("session_start_ms"),
+        F.col("session_end_ms").cast("bigint").alias("session_end_ms"),
     )
 
 
@@ -471,7 +525,7 @@ def _staged_doc_landing(spark: SparkSession, sf_dir: str) -> str:
     if cached:
         shutil.rmtree(os.path.dirname(cached), ignore_errors=True)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    land = os.path.join(tempfile.mkdtemp(prefix="tomix_cms_land_"), "landing")
+    land = os.path.join(_scratch_dir(prefix="tomix_cms_land_"), "landing")
     os.makedirs(land)
     for b in range(N_STREAM_BATCHES):
         part_dir = os.path.join(land, f"_stage_b{b}")
@@ -507,7 +561,7 @@ def streaming_sketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tomixpanel_spark.streaming.sketches import StreamingCountMin, _py_bucket
 
     land = _staged_doc_landing(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="tomix_cms_q_")
+    work = _scratch_dir(prefix="tomix_cms_q_")
     cms = StreamingCountMin()
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -558,7 +612,7 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tomixpanel_spark.streaming.dedup import streaming_exact_dedup
 
     land = _staged_doc_landing(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="tomix_sdd_q_")
+    work = _scratch_dir(prefix="tomix_sdd_q_")
     out_dir = os.path.join(work, "out")
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -611,7 +665,7 @@ def _built_cagg_store(spark: SparkSession, sf_dir: str) -> str:
         F.col("ts")
         < F.lit(row["mn"]).cast("timestamp") + F.expr(f"INTERVAL {SLICE_DAYS} DAYS")
     ).select("ts", "event_type", "value")
-    store = os.path.join(tempfile.mkdtemp(prefix="tomix_cagg_store_"), "store")
+    store = os.path.join(_scratch_dir(prefix="tomix_cagg_store_"), "store")
     cagg = ContinuousAggregate(store)
     for b in range(N_STREAM_BATCHES):
         cagg.update_batch(
@@ -650,7 +704,7 @@ def _built_dedup_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _STORE_CACHE:
         return _STORE_CACHE[key]
     docs = table(spark, sf_dir, "documents")
-    store = os.path.join(tempfile.mkdtemp(prefix="tomix_didx_store_"), "store")
+    store = os.path.join(_scratch_dir(prefix="tomix_didx_store_"), "store")
     DedupIndex(store).register(
         docs.filter(F.pmod("doc_id", F.lit(2)) == 0).select("doc_id", "text"), 0
     )

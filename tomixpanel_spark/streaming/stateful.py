@@ -49,6 +49,58 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "session_num long, last_ms long, n_events long, start_ms long"
 
 
+def sessionize_session_window(
+    events: DataFrame,
+    gap_ms: int = SESSION_GAP_MS,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """events (user_id, time_ms) stream -> one row per CLOSED session:
+    (user_id, n_events, session_start_ms, session_end_ms).
+
+    Pure-JVM serving strategy: ``session_window`` keeps the whole
+    trigger loop inside Tungsten/state-store code — no python workers,
+    no Arrow transfer. Works in batch too (session_window is a regular
+    grouping expression there), which the strategies-agree test uses.
+
+    Gap semantics: the library path starts a new session when
+    ``t - last > gap_ms`` (STRICTLY greater — equal-to-gap extends the
+    session, matching the SQL lag-gap oracle). ``session_window`` merges
+    TOUCHING windows (measured on this Spark: two events exactly
+    ``gap`` apart with ``gap`` as the window gap land in ONE session;
+    ``gap+1`` apart in two), i.e. merge iff ``t - last <= gap`` — the
+    library rule verbatim, so the gap passes through unchanged. The
+    strategies-agree test pins both boundary deltas.
+
+    Append-mode emission: a session emits exactly once, when the
+    watermark passes ``last_event + gap + 1ms``. On a bounded replay the
+    watermark stops at the last real event, so callers must append a
+    far-future sentinel row (> max real ts + gap) and filter its
+    session out of the sink — the streaming_parity windowed precedent.
+
+    Null event times are dropped (the library path skips them; the
+    oracle's epoch_ms(ts) never yields one from a non-null row)."""
+    out = (
+        events.filter(F.col("time_ms").isNotNull())
+        .withColumn("__ts", F.timestamp_millis(F.col("time_ms")))
+        .withWatermark("__ts", watermark_delay)
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("__ts", f"{gap_ms} milliseconds"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("time_ms").alias("session_start_ms"),
+            F.max("time_ms").alias("session_end_ms"),
+        )
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("session_start_ms").cast("long").alias("session_start_ms"),
+        F.col("session_end_ms").cast("long").alias("session_end_ms"),
+    )
+
+
 def sessionize_with_state(
     events: DataFrame,
     gap_ms: int = SESSION_GAP_MS,
