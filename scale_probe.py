@@ -1,13 +1,34 @@
-"""Above-gate scale probe: replicate the sf0.1 documents table 10x (5k
--> 50k docs, doc_id-offset, per-replica text suffix on 2/3 of docs so the
-duplicate structure stays rich without being degenerate) and run the
-text/dedup families at a corpus size where the size-adaptive gates flip
-NATURALLY (50k > the 25k driver-fold cap) — the distributed plans get
-wall-clock signal on real above-gate inputs, not just forced-off gates.
+"""Above-gate scale probe: replicate the sf0.1 tables past the engine's
+size-adaptive gates so the DISTRIBUTED plans get wall-clock + value
+signal on real above-gate inputs, not just forced-off gates.
 
-Usage: python scale_probe.py  (writes the probe dataset under
-$TOMIX_PROBE_DIR, default /tmp/sfx10, then prints name,spark_s,duckdb_s,
-ratio,rows per query). Results are recorded in ARCHITECTURE.md round 10.
+Three probe families (select with argv, default all):
+
+* ``text`` — documents 10x (5k -> 50k docs, doc_id-offset, per-replica
+  text suffix on 2/3 of docs so duplicate structure stays rich): flips
+  the 25k driver-fold cap on every text/dedup gate naturally. Recorded
+  in ARCHITECTURE.md round 10.
+* ``emb`` — embeddings 50x (2k -> 100k vectors, vec_id-offset; replicas
+  of 2/3 of base vectors get ONE coordinate deterministically nudged so
+  near-dup structure stays rich without being all-exact): the ANN /
+  similarity family at 50x its bench scale, DuckDB oracle side-by-side
+  with value-hash comparison where the oracle completes (the quadratic
+  pair oracles DNF — that is the probe's finding). Also measures
+  recall@5 of the learned-float ``ann_ivf`` library path against exact
+  brute force, and runs a 550x decontam leg where the held-out side
+  (110k vectors) exceeds TOMIX_EMB_BCAST_VECS (100k) so the cogroup
+  fallback engages NATURALLY — verified value-identical (count +
+  order-free checksum) against the broadcast path with the gate raised.
+* ``cc`` — an identity-graph events table with 2500 user-offset
+  replicas (2.5M distinct identity edges > the 2M TOMIX_CC_LOCAL_MAX),
+  so ``identity_components`` takes the distributed label-propagation
+  path NATURALLY; verified value-identical against the driver
+  union-find with the gate raised, with LP round count and wall-clock.
+
+Usage: ``python scale_probe.py [text|emb|cc ...]`` (writes probe
+datasets under $TOMIX_PROBE_DIR, default /tmp/sfx10, then prints
+name,spark_s,duckdb_s,ratio,rows,match per query). Results are recorded
+in ARCHITECTURE.md rounds 10-11.
 
 This is a measurement harness, not part of the engine; the per-round
 BENCH contract stays bench.py at the driver-provided sf_dir.
@@ -15,6 +36,7 @@ BENCH contract stays bench.py at the driver-provided sf_dir.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import sys
@@ -23,8 +45,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ORACLE_TIMEOUT_S = int(os.environ.get("TOMIX_PROBE_ORACLE_TIMEOUT_S", "90"))
+EMB_REPLICAS = 50
+EMB_DECONTAM_REPLICAS = 550  # held-out side 110k > the 100k broadcast cap
+CC_REPLICAS = 2500  # 1000 edges/replica -> 2.5M > the 2M local-CC cap
 
-PROBE_NAMES = [
+PROBE_TEXT_NAMES = [
     "token_count", "word_freq", "tfidf_keywords", "bm25_topk",
     "cms_heavy_hitters", "simhash", "simhash_pairs", "dedup_exact",
     "doc_fingerprint", "substring_dup_stats", "substring_dup_spans",
@@ -32,6 +57,12 @@ PROBE_NAMES = [
     "lsh_keep_list", "ngram_jaccard_pairs", "dedup_keep_list",
     "neardup_components", "neardup_keep_best", "lang_id", "quality_score",
     "gopher_quality", "chunk_documents",
+]
+
+PROBE_EMB_NAMES = [
+    "label_centroids", "cosine_topk", "cosine_topk_partitioned",
+    "ann_lsh", "ann_ivf_q", "ann_pq_q", "embedding_decontam",
+    "embedding_neardup",
 ]
 
 
@@ -52,11 +83,279 @@ def build_dataset(src_sf: str, dst: str, replicas: int = 10) -> None:
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
         """
     )
+    # embeddings at 50x: replica 0 verbatim; for 2/3 of base vectors the
+    # replicas nudge ONE coordinate (deterministic in vec_id+replica), a
+    # DIRECTION change cosine actually sees (pure scaling would be
+    # invisible) — so replica clusters are near-dups, not exact copies,
+    # and the remaining 1/3 stay exact duplicates.
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.vec_id + rr.r * 1000000 AS vec_id,
+                 CASE WHEN rr.r = 0 OR e.vec_id % 3 = 0 THEN e.embedding
+                      ELSE list_transform(e.embedding, (x, i) ->
+                           CASE WHEN i = 1 + ((e.vec_id + rr.r) % 64)
+                                THEN CAST(x + 0.03 + 0.005 * (rr.r % 7)
+                                          AS FLOAT)
+                                ELSE x END)
+                 END AS embedding,
+                 e.label
+          FROM read_parquet('{src_sf}/embeddings.parquet') e,
+               (SELECT unnest(range({EMB_REPLICAS})) AS r) rr
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
     for t in (
-        "region nation customer supplier part orders lineitem events embeddings"
+        "region nation customer supplier part orders lineitem events"
     ).split():
         if not os.path.exists(f"{dst}/{t}.parquet"):
             shutil.copyfile(f"{src_sf}/{t}.parquet", f"{dst}/{t}.parquet")
+
+
+def build_decontam_dataset(src_sf: str, dst: str) -> None:
+    """550x embeddings ONLY (held-out label-0 side = 110k vectors, past
+    the 100k broadcast cap): the natural-gate leg for the decontam
+    cogroup fallback. Other tables copied for table() compatibility."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.vec_id + rr.r * 1000000 AS vec_id,
+                 CASE WHEN rr.r = 0 OR e.vec_id % 3 = 0 THEN e.embedding
+                      ELSE list_transform(e.embedding, (x, i) ->
+                           CASE WHEN i = 1 + ((e.vec_id + rr.r) % 64)
+                                THEN CAST(x + 0.03 + 0.005 * (rr.r % 7)
+                                          AS FLOAT)
+                                ELSE x END)
+                 END AS embedding,
+                 e.label
+          FROM read_parquet('{src_sf}/embeddings.parquet') e,
+               (SELECT unnest(range({EMB_DECONTAM_REPLICAS})) AS r) rr
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
+def build_cc_dataset(src_sf: str, dst: str) -> None:
+    """Identity-graph probe events: one row per DISTINCT base user per
+    replica, user_id offset so every replica contributes fresh identity
+    edges (~1000/replica after the %3 null rule) — 2.5M distinct edges,
+    above TOMIX_CC_LOCAL_MAX, from a 3.75M-row table (replicating raw
+    events would need 200M rows for the same edge count; the edge set,
+    not the event volume, is what gates the CC strategy)."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT row_number() OVER () AS event_id,
+                 TIMESTAMP '2024-01-01 00:00:00' AS ts,
+                 u.user_id + rr.r * 1000000 AS user_id,
+                 'probe' AS event_type, 0.0 AS value, '{{}}' AS props
+          FROM (SELECT DISTINCT user_id
+                FROM read_parquet('{src_sf}/events.parquet')
+                WHERE user_id IS NOT NULL) u,
+               (SELECT unnest(range({CC_REPLICAS})) AS r) rr
+        ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
+def _canon_hash(pdf) -> str:
+    """Order-free value hash over a pandas frame: sort columns by name,
+    stringify cells (repr for floats, the oracle-parity convention),
+    sort rows, sha256."""
+    from decimal import Decimal
+
+    import numpy as np
+
+    cols = sorted(pdf.columns)
+
+    def cell(v):
+        if v is None or v != v:  # None / NaN
+            return "\x00NULL"
+        if isinstance(v, (bool, np.bool_)):
+            return str(bool(v)).lower()
+        if isinstance(v, Decimal):  # spark decimal vs duckdb float64:
+            v = float(v)  # same double both ways (engine is bit-exact)
+        if isinstance(v, (float, np.floating)):
+            return repr(float(v))
+        if isinstance(v, (int, np.integer)):
+            return str(int(v))
+        return str(v)
+
+    rows = sorted(
+        "\x01".join(cell(v) for v in rec)
+        for rec in pdf[cols].itertuples(index=False, name=None)
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode("utf-8", "surrogatepass"))
+        h.update(b"\x02")
+    return h.hexdigest()
+
+
+def run_queries(spark, con, reg, dst, names) -> None:
+    print("name,spark_s,duckdb_s,ratio,rows,match")
+    for n in names:
+        if n not in reg:
+            continue
+        try:
+            print(f"# running {n}", file=sys.stderr, flush=True)
+            fn = reg[n].fn
+            spdf = fn(spark, dst).toPandas()  # warm plan + codegen
+            nrows = len(spdf)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, dst).toPandas()
+                best = min(best, time.perf_counter() - t0)
+            ob = float("inf")
+            timed_out = False
+            orows = None
+            if reg[n].oracle:
+                # watchdog: several pair oracles are O(n^2) in SQL — at
+                # probe scale that's billions of pairs. An interrupted
+                # oracle IS the probe's finding (the capped/banded Spark
+                # plan completes where naive SQL cannot).
+                import threading
+
+                for _ in range(2):
+                    timer = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
+                    timer.start()
+                    t0 = time.perf_counter()
+                    try:
+                        orows = con.execute(reg[n].oracle).df()
+                        ob = min(ob, time.perf_counter() - t0)
+                    except Exception:
+                        timed_out = True
+                        break
+                    finally:
+                        timer.cancel()
+            if timed_out:
+                print(
+                    f"{n},{best:.2f},TIMEOUT>{ORACLE_TIMEOUT_S}s,,{nrows},",
+                    flush=True,
+                )
+            else:
+                ratio = best / ob if ob < float("inf") else -1
+                osec = ob if ob < float("inf") else -1
+                match = ""
+                if orows is not None:
+                    match = (
+                        "HASH_OK"
+                        if len(orows) == nrows
+                        and _canon_hash(spdf) == _canon_hash(orows)
+                        else "MISMATCH"
+                    )
+                print(
+                    f"{n},{best:.2f},{osec:.2f},{ratio:.2f},{nrows},{match}",
+                    flush=True,
+                )
+        except Exception as exc:  # keep probing; record the failure
+            print(f"{n},ERR,,,{repr(exc)[:120]},", flush=True)
+
+
+def _spark_checksum(df):
+    """Order-free distributed checksum: count + bit_xor(xxhash64(cols))
+    — no driver transfer, so it verifies 50M-row results cheaply (XOR
+    aggregation: commutative, associative, and — unlike sum — immune to
+    ANSI-mode long overflow on random 64-bit hashes)."""
+    from pyspark.sql import functions as F
+
+    cols = ", ".join(f"`{c}`" for c in sorted(df.columns))
+    [row] = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64({cols}))").alias("x"),
+    ).collect()
+    return (row["n"], row["x"])
+
+
+def probe_emb_extras(spark, src_sf: str, probe_root: str) -> None:
+    """(1) recall@5 of the learned-float ann_ivf library path vs exact
+    brute force at 50x scale; (2) the 550x decontam natural-gate leg."""
+    from pyspark.sql import functions as F
+
+    from tomixpanel_spark.operators import similarity as S
+    from tomixpanel_spark.operators.base import table
+
+    # -- recall@5 at 50x (the 50x tables live in probe_root) ---------------
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in S.cosine_topk(spark, probe_root).collect()
+    }
+    t0 = time.perf_counter()
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in S.ann_ivf(spark, probe_root).collect()
+    }
+    dt = time.perf_counter() - t0
+    recall = len(exact & approx) / max(1, len(exact))
+    print(f"ann_ivf_recall@{S.TOP_K},{dt:.2f},,,{len(approx)},{recall:.3f}",
+          flush=True)
+
+    # -- decontam natural cogroup leg at 550x -------------------------------
+    dst = probe_root + "_dec550"
+    if not os.path.exists(f"{dst}/embeddings.parquet"):
+        build_decontam_dataset(src_sf, dst)
+    emb = S.ensure_parallel(table(spark, dst, "embeddings"), "vec_id")
+    held = emb.filter(F.col("label") == 0)
+    train = emb.filter(F.col("label") != 0)
+    assert held.count() > S._emb_bcast_cap(), "held-out side must exceed gate"
+    t0 = time.perf_counter()
+    natural = _spark_checksum(S.embedding_decontam_pairs(train, held))
+    t_nat = time.perf_counter() - t0
+    prev = os.environ.get("TOMIX_EMB_BCAST_VECS")
+    os.environ["TOMIX_EMB_BCAST_VECS"] = "200000"  # force the broadcast leg
+    try:
+        t0 = time.perf_counter()
+        forced = _spark_checksum(S.embedding_decontam_pairs(train, held))
+        t_brd = time.perf_counter() - t0
+    finally:
+        if prev is None:
+            os.environ.pop("TOMIX_EMB_BCAST_VECS", None)
+        else:
+            os.environ["TOMIX_EMB_BCAST_VECS"] = prev
+    ok = "HASH_OK" if natural == forced else "MISMATCH"
+    print(
+        f"decontam_cogroup_550x,{t_nat:.2f},broadcast={t_brd:.2f}s,,"
+        f"{natural[0]},{ok}",
+        flush=True,
+    )
+
+
+def probe_cc(spark, src_sf: str, probe_root: str) -> None:
+    from tomixpanel_spark.operators import identity as I
+
+    dst = probe_root + "_cc"
+    if not os.path.exists(f"{dst}/events.parquet"):
+        build_cc_dataset(src_sf, dst)
+    # natural leg: 2.5M edges > TOMIX_CC_LOCAL_MAX -> distributed LP
+    assert os.environ.get("TOMIX_CC_LOCAL_MAX") is None
+    t0 = time.perf_counter()
+    nat = _spark_checksum(I.identity_components(spark, dst))
+    t_nat = time.perf_counter() - t0
+    rounds = I.LAST_DISTRIBUTED_ROUNDS
+    assert rounds is not None, "gate did not flip — probe is mis-sized"
+    # verification leg: driver union-find with the gate raised
+    os.environ["TOMIX_CC_LOCAL_MAX"] = "10000000"
+    try:
+        t0 = time.perf_counter()
+        loc = _spark_checksum(I.identity_components(spark, dst))
+        t_loc = time.perf_counter() - t0
+    finally:
+        os.environ.pop("TOMIX_CC_LOCAL_MAX", None)
+    ok = "HASH_OK" if nat == loc else "MISMATCH"
+    print(
+        f"identity_components_2.5Medges,{t_nat:.2f},local={t_loc:.2f}s,"
+        f"rounds={rounds},{nat[0]},{ok}",
+        flush=True,
+    )
 
 
 def main() -> None:
@@ -68,11 +367,17 @@ def main() -> None:
     os.environ.setdefault("TOMIX_CACHE_TABLES", "1")
     os.environ.setdefault("TOMIX_CACHE_PARTS", "8")
     os.environ.setdefault("TOMIX_CACHE_PARTS_MIN_MB", "0.4")
+    families = set(sys.argv[1:]) or {"text", "emb", "cc"}
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dst = os.environ.get("TOMIX_PROBE_DIR", "/tmp/sfx10")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    if not os.path.exists(f"{dst}/documents.parquet"):
+    # _probe_v2 marks the emb-replicated dataset layout; a round-10 dir
+    # (documents-only replication) rebuilds rather than silently probing
+    # unreplicated embeddings
+    if not os.path.exists(f"{dst}/_probe_v2"):
+        shutil.rmtree(dst, ignore_errors=True)
         build_dataset(src, dst)
+        open(f"{dst}/_probe_v2", "w").close()
     spark = (
         session_builder("tomix_scale_probe", master=f"local[{cpus}]",
                         shuffle_partitions=cpus)
@@ -89,48 +394,13 @@ def main() -> None:
         "documents embeddings"
     ).split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'")
-    print("name,spark_s,duckdb_s,ratio,rows")
-    for n in PROBE_NAMES:
-        if n not in reg:
-            continue
-        try:
-            print(f"# running {n}", file=sys.stderr, flush=True)
-            fn = reg[n].fn
-            nrows = len(fn(spark, dst).toPandas())  # warm plan + codegen
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, dst).toPandas()
-                best = min(best, time.perf_counter() - t0)
-            ob = float("inf")
-            timed_out = False
-            if reg[n].oracle:
-                # watchdog: several pair oracles are O(n^2) in SQL — at
-                # 50k docs that's 2.5e9 pairs and tens of GB. An
-                # interrupted oracle IS the probe's finding (the capped/
-                # banded Spark plan completes where naive SQL cannot).
-                import threading
-
-                for _ in range(2):
-                    timer = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
-                    timer.start()
-                    t0 = time.perf_counter()
-                    try:
-                        con.execute(reg[n].oracle).fetchall()
-                        ob = min(ob, time.perf_counter() - t0)
-                    except Exception:
-                        timed_out = True
-                        break
-                    finally:
-                        timer.cancel()
-            if timed_out:
-                print(f"{n},{best:.2f},TIMEOUT>{ORACLE_TIMEOUT_S}s,,{nrows}", flush=True)
-            else:
-                ratio = best / ob if ob < float("inf") else -1
-                osec = ob if ob < float("inf") else -1
-                print(f"{n},{best:.2f},{osec:.2f},{ratio:.2f},{nrows}", flush=True)
-        except Exception as exc:  # keep probing; record the failure
-            print(f"{n},ERR,,,{repr(exc)[:120]}", flush=True)
+    if "text" in families:
+        run_queries(spark, con, reg, dst, PROBE_TEXT_NAMES)
+    if "emb" in families:
+        run_queries(spark, con, reg, dst, PROBE_EMB_NAMES)
+        probe_emb_extras(spark, src, dst)
+    if "cc" in families:
+        probe_cc(spark, src, dst)
 
 
 if __name__ == "__main__":

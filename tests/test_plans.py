@@ -687,3 +687,24 @@ def test_substring_clean_paths_agree_and_broadcast(spark, monkeypatch):
     assert fold == dist and len(fold) > 0
     assert "BroadcastHashJoin" in join_strategies(df)
     assert "SortMergeJoin" not in join_strategies(df)
+
+
+def test_gates_doc_matches_code():
+    """GATES.md is the single ops reference for every TOMIX_* variable;
+    this grep-check makes it impossible for a new gate to ship
+    undocumented (or for the doc to advertise a gate the code dropped)."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    pat = re.compile(r"TOMIX_[A-Z0-9_]+")
+    in_code: set[str] = set()
+    for src in [root / "bench.py", root / "scale_probe.py",
+                root / "__spark_entry__.py",
+                *sorted((root / "tomixpanel_spark").rglob("*.py"))]:
+        in_code |= set(pat.findall(src.read_text()))
+    in_doc = set(pat.findall((root / "GATES.md").read_text()))
+    missing_from_doc = sorted(in_code - in_doc)
+    stale_in_doc = sorted(in_doc - in_code)
+    assert not missing_from_doc, f"undocumented gates: {missing_from_doc}"
+    assert not stale_in_doc, f"GATES.md rows with no code: {stale_in_doc}"

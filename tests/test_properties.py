@@ -5,6 +5,8 @@ paths rely on."""
 
 from __future__ import annotations
 
+from base64 import b64decode as _b64decode
+
 import json
 
 from hypothesis import given, settings
@@ -881,3 +883,204 @@ class TestPngGoldenVector:
 
         meta = decode_payload(base64.b64decode(self.PLUS_PNG_B64), "image/png")
         assert (meta["width"], meta["height"], meta["bit_depth"]) == (11, 11, 8)
+
+
+class TestJpegCodec:
+    """Baseline grayscale JPEG codec (multimodal.encode_jpeg_gray /
+    decode_jpeg_gray): spec-derived golden vectors assembled directly
+    from ITU-T T.81 (Annex K tables, canonical C.2 code assignment) with
+    pixels computed by the DIRECT 2-D IDCT formula — an independent path
+    through the standard, so the decoder is checked against the spec,
+    not only against its own encoder (the PNG golden-vector rule)."""
+
+    # Both streams: flat DQT (all 16s), 8x8 SOF0 single component, the
+    # Annex-K luminance DC/AC Huffman tables, one entropy block.
+    # A: DC category 3 code '100' + bits '110' (diff 6) + EOB '1010',
+    #    padded with 1s => bytes 9A BF. Dequantized DC 96 -> IDCT is the
+    #    constant 96/8 = 12, +128 => every pixel 140.
+    # B: DC category 0 ('00'), AC run 0/size 2 ('01') + bits '00'
+    #    (EXTEND => -3), EOB '1010', padded => 12 BF. Coefficient -48 at
+    #    (v=0,u=1); direct IDCT per T.81 A.3.3 gives identical rows
+    #    [120,121,123,126,130,133,135,136].
+    GOLDEN_A = _b64decode(
+        "/9j/2wBDABAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQ"
+        "EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAALCAAIAAgBAREA/8QA0gAAAQUBAQEB"
+        "AQEAAAAAAAAAAAECAwQFBgcICQoLEAACAQMDAgQDBQUEBAAAAX0BAgMABBEFEiEx"
+        "QQYTUWEHInEUMoGRoQgjQrHBFVLR8CQzYnKCCQoWFxgZGiUmJygpKjQ1Njc4OTpD"
+        "REVGR0hJSlNUVVZXWFlaY2RlZmdoaWpzdHV2d3h5eoOEhYaHiImKkpOUlZaXmJma"
+        "oqOkpaanqKmqsrO0tba3uLm6wsPExcbHyMnK0tPU1dbX2Nna4eLj5OXm5+jp6vHy"
+        "8/T19vf4+fr/2gAIAQEAAD8Amr//2Q=="
+    )
+    GOLDEN_B = _b64decode(
+        "/9j/2wBDABAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQ"
+        "EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAALCAAIAAgBAREA/8QA0gAAAQUBAQEB"
+        "AQEAAAAAAAAAAAECAwQFBgcICQoLEAACAQMDAgQDBQUEBAAAAX0BAgMABBEFEiEx"
+        "QQYTUWEHInEUMoGRoQgjQrHBFVLR8CQzYnKCCQoWFxgZGiUmJygpKjQ1Njc4OTpD"
+        "REVGR0hJSlNUVVZXWFlaY2RlZmdoaWpzdHV2d3h5eoOEhYaHiImKkpOUlZaXmJma"
+        "oqOkpaanqKmqsrO0tba3uLm6wsPExcbHyMnK0tPU1dbX2Nna4eLj5OXm5+jp6vHy"
+        "8/T19vf4+fr/2gAIAQEAAD8AEr//2Q=="
+    )
+
+    def test_spec_golden_dc_only_block(self):
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        got = decode_jpeg_gray(self.GOLDEN_A)
+        assert got.shape == (8, 8)
+        assert (got == 140).all(), got
+
+    def test_spec_golden_single_ac_coefficient(self):
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        got = decode_jpeg_gray(self.GOLDEN_B)
+        want_row = [120, 121, 123, 126, 130, 133, 135, 136]
+        assert got.shape == (8, 8)
+        assert (got == np.array(want_row, dtype=np.uint8)).all(), got
+
+    def test_constant_images_roundtrip_exactly_at_any_quality(self):
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        for q in (10, 50, 90, 100):
+            for v in (0, 128, 255):
+                img = np.full((16, 24), v, dtype=np.uint8)
+                assert (decode_jpeg_gray(encode_jpeg_gray(img, q)) == img).all()
+
+    def test_smooth_gradient_high_quality_near_lossless(self):
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        img = np.add.outer(np.arange(24) * 3, np.arange(40) * 2).astype(np.uint8)
+        out = decode_jpeg_gray(encode_jpeg_gray(img, 95))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    def test_noise_roundtrip_bounded_and_nonmultiple_dims(self):
+        """17x23 forces edge-replication padding + crop; q90 noise error
+        stays bounded (JPEG is lossy — the bound documents how lossy)."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            _decode_jpeg_header,
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+        payload = encode_jpeg_gray(img, 90)
+        out = decode_jpeg_gray(payload)
+        assert out.shape == (17, 23)
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= 32 and err.mean() <= 6
+        meta = _decode_jpeg_header(payload)
+        assert (meta["width"], meta["height"]) == (23, 17)
+
+    def test_entropy_byte_stuffing_roundtrips(self):
+        """Images chosen to produce 0xFF entropy bytes exercise the
+        stuff/unstuff path: any mismatch desyncs the whole scan."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        rng = np.random.default_rng(11)
+        for seed in range(20):
+            img = rng.integers(0, 256, (8, 16), dtype=np.uint8)
+            payload = encode_jpeg_gray(img, 85)
+            out = decode_jpeg_gray(payload)  # desync would raise/garble
+            assert out.shape == img.shape
+
+    def test_rejects_progressive_and_color(self):
+        import numpy as np
+        import pytest
+
+        from tomixpanel_spark.operators.multimodal import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        img = np.full((8, 8), 100, dtype=np.uint8)
+        payload = bytearray(encode_jpeg_gray(img, 90))
+        sof = payload.find(b"\xff\xc0")
+        progressive = bytes(payload[:sof + 1]) + b"\xc2" + bytes(payload[sof + 2:])
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg_gray(progressive)
+        color = bytearray(payload)
+        color[sof + 9] = 3  # SOF0 component count
+        with pytest.raises(ValueError, match="single-component"):
+            decode_jpeg_gray(bytes(color))
+
+    def test_dhash_stable_across_png_and_jpeg(self):
+        """The SAME pixels encoded as PNG (lossless) and JPEG (q98)
+        must yield dHashes within the banded-Hamming match radius —
+        the property that makes mixed-format near-dup detection work."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            MEDIA_HAM_MAX,
+            decode_jpeg_gray,
+            decode_png_gray,
+            dhash_bits,
+            encode_jpeg_gray,
+            encode_png_gray,
+        )
+
+        rng = np.random.default_rng(3)
+        for _ in range(30):
+            px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+            h_png = dhash_bits(decode_png_gray(encode_png_gray(px)))
+            h_jpg = dhash_bits(decode_jpeg_gray(encode_jpeg_gray(px, 98)))
+            ham = bin(h_png ^ h_jpg).count("1")
+            assert ham <= MEDIA_HAM_MAX, ham
+
+    def test_mixed_format_neardup_end_to_end(self, spark):
+        """A payload table mixing PNG and JPEG encodings of the same
+        underlying images, through the REAL pipeline (signature-
+        dispatched pixel decode -> dHash -> banded_hamming_pairs): every
+        (png twin, jpeg twin) pair must be recovered."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.dedup import banded_hamming_pairs
+        from tomixpanel_spark.operators.multimodal import (
+            DHASH_BITS,
+            MEDIA_BANDS,
+            MEDIA_HAM_MAX,
+            encode_jpeg_gray,
+            encode_png_gray,
+            perceptual_hash,
+        )
+
+        rng = np.random.default_rng(5)
+        rows = []
+        n = 12
+        for i in range(n):
+            px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+            rows.append((i, "image/png", bytearray(encode_png_gray(px))))
+            rows.append((100 + i, "image/jpeg",
+                         bytearray(encode_jpeg_gray(px, 98))))
+        media = spark.createDataFrame(
+            rows, "item_id long, media_type string, payload binary"
+        )
+        hashes = perceptual_hash(media)
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in banded_hamming_pairs(
+                hashes, "dhash", MEDIA_BANDS, 8, MEDIA_HAM_MAX
+            ).collect()
+        }
+        for i in range(n):
+            assert (i, 100 + i) in pairs, f"twin pair for image {i} missing"

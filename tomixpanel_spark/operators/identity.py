@@ -29,6 +29,10 @@ from pyspark.sql.types import StructField, StructType
 from tomixpanel_spark.operators.base import QuerySpec, stage_checkpoint, table
 
 MAX_ITERATIONS = 20
+# ops introspection (scale_probe reads it): number of label-propagation
+# rounds the DISTRIBUTED path took on the last connected_components call;
+# None when the driver union-find path ran instead
+LAST_DISTRIBUTED_ROUNDS: "int | None" = None
 # Below this many DISTINCT edges the component computation runs as driver-
 # side union-find on the collected edge list — the same size-adaptive
 # strategy as a broadcast join (the edge set after dedup is the identity
@@ -95,6 +99,7 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> 
         row) — so "did anything change" is a trivial filter-count on the
         round's checkpointed output, not a join of two label generations.
     """
+    global LAST_DISTRIBUTED_ROUNDS
     id_type = edges.schema[a].dataType
     ded = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -102,6 +107,7 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> 
     )
     ded = stage_checkpoint(ded, eager=True)  # reused by count + (either) path
     if ded.count() <= _local_edge_threshold():
+        LAST_DISTRIBUTED_ROUNDS = None  # the local path ran
         rows = _local_components(ded.toPandas())
         schema = StructType(
             [StructField("node", id_type), StructField("component", id_type)]
@@ -132,8 +138,9 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> 
         eager=True,
     )
     if labels.filter(F.col("component") != F.col("node")).limit(1).count() == 0:
+        LAST_DISTRIBUTED_ROUNDS = 1
         return labels
-    for _ in range(MAX_ITERATIONS - 1):
+    for _round in range(MAX_ITERATIONS - 1):
         nm = (
             adj.join(labels, adj.dst == labels.node)
             .groupBy("src")
@@ -171,6 +178,7 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> 
         changed = updated.filter(F.col("component") != F.col("prev")).limit(1).count()
         labels = updated.select("node", "component")
         if changed == 0:
+            LAST_DISTRIBUTED_ROUNDS = _round + 2
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {MAX_ITERATIONS} "

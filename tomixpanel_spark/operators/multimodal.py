@@ -6,10 +6,13 @@ frame-sample run as Arrow-batched ``mapInPandas`` stages so bytes cross the
 JVM<->Python boundary in columnar batches, never row-at-a-time. The default
 ``decode_payload`` REALLY parses PNG (IHDR), JPEG (SOFn marker), WAV
 (fmt/data chunk), and MP3 (frame header, ID3v2-aware) headers with stdlib
-``struct``; pixel/PCM decode of payload data would need an injected
-codec-backed decoder (none in this environment). The Spark-side plumbing
-(schema, batch shape, UDF signature, partitioning) is real and tested
-either way.
+``struct``. PIXEL/PCM decode is also real where the format permits a
+stdlib implementation: 8-bit grayscale PNG (zlib + all five scanline
+filters), baseline grayscale JPEG (Annex-K Huffman + DCT, round 11), and
+WAV PCM16 — each with spec/golden-vector tests; color/progressive/
+compressed-audio variants raise with an injected-decoder seam (none in
+this environment). The Spark-side plumbing (schema, batch shape, UDF
+signature, partitioning) is real and tested either way.
 
 ``multimodal_meta`` doubles as the oracle-checked query: metadata extraction
 (byte length, sha256 content hash, magic-byte format sniff) over payloads —
@@ -489,6 +492,352 @@ def decode_png_gray(payload: bytes):
     return out.astype(np.uint8)
 
 
+# -- baseline JPEG codec (grayscale, sequential DCT, Huffman) ----------------
+# Real pixel-level JPEG in the same stdlib-only style as the PNG codec
+# above: ITU-T T.81 baseline, single (luminance) component, no
+# subsampling. Real corpora are JPEG-heavy — header-only parsing (the
+# _decode_jpeg_header above) covers metadata, but the perceptual-hash
+# near-dup path needs PIXELS, so encode/decode are implemented for real:
+# level shift, 2D DCT, Annex-K quantization (libjpeg quality scaling),
+# zigzag, DC-differential + AC run-length Huffman with byte stuffing.
+# Color / progressive / subsampled streams raise (the decode_png_gray
+# honest-contract precedent; inject a codec-backed decoder for those).
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# Annex K Table K.1 — luminance quantization base
+_JPEG_LUM_QUANT = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+# Annex K Tables K.3/K.5 — luminance DC/AC Huffman (BITS, HUFFVAL)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits, vals):
+    """Canonical JPEG Huffman code assignment (T.81 C.2): symbol ->
+    (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_mat():
+    import numpy as np
+
+    n = 8
+    m = np.zeros((n, n))
+    for k in range(n):
+        for x in range(n):
+            m[k, x] = np.cos((2 * x + 1) * k * np.pi / 16) * (
+                np.sqrt(0.125) if k == 0 else 0.5
+            )
+    return m
+
+
+def _jpeg_quant_table(quality: int):
+    import numpy as np
+
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q  # libjpeg convention
+    tbl = (np.array(_JPEG_LUM_QUANT, dtype=np.int64) * scale + 50) // 100
+    return np.clip(tbl, 1, 255).reshape(8, 8)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1s (spec convention)
+
+
+def _jpeg_magnitude(v: int):
+    """value -> (category, raw bits) per T.81 F.1.2.1 (negative values
+    one's-complement within the category)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg_gray(pixels, quality: int = 90) -> bytes:
+    """Encode an (h, w) uint8 array as a REAL baseline grayscale JPEG
+    (SOI, DQT, SOF0, Annex-K DHT, SOS, Huffman-coded DCT blocks with
+    byte stuffing, EOI) — readable by any JPEG decoder. Edge-replicated
+    to 8x8 block multiples."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge").astype(
+        np.float64
+    )
+    qt = _jpeg_quant_table(quality)
+    dmat = _dct_mat()
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coef = dmat @ block @ dmat.T
+            qz = np.rint(coef / qt).astype(np.int64)
+            zz = qz.reshape(-1)[_ZIGZAG]
+            size, bits = _jpeg_magnitude(int(zz[0]) - prev_dc)
+            prev_dc = int(zz[0])
+            c, ln = dc_codes[size]
+            bw.put(c, ln)
+            if size:
+                bw.put(bits, size)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]  # ZRL
+                    bw.put(c, ln)
+                    run -= 16
+                size, bits = _jpeg_magnitude(v)
+                c, ln = ac_codes[(run << 4) | size]
+                bw.put(c, ln)
+                bw.put(bits, size)
+                run = 0
+            if run:
+                c, ln = ac_codes[0x00]  # EOB
+                bw.put(c, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes(int(qt.reshape(-1)[i]) for i in _ZIGZAG))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, b"\x01\x01\x00" + b"\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n < 25 and self.pos < len(self.data):
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else None
+                )
+                if nxt != 0x00:
+                    return  # a real marker (EOI): entropy data exhausted
+                self.pos += 2  # 0xFF00 unstuffs to a data 0xFF
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill()
+        if self.n < k:
+            raise ValueError("JPEG entropy data truncated")
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg_gray(payload: bytes):
+    """Decode a baseline grayscale JPEG back to an (h, w) uint8 array —
+    REAL decode: marker walk, DQT/DHT table construction (any
+    spec-conforming tables, not just the Annex-K ones our encoder
+    writes), Huffman entropy decode with byte unstuffing, DC prediction,
+    dequantize, dezigzag, IDCT. Raises ValueError for progressive /
+    multi-component / subsampled streams (the decode_png_gray
+    honest-contract rule: inject a codec-backed decoder for those)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI signature")
+    pos = 2
+    qtables: dict = {}
+    htables: dict = {}
+    h = w = None
+    comp_tq = comp_td = comp_ta = None
+    data_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("not a JPEG: lost marker sync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(
+                    body[bpos + 1 : bpos + 65], dtype=np.uint8
+                )
+                qtables[tq] = tbl.reshape(8, 8)
+                bpos += 65
+        elif marker == 0xC4:
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0x0F
+                bits = list(body[bpos + 1 : bpos + 17])
+                nv = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + nv])
+                codes = _huff_codes(bits, vals)
+                htables[(tc, th)] = {
+                    (code, ln): sym for sym, (code, ln) in codes.items()
+                }
+                bpos += 17 + nv
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or nc != 1:
+                raise ValueError(
+                    "decode_jpeg_gray handles 8-bit single-component only"
+                )
+            if body[7] != 0x11:
+                raise ValueError("subsampled JPEG unsupported")
+            comp_tq = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG is supported")
+        elif marker == 0xDA:
+            if body[0] != 1:
+                raise ValueError("single-component scans only")
+            comp_td, comp_ta = body[2] >> 4, body[2] & 0x0F
+            data_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if h is None or data_start is None:
+        raise ValueError("not a JPEG: missing SOF/SOS")
+    qt = qtables.get(comp_tq)
+    dc_tab = htables.get((0, comp_td))
+    ac_tab = htables.get((1, comp_ta))
+    if qt is None or dc_tab is None or ac_tab is None:
+        raise ValueError("JPEG missing quant/Huffman tables")
+    br = _BitReader(payload[data_start:])
+    dmat = _dct_mat()
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.zeros((ph, pw), dtype=np.float64)
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            zz = np.zeros(64, dtype=np.int64)
+            size = br.huff(dc_tab)
+            prev_dc += _jpeg_extend(br.bits(size), size)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = br.huff(ac_tab)
+                run, size = rs >> 4, rs & 0x0F
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC coefficient index overflow")
+                zz[k] = _jpeg_extend(br.bits(size), size)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = zz
+            block = dmat.T @ (coef.reshape(8, 8) * qt) @ dmat
+            out[by : by + 8, bx : bx + 8] = block + 128.0
+    return np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
+
+
 # -- perceptual hashing + media near-dup -------------------------------------
 # dHash geometry: 8x8 grayscale, each row compares 7 adjacent column
 # pairs -> 56-bit signature. 7 bands of 8 bits; pigeonhole makes banding
@@ -518,10 +867,24 @@ def dhash_bits(px) -> int:
     return int((bits * weights).sum())
 
 
+def decode_image_gray(payload: bytes):
+    """Signature-dispatched pixel decode: PNG (zlib + unfilter) or
+    baseline JPEG (Huffman + IDCT) -> (h, w) uint8. The one entry point
+    perceptual hashing needs — real corpora mix both formats in one
+    payload column."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_gray(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_gray(payload)
+    raise ValueError("decode_image_gray: neither PNG nor JPEG signature")
+
+
 def perceptual_hash(media: DataFrame, id_col: str = "item_id", payload_col: str = "payload") -> DataFrame:
-    """Arrow-batched decode + dHash over PNG payloads: one narrow
-    mapInPandas pass (REAL pixel decode via ``decode_png_gray`` — PNG is
-    pure zlib, no codec library needed), emitting (doc_id, dhash)."""
+    """Arrow-batched decode + dHash over image payloads: one narrow
+    mapInPandas pass with REAL pixel decodes — PNG via ``decode_png_gray``
+    (pure zlib) and baseline JPEG via ``decode_jpeg_gray`` (stdlib
+    Huffman+IDCT), signature-dispatched per row — emitting
+    (doc_id, dhash)."""
     from tomixpanel_spark.session import ship_package
 
     ship_package(media.sparkSession)
@@ -534,7 +897,7 @@ def perceptual_hash(media: DataFrame, id_col: str = "item_id", payload_col: str 
                 if payload is None:
                     continue
                 ids.append(item_id)
-                hashes.append(dhash_bits(decode_png_gray(bytes(payload))))
+                hashes.append(dhash_bits(decode_image_gray(bytes(payload))))
             yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
 
     return media.mapInPandas(batches, schema="doc_id long, dhash long")

@@ -48,6 +48,20 @@ N_QUERIES = 10
 TOP_K = 5
 NEARDUP_E6 = 400_000  # cosine >= 0.40 (synthetic corpus max ~0.51)
 NEARDUP_BLOCKS = 8  # all-pairs block count; at 100 TB size so N/B fits a task
+# Per-matmul score-matrix cell budget (~32 MB of int64 per chunk). The
+# REAL task-memory bound of every pair kernel: a block pair's naive
+# (nL x nR) score matrix is O((N/B)^2) cells regardless of n_blocks —
+# the round-11 probe sized it at 14 GB/task at 1M x 110k decontam scale
+# before chunking. Kernels now score the left side in row chunks of
+# cap // nR, so task memory is O(block_rows * d + cap) and only hits
+# accumulate. Env-tunable for executor-memory sizing.
+SCORE_CELLS_CAP = 4_000_000
+
+
+def _score_cells_cap() -> int:
+    import os
+
+    return int(os.environ.get("TOMIX_SCORE_CELLS_CAP", str(SCORE_CELLS_CAP)))
 
 _SQL_SIM = (
     "CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
@@ -121,45 +135,71 @@ def _scored_pairs(
     silently suppress a real cross-set pair."""
     import numpy as np
 
+    cells_cap = _score_cells_cap()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not len(q_ids):
             return  # no queries -> no rows (empty-corpus/empty-suite path)
+        # candidate rows per matmul chunk: bounds the (rows x Q) score
+        # matrix to the cell budget even when the broadcast query side is
+        # at its 100k-vector gate ceiling (a 10k-row Arrow batch x 100k
+        # queries is 8 GB of int64 un-chunked)
+        rows_cap = max(1, cells_cap // len(q_ids))
         for pdf in it:
-            if not len(pdf):
-                continue
-            c = _mat(pdf)  # (B, d), unit rows
-            sims = c @ q_mat.T  # (B, Q) one BLAS call per batch
-            e6 = np.rint(sims * 1_000_000).astype("int64")
-            n_ids = pdf["neighbor_id"].to_numpy()
-            out = []
-            for qi in range(len(q_ids)):
-                col = e6[:, qi]
-                mask = (
-                    n_ids != q_ids[qi]
-                    if exclude_self
-                    else np.ones(len(n_ids), dtype=bool)
-                )
-                if q_labels is not None:
-                    mask &= pdf["label"].to_numpy() == q_labels[qi]
-                if threshold_e6 is not None:
-                    mask &= col >= threshold_e6
-                idx = np.nonzero(mask)[0]
-                if local_k is not None and len(idx) > local_k:
-                    # local top-k per batch: only k rows survive to shuffle
-                    order = np.lexsort((n_ids[idx], -col[idx]))
-                    idx = idx[order[:local_k]]
-                out.append(
-                    pd.DataFrame(
+            for lo in range(0, len(pdf), rows_cap):
+                sub = pdf.iloc[lo : lo + rows_cap]
+                if not len(sub):
+                    continue
+                c = _mat(sub)  # (B, d), unit rows
+                sims = c @ q_mat.T  # (B, Q) one BLAS call per chunk
+                e6 = np.rint(sims * 1_000_000).astype("int64")
+                n_ids = sub["neighbor_id"].to_numpy()
+                if local_k is None and q_labels is None and threshold_e6 is not None:
+                    # vectorized threshold path (Q may be huge — a python
+                    # per-query loop would dominate): one nonzero over the
+                    # chunk matrix, self-pairs dropped on the hits only
+                    ci, qi = np.nonzero(e6 >= threshold_e6)
+                    if exclude_self and len(ci):
+                        keep = n_ids[ci] != np.asarray(q_ids)[qi]
+                        ci, qi = ci[keep], qi[keep]
+                    yield pd.DataFrame(
                         {
-                            "q_id": np.full(len(idx), q_ids[qi], dtype="int64"),
-                            "neighbor_id": n_ids[idx],
-                            "sim_e6": col[idx],
+                            "q_id": np.asarray(q_ids, dtype="int64")[qi],
+                            "neighbor_id": n_ids[ci].astype("int64"),
+                            "sim_e6": e6[ci, qi],
                         }
                     )
+                    continue
+                out = []
+                for qi in range(len(q_ids)):
+                    col = e6[:, qi]
+                    mask = (
+                        n_ids != q_ids[qi]
+                        if exclude_self
+                        else np.ones(len(n_ids), dtype=bool)
+                    )
+                    if q_labels is not None:
+                        mask &= sub["label"].to_numpy() == q_labels[qi]
+                    if threshold_e6 is not None:
+                        mask &= col >= threshold_e6
+                    idx = np.nonzero(mask)[0]
+                    if local_k is not None and len(idx) > local_k:
+                        # local top-k per chunk: only k rows survive to the
+                        # shuffle (the window re-ranks globally)
+                        order = np.lexsort((n_ids[idx], -col[idx]))
+                        idx = idx[order[:local_k]]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "q_id": np.full(len(idx), q_ids[qi], dtype="int64"),
+                                "neighbor_id": n_ids[idx],
+                                "sim_e6": col[idx],
+                            }
+                        )
+                    )
+                yield pd.concat(out) if out else pd.DataFrame(
+                    {"q_id": [], "neighbor_id": [], "sim_e6": []}
                 )
-            yield pd.concat(out) if out else pd.DataFrame(
-                {"q_id": [], "neighbor_id": [], "sim_e6": []}
-            )
 
     ship_package(cand.sparkSession)
     return cand.mapInPandas(batches, schema="q_id long, neighbor_id long, sim_e6 long")
@@ -230,10 +270,15 @@ def embedding_neardup_pairs(
 
     The corpus hash-splits into ``n_blocks`` blocks on the id; every
     unordered block pair (i <= j) cogroups into one task that scores the
-    pair with a single matmul. Each row shuffles ~n_blocks times and task
-    memory is O(|corpus|/n_blocks * d): at 100 TB pick n_blocks so one
-    block fits an executor. (The reference has no similarity surface; this
-    is the training-data extension named in SURVEY.md §2.6.)
+    pair with chunked matmuls. Each row shuffles ~n_blocks times and task
+    memory is O(|corpus|/n_blocks * d + SCORE_CELLS_CAP): the input rows
+    per block plus ONE bounded score chunk — the naive single matmul's
+    (N/B)^2 score matrix is the term that actually blows up at scale
+    (14 GB/task at the round-11 probe's 100k-vector corpus), so the left
+    side scores in row chunks of cap // |right| and only hits accumulate.
+    At 100 TB pick n_blocks so one block's ROWS fit an executor. (The
+    reference has no similarity surface; this is the training-data
+    extension named in SURVEY.md §2.6.)
     """
     import numpy as np
 
@@ -264,6 +309,8 @@ def embedding_neardup_pairs(
 
     empty = pd.DataFrame({"vec_a": [], "vec_b": [], "sim_e6": []})
 
+    cells_cap = _score_cells_cap()
+
     def block_pairs(key, lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
         pi, pj = int(key[0]), int(key[1])
         if not len(lg) or not len(rg):
@@ -272,15 +319,25 @@ def embedding_neardup_pairs(
         b = _mat(rg)
         a_ids = lg["vec_id"].to_numpy(dtype="int64")
         b_ids = rg["vec_id"].to_numpy(dtype="int64")
-        e6 = np.rint((a @ b.T) * 1_000_000).astype("int64")
-        hit = e6 >= threshold_e6
-        if pi == pj:
-            # same block appears on both sides: keep the upper triangle
-            hit &= a_ids[:, None] < b_ids[None, :]
-        ai, bj = np.nonzero(hit)
-        lo = np.minimum(a_ids[ai], b_ids[bj])
-        hi = np.maximum(a_ids[ai], b_ids[bj])
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "sim_e6": e6[ai, bj]})
+        rows_cap = max(1, cells_cap // len(rg))
+        frames = []
+        for c0 in range(0, len(lg), rows_cap):
+            ids = a_ids[c0 : c0 + rows_cap]
+            e6 = np.rint((a[c0 : c0 + rows_cap] @ b.T) * 1_000_000).astype(
+                "int64"
+            )
+            hit = e6 >= threshold_e6
+            if pi == pj:
+                # same block appears on both sides: keep the upper triangle
+                hit &= ids[:, None] < b_ids[None, :]
+            ai, bj = np.nonzero(hit)
+            if len(ai):
+                lo = np.minimum(ids[ai], b_ids[bj])
+                hi = np.maximum(ids[ai], b_ids[bj])
+                frames.append(
+                    pd.DataFrame({"vec_a": lo, "vec_b": hi, "sim_e6": e6[ai, bj]})
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     ship_package(spark)
     # fresh_attrs: both sides derive from v — without it, column pruning
@@ -318,9 +375,11 @@ def _cross_blocked_pairs(
 ) -> DataFrame:
     """Blocked cogroup over TWO DISTINCT sides: every (left, right) pair
     lands in exactly one of n_blocks^2 tasks (left row replicated across
-    partner right-blocks and vice versa), scored with one matmul per
-    task. Task memory is O((|L|+|R|)/n_blocks * d) — the two-sided twin
-    of ``embedding_neardup_pairs``' triangle blocking."""
+    partner right-blocks and vice versa), scored with CHUNKED matmuls.
+    Task memory is O((|L|+|R|)/n_blocks * d + SCORE_CELLS_CAP) — the
+    two-sided twin of ``embedding_neardup_pairs``' triangle blocking,
+    with the same bounded-score-chunk rule (the naive per-task score
+    matrix is O(|L||R|/B^2) cells and was the real memory term)."""
     import numpy as np
 
     B = n_blocks
@@ -341,20 +400,33 @@ def _cross_blocked_pairs(
     right = blocked(right_df, "pj", "pi")
     empty = pd.DataFrame({"train_id": [], "eval_id": [], "sim_e6": []})
 
+    cells_cap = _score_cells_cap()
+
     def block_pairs(key, lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
         if not len(lg) or not len(rg):
             return empty
         a = _mat(lg)
         b = _mat(rg)
-        e6 = np.rint((a @ b.T) * 1_000_000).astype("int64")
-        ai, bj = np.nonzero(e6 >= threshold_e6)
-        return pd.DataFrame(
-            {
-                "train_id": lg["vec_id"].to_numpy(dtype="int64")[ai],
-                "eval_id": rg["vec_id"].to_numpy(dtype="int64")[bj],
-                "sim_e6": e6[ai, bj],
-            }
-        )
+        a_ids = lg["vec_id"].to_numpy(dtype="int64")
+        b_ids = rg["vec_id"].to_numpy(dtype="int64")
+        rows_cap = max(1, cells_cap // len(rg))
+        frames = []
+        for c0 in range(0, len(lg), rows_cap):
+            e6 = np.rint((a[c0 : c0 + rows_cap] @ b.T) * 1_000_000).astype(
+                "int64"
+            )
+            ai, bj = np.nonzero(e6 >= threshold_e6)
+            if len(ai):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "train_id": a_ids[c0 : c0 + rows_cap][ai],
+                            "eval_id": b_ids[bj],
+                            "sim_e6": e6[ai, bj],
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     ship_package(left_df.sparkSession)
     # fresh_attrs: callers may split ONE table into the two sides, which
