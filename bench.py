@@ -43,6 +43,7 @@ DISTRIBUTED_TIER = (
     "dedup_index_probe",
     "media_neardup",
     "identity_components",
+    "embedding_keep_list",
     "neardup_components",
     "neardup_keep_best",
     "dedup_keep_list",

@@ -149,6 +149,13 @@ def test_connected_components_local_matches_distributed(spark, monkeypatch):
     dist = {(r["node"], r["component"]) for r in idmod.connected_components(edges).collect()}
     assert local == dist
     assert ("iso1", "iso1") in local and ("iso2", "iso1") in local
+    # ops introspection (scale_probe reads it): the distributed run
+    # records its label-propagation round count; the local run clears it
+    assert idmod.LAST_DISTRIBUTED_ROUNDS is not None
+    assert 1 <= idmod.LAST_DISTRIBUTED_ROUNDS <= idmod.MAX_ITERATIONS
+    monkeypatch.setattr(idmod, "LOCAL_EDGE_THRESHOLD", 10**9)
+    idmod.connected_components(edges).collect()
+    assert idmod.LAST_DISTRIBUTED_ROUNDS is None
 
 
 def test_connected_components_deep_chain_converges(spark, monkeypatch):

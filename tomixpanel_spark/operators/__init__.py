@@ -46,6 +46,8 @@ from tomixpanel_spark.sources import csv as csv_source
 # has local DuckDB parity in tests/test_oracle_parity.py every round.
 _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
+    # -- new in round 11: never externally checked -------------------------
+    "embedding_keep_list": 0,
     # -- last green r8 ---------------------------------------------------
     "time_shift": 8,
     "token_count": 8,

@@ -6,10 +6,11 @@ so partial sketches from partitions, batches, or streaming micro-batches
 combine by cell-wise addition, in any order, to exactly the sketch of the
 union. This module is the streaming leg of that contract:
 
-  * cluster side, per micro-batch: ``operators.textops.cms_sketch`` — the
-    same fixed-size (row, bucket) hash aggregate the batch query uses, so
-    shuffle volume per batch is bounded by DEPTH x WIDTH cells no matter
-    the batch size;
+  * cluster side, per micro-batch: per-Arrow-batch PARTIAL sketches from
+    one shuffle-free mapInPandas pass (same tokenizer spec and md5 bucket
+    arithmetic as the batch query ``operators.textops.cms_sketch``), so
+    the collect moves at most DEPTH x WIDTH cells per partition chunk no
+    matter the batch size — and no exchange runs at all;
   * driver side: cell-wise addition into a DEPTH x WIDTH numpy array
     (DEPTH*WIDTH = 1024 int64 cells — the whole sketch is ~8 KB; merging
     it per batch is O(cells), not O(tokens), which is exactly why the
@@ -30,7 +31,7 @@ import hashlib
 
 from pyspark.sql import DataFrame
 
-from tomixpanel_spark.operators.textops import CMS_DEPTH, CMS_WIDTH, cms_sketch
+from tomixpanel_spark.operators.textops import CMS_DEPTH, CMS_WIDTH
 
 
 def _py_bucket(row: int, token: str) -> int:
@@ -60,9 +61,52 @@ class StreamingCountMin:
         self.n_batches = 0
 
     def update_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
-        """foreachBatch hook: aggregate the batch to its partial sketch on
-        the cluster, merge the <=1024 returned cells here."""
-        for r in cms_sketch(batch_df).collect():
+        """foreachBatch hook: per-partition PARTIAL sketches from one
+        shuffle-free Arrow pass, cell-merged here. The earlier form ran
+        ``cms_sketch`` (explode -> hash aggregate) per micro-batch — a
+        2-stage job whose exchange moved <=1024 cells but still paid a
+        full stage round-trip per trigger (~0.2 s at the measured host
+        floor). Partial sketches are the CMS mergeability contract
+        doing the work: each Arrow batch folds to its own DEPTH x WIDTH
+        cells in-process (pyarrow tokenize + md5 buckets over the
+        batch's DISTINCT tokens), the driver adds arrays — one stage,
+        one collect, identical cells."""
+        from tomixpanel_spark.session import ship_package
+
+        ship_package(batch_df.sparkSession)
+
+        def partials(it):
+            import numpy as np
+            import pandas as pd
+
+            from tomixpanel_spark.operators.textops import _pa_tokenize_tf
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                tf = _pa_tokenize_tf(pdf["doc_id"], pdf["text"]).to_pandas()
+                if not len(tf):
+                    continue
+                counts = tf.groupby("token", sort=False)["tf"].sum()
+                toks = counts.index.to_numpy()
+                cnt = counts.to_numpy(np.int64)
+                cells = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+                for r in range(CMS_DEPTH):
+                    buckets = np.fromiter(
+                        (_py_bucket(r, t) for t in toks),
+                        dtype=np.int64,
+                        count=len(toks),
+                    )
+                    np.add.at(cells[r], buckets, cnt)
+                rr, bb = np.nonzero(cells)
+                yield pd.DataFrame(
+                    {"row": rr, "bucket": bb, "c": cells[rr, bb]}
+                )
+
+        part = batch_df.select("doc_id", "text").mapInPandas(
+            partials, schema="row int, bucket long, c long"
+        )
+        for r in part.collect():
             self.cells[r["row"], r["bucket"]] += r["c"]
         self.n_batches += 1
 
