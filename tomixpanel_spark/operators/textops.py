@@ -721,7 +721,7 @@ def tokenize_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     def build() -> DataFrame:
         return docs.select(
             F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-        ).mapInPandas(batches, schema="doc_id long, token string, tf long")
+        ).mapInPandas(batches, schema="doc_id long, token string, tf long, dl long")
 
     from tomixpanel_spark.operators.base import derived
 
@@ -742,6 +742,7 @@ def _pa_tokenize_tf(ids, texts):
     ~6x the Python Counter loop's throughput on the benchmark corpus;
     parity with the JVM ``tokens()`` and the Python ``_py_token_counts``
     is pinned by tests (messy-whitespace inputs included)."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -753,16 +754,23 @@ def _pa_tokenize_tf(ids, texts):
     flat = pc.list_flatten(toks)
     parent = pc.list_parent_indices(toks)
     mask = pc.not_equal(flat, "")
-    pairs = pa.table(
-        {"i": pc.filter(parent, mask), "token": pc.filter(flat, mask)}
-    )
+    fparent = pc.filter(parent, mask)
+    pairs = pa.table({"i": fparent, "token": pc.filter(flat, mask)})
     agg = pairs.group_by(["i", "token"]).aggregate([("token", "count")])
     doc_ids = pa.array(ids, type=pa.int64(), from_pandas=True).take(agg["i"])
+    # per-doc total token count (dl) rides along for free: each input row
+    # is a whole document, so the batch-local count IS the document
+    # length — emitting it here saves BM25 a corpus-wide window exchange
+    dl_dense = np.zeros(len(ids), dtype=np.int64)
+    vc = fparent.value_counts()
+    dl_dense[vc.field("values").to_numpy()] = vc.field("counts").to_numpy()
+    dl = pa.array(dl_dense).take(agg["i"])
     return pa.table(
         {
             "doc_id": doc_ids,
             "token": agg["token"],
             "tf": pc.cast(agg["token_count"], pa.int64()),
+            "dl": dl,
         }
     )
 
@@ -1255,8 +1263,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed scale shape: the fused Arrow tf table materializes once
     (``stage_checkpoint``) and feeds three consumers. Document length
-    attaches as a window sum over the doc partition (rows per doc are
-    bounded by vocabulary, no skew). The BUILD side — query terms x
+    (dl) rides IN the fused tf rows — each Arrow batch row is a whole
+    document, so the tokenize pass emits it for free, replacing the
+    corpus-wide window-sum exchange this plan used to pay (round 11;
+    the probe measured that window at ~0.2 s of the 50k-doc gap to the
+    oracle). The BUILD side — query terms x
     their df x the two corpus totals — is |query vocab| rows, broadcast;
     the probe is one pass over the sparse tf table, so candidate scoring
     touches only postings of query terms (exactly what an inverted index
@@ -1269,8 +1280,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_docs <= _tfidf_driver_fold_cap():
         return _bm25_driver_fold(docs, n_docs)
     tf = _tf_view(docs)
-    dlw = Window.partitionBy("doc_id")
-    tfd = tf.withColumn("dl", F.sum("tf").over(dlw))
+    tfd = tf  # dl is fused into the tokenize pass (no window exchange)
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     totals = tf.agg(F.sum("tf").alias("a")).crossJoin(
         docs.agg(F.count(F.lit(1)).alias("n"))
