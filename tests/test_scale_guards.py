@@ -299,3 +299,45 @@ class TestEmptyInputs:
             res = con.execute(reg[name].oracle)
             b = canon([c[0] for c in res.description], res.fetchall())
             assert a == b, name
+
+    def test_embedding_keep_list_degenerate_inputs(self, spark, tmp_path):
+        """The semantic keep-list on degenerate corpora: zero rows ->
+        zero keepers; ALL-NULL vectors are not near-dup candidates
+        (_finite_vecs policy) so every row keeps itself — matching the
+        oracle's NULL-sim semantics, never a numpy crash."""
+        import duckdb
+
+        from tomixpanel_spark.operators import registry
+
+        reg = registry()
+        con = duckdb.connect()
+        d0 = str(tmp_path / "zero")
+        dn = str(tmp_path / "nulls")
+        for d in (d0, dn):
+            import os
+
+            os.makedirs(d)
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet("
+                f"'/root/testdata/sf0.001/{t}.parquet') LIMIT 0) "
+                f"TO '{d0}/{t}.parquet' (FORMAT PARQUET)"
+            )
+            if t != "embeddings":
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet("
+                    f"'/root/testdata/sf0.001/{t}.parquet')) "
+                    f"TO '{dn}/{t}.parquet' (FORMAT PARQUET)"
+                )
+        con.execute(
+            "COPY (SELECT vec_id, CAST(NULL AS FLOAT[]) AS embedding, label "
+            "FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')) "
+            f"TO '{dn}/embeddings.parquet' (FORMAT PARQUET)"
+        )
+        assert len(reg["embedding_keep_list"].fn(spark, d0).toPandas()) == 0
+        out = reg["embedding_keep_list"].fn(spark, dn).toPandas()
+        [n] = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dn}/embeddings.parquet')"
+        ).fetchone()
+        assert len(out) == n
