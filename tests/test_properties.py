@@ -1084,3 +1084,52 @@ class TestJpegCodec:
         }
         for i in range(n):
             assert (i, 100 + i) in pairs, f"twin pair for image {i} missing"
+
+
+class TestImageDecoderExceptionHygiene:
+    """Corrupt/truncated payloads must raise ValueError — never leak
+    IndexError / struct.error / zlib.error to a mapInPandas batch over
+    thousands of payloads (one odd exception type aborts the stage with
+    a misleading trace)."""
+
+    def _fuzz(self, valid, decode, prefix):
+        import random
+
+        rng = random.Random(11)
+        cases = [valid[:cut] for cut in range(2, len(valid), 3)]
+        cases += [
+            prefix + bytes(rng.randrange(256) for _ in range(rng.randrange(4, 160)))
+            for _ in range(300)
+        ]
+        for _ in range(300):
+            ba = bytearray(valid)
+            i = rng.randrange(len(prefix), len(ba) - 2)
+            ba[i] ^= 1 << rng.randrange(8)
+            cases.append(bytes(ba))
+        for payload in cases:
+            try:
+                decode(payload)
+            except ValueError:
+                pass  # the contract
+
+    def test_jpeg_fuzz_only_valueerror(self):
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        self._fuzz(encode_jpeg_gray(img, 90), decode_jpeg_gray, b"\xff\xd8")
+
+    def test_png_fuzz_only_valueerror(self):
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            decode_png_gray,
+            encode_png_gray,
+        )
+
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        self._fuzz(encode_png_gray(img), decode_png_gray, b"\x89PNG\r\n\x1a\n")

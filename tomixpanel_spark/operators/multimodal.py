@@ -428,7 +428,19 @@ def decode_png_gray(payload: bytes):
     (None/Sub/Up/Average/Paeth), not just the IHDR header parse of
     ``decode_payload``. Raises ValueError on anything that is not an
     8-bit grayscale PNG (inject a codec-backed decoder for color /
-    interlaced variants — out of scope for the sandbox)."""
+    interlaced variants — out of scope for the sandbox) AND on
+    truncated/corrupt streams — fuzzed so no zlib.error/struct.error/
+    IndexError escapes to callers batching thousands of payloads."""
+    import struct
+    import zlib
+
+    try:
+        return _decode_png_gray_impl(payload)
+    except (IndexError, struct.error, zlib.error) as exc:
+        raise ValueError(f"truncated or corrupt PNG: {exc!r}") from exc
+
+
+def _decode_png_gray_impl(payload: bytes):
     import struct
     import zlib
 
@@ -735,7 +747,18 @@ def decode_jpeg_gray(payload: bytes):
     writes), Huffman entropy decode with byte unstuffing, DC prediction,
     dequantize, dezigzag, IDCT. Raises ValueError for progressive /
     multi-component / subsampled streams (the decode_png_gray
-    honest-contract rule: inject a codec-backed decoder for those)."""
+    honest-contract rule: inject a codec-backed decoder for those) AND
+    for truncated/corrupt streams — fuzzed so no IndexError/struct.error
+    escapes to callers batching thousands of payloads."""
+    import struct
+
+    try:
+        return _decode_jpeg_gray_impl(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or corrupt JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg_gray_impl(payload: bytes):
     import struct
 
     import numpy as np
