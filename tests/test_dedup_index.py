@@ -611,3 +611,67 @@ class TestRebucket:
         assert list(
             out["first_doc_id"].astype(object).where(out["first_doc_id"].notna(), None)
         ) == [None, 9]
+
+
+def test_writer_lock_excludes_across_processes(tmp_path):
+    """flock is advisory but cross-PROCESS: a second OS process entering
+    writer_lock must block until the first releases — the real
+    production claim (two ingest jobs, or a rebucket ops task next to a
+    live stream). Pure genstore test, no Spark: the child takes the
+    lock, signals, holds; the parent's acquisition must not complete
+    until the child releases, and the CAS sees the child's commit."""
+    import json
+    import multiprocessing as mp
+    import time
+
+    from tomixpanel_spark.streaming.genstore import (
+        atomic_json_swap,
+        cas_check,
+        load_json_manifest,
+        writer_lock,
+    )
+
+    manifest = str(tmp_path / "store" / "manifest.json")
+    atomic_json_swap(manifest, {"gen_seq": 0})
+
+    def child(manifest, held_flag, release_flag):
+        from tomixpanel_spark.streaming.genstore import (
+            atomic_json_swap,
+            writer_lock,
+        )
+
+        with writer_lock(manifest):
+            held_flag.set()
+            assert release_flag.wait(30)
+            atomic_json_swap(manifest, {"gen_seq": 1})
+
+    held = mp.Event()
+    release = mp.Event()
+    proc = mp.Process(target=child, args=(manifest, held, release))
+    proc.start()
+    try:
+        assert held.wait(30), "child never took the lock"
+        t0 = time.monotonic()
+        release_timer = mp.Process(target=lambda e: (time.sleep(0.8), e.set()),
+                                   args=(release,))
+        release_timer.start()
+        with writer_lock(manifest):
+            waited = time.monotonic() - t0
+            man = load_json_manifest(manifest, "test")
+        release_timer.join(30)
+        # the parent could only enter AFTER the child's release (>=0.8s
+        # hold) and must observe the child's commit inside the lock
+        assert waited >= 0.7, f"lock did not exclude across processes ({waited:.2f}s)"
+        assert man["gen_seq"] == 1
+        # and the CAS tripwire fires against the moved token
+        import pytest
+
+        from tomixpanel_spark.streaming.genstore import ConcurrentWriteError
+
+        with pytest.raises(ConcurrentWriteError):
+            cas_check("test", str(tmp_path), 0, man["gen_seq"])
+    finally:
+        release.set()
+        proc.join(30)
+        if proc.is_alive():
+            proc.terminate()
