@@ -84,7 +84,12 @@ class StreamingCountMin:
             for pdf in it:
                 if not len(pdf):
                     continue
-                tf = _pa_tokenize_tf(pdf["doc_id"], pdf["text"]).to_pandas()
+                # row index as the doc id: the sketch sums per TOKEN, so
+                # document identity is irrelevant — and the old contract
+                # (cms_sketch) only required a text column
+                tf = _pa_tokenize_tf(
+                    range(len(pdf)), pdf["text"]
+                ).to_pandas()
                 if not len(tf):
                     continue
                 counts = tf.groupby("token", sort=False)["tf"].sum()
@@ -103,7 +108,7 @@ class StreamingCountMin:
                     {"row": rr, "bucket": bb, "c": cells[rr, bb]}
                 )
 
-        part = batch_df.select("doc_id", "text").mapInPandas(
+        part = batch_df.select("text").mapInPandas(
             partials, schema="row int, bucket long, c long"
         )
         for r in part.collect():
