@@ -299,6 +299,30 @@ def probe_emb_extras(spark, src_sf: str, probe_root: str) -> None:
     print(f"ann_ivf_recall@{S.TOP_K},{dt:.2f},,,{len(approx)},{recall:.3f}",
           flush=True)
 
+    # -- blocking/chunking invariance at 50x --------------------------------
+    # embedding_neardup's oracle is quadratic SQL and DNFs at probe
+    # scale, so its values get verified by INVARIANCE instead: the same
+    # corpus through different block counts and score-chunk budgets must
+    # checksum-identical — any partition-boundary or chunk-boundary bug
+    # (dropped pair, double-counted triangle cell) breaks the equality.
+    emb50 = S._finite_vecs(
+        S.ensure_parallel(table(spark, probe_root, "embeddings"), "vec_id")
+    )
+    base = _spark_checksum(S.embedding_neardup_pairs(emb50, n_blocks=8))
+    alt = _spark_checksum(S.embedding_neardup_pairs(emb50, n_blocks=5))
+    prev_cap = os.environ.get("TOMIX_SCORE_CELLS_CAP")
+    os.environ["TOMIX_SCORE_CELLS_CAP"] = "100000"  # 40x smaller chunks
+    try:
+        tiny = _spark_checksum(S.embedding_neardup_pairs(emb50, n_blocks=8))
+    finally:
+        if prev_cap is None:
+            os.environ.pop("TOMIX_SCORE_CELLS_CAP", None)
+        else:
+            os.environ["TOMIX_SCORE_CELLS_CAP"] = prev_cap
+    ok = "HASH_OK" if base == alt == tiny else "MISMATCH"
+    print(f"neardup_invariance_50x,,blocks 8/5 + cap 4M/100k,,{base[0]},{ok}",
+          flush=True)
+
     # -- decontam natural cogroup leg at 550x -------------------------------
     dst = probe_root + "_dec550"
     if not os.path.exists(f"{dst}/embeddings.parquet"):
