@@ -46,14 +46,21 @@ def _scratch_dir(prefix: str) -> str:
     deployment sizes checkpoint storage for durability instead, which is
     a deployment property the parity gate doesn't exercise. Override
     with TOMIX_STREAM_SCRATCH; falls back to the tempfile default when
-    no tmpfs exists."""
+    no tmpfs exists. Every dir is atexit-reclaimed: tmpfs bytes are RAM,
+    and scratch that outlives the process would accumulate across bench/
+    driver rounds."""
+    import atexit
+
     root = os.environ.get("TOMIX_STREAM_SCRATCH")
     if root is None and os.path.isdir("/dev/shm"):
         root = "/dev/shm"
     if root:
         os.makedirs(root, exist_ok=True)
-        return tempfile.mkdtemp(prefix=prefix, dir=root)
-    return tempfile.mkdtemp(prefix=prefix)
+        d = tempfile.mkdtemp(prefix=prefix, dir=root)
+    else:
+        d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 class _stream_shuffle_parts:
