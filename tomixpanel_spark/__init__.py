@@ -68,6 +68,26 @@ def __getattr__(name):
             "tomixpanel_spark.operators.similarity",
             "embedding_decontam_pairs",
         ),
+        "embedding_neardup_pairs": (
+            "tomixpanel_spark.operators.similarity",
+            "embedding_neardup_pairs",
+        ),
+        "perceptual_hash": (
+            "tomixpanel_spark.operators.multimodal",
+            "perceptual_hash",
+        ),
+        "decode_image_gray": (
+            "tomixpanel_spark.operators.multimodal",
+            "decode_image_gray",
+        ),
+        "DedupIndex": (
+            "tomixpanel_spark.streaming.dedup_index",
+            "DedupIndex",
+        ),
+        "sessionize_session_window": (
+            "tomixpanel_spark.streaming.stateful",
+            "sessionize_session_window",
+        ),
         "StreamingCountMin": (
             "tomixpanel_spark.streaming.sketches",
             "StreamingCountMin",
@@ -106,6 +126,11 @@ __all__ = [
     "asof_join",
     "range_join",
     "embedding_decontam_pairs",
+    "embedding_neardup_pairs",
+    "perceptual_hash",
+    "decode_image_gray",
+    "DedupIndex",
+    "sessionize_session_window",
     "StreamingCountMin",
     "ContinuousAggregate",
 ]
