@@ -1217,3 +1217,74 @@ class TestSelfCogroupPruning:
         out = embedding_neardup_pairs(df, threshold_e6=500_000, n_blocks=4)
         n = out.count()  # would raise KeyError without fresh_attrs
         assert n == len(out.collect()) and n > 0
+
+
+class TestHistogramSketch:
+    def test_partial_histograms_merge_to_union(self, spark):
+        """The mergeability contract (why this is the 100 TB quantile
+        path): histograms of disjoint halves, cell-wise summed, equal the
+        histogram of the union — GIVEN the same bounds. Bounds are the
+        sketch's broadcast parameters; production pins them per column
+        (or takes the cheap global min/max pass hist_quantiles runs)."""
+        from pyspark.sql import functions as F
+
+        from tomixpanel_spark.operators.analytics import histogram_sketch
+
+        full = spark.range(10_000).select(
+            F.col("id").alias("k"),
+            ((F.col("id") * 37 % 9973) / 100.0 + 0.01).alias("value"),
+        )
+        whole = {
+            r["bin"]: r["cnt"] for r in histogram_sketch(full).collect()
+        }
+        # same bounds on both halves: bin on the UNION's lo/hi by
+        # reusing the library's binning against a fixed frame
+        halves = [full.filter(F.pmod("k", F.lit(2)) == i) for i in (0, 1)]
+        [b] = full.agg(
+            F.min(F.floor(F.col("value") * 100).cast("long")).alias("lo"),
+            F.max(F.floor(F.col("value") * 100).cast("long")).alias("hi"),
+        ).collect()
+        merged: dict = {}
+        for h in halves:
+            part = (
+                h.select(F.floor(F.col("value") * 100).cast("long").alias("c"))
+                .select(
+                    F.expr(
+                        f"(c - {b['lo']}) * 128 div ({b['hi']} - {b['lo']} + 1)"
+                    ).alias("bin")
+                )
+                .groupBy("bin")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            for r in part.collect():
+                merged[r["bin"]] = merged.get(r["bin"], 0) + r["cnt"]
+        assert merged == whole
+
+    def test_single_value_and_null_handling(self, spark, tmp_path):
+        """Degenerate widths: one distinct value -> every quantile is
+        that value; NULLs are skipped like percentile()."""
+        import duckdb
+
+        from tomixpanel_spark.operators import registry
+
+        con = duckdb.connect()
+        d = str(tmp_path)
+        for t in ("region nation customer supplier part orders lineitem "
+                  "documents embeddings").split():
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet("
+                f"'/root/testdata/sf0.001/{t}.parquet') LIMIT 0) "
+                f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        con.execute(
+            f"COPY (SELECT event_id, ts, user_id, event_type, "
+            f"CASE WHEN event_id % 2 = 0 THEN 42.17 END AS value, props "
+            f"FROM read_parquet('/root/testdata/sf0.001/events.parquet')) "
+            f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+        rows = {
+            (r["q"], r["est_cents"])
+            for r in registry()["hist_quantiles"].fn(spark, d).collect()
+        }
+        want_cents = int(__import__("math").floor(42.17 * 100))
+        assert rows == {(50, want_cents), (90, want_cents), (99, want_cents)}

@@ -48,6 +48,7 @@ _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
     # -- new in round 11: never externally checked -------------------------
     "embedding_keep_list": 0,
+    "hist_quantiles": 0,
     # -- last green r8 ---------------------------------------------------
     "time_shift": 8,
     "token_count": 8,

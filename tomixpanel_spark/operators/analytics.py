@@ -173,6 +173,92 @@ FROM events GROUP BY event_type
 """
 
 
+HIST_BINS = 128
+HIST_QS = (50, 90, 99)
+
+
+def histogram_sketch(
+    df: DataFrame, value_col: str = "value", bins: int = HIST_BINS
+) -> DataFrame:
+    """Fixed-bin integer histogram over ``floor(value*100)`` cents:
+    (bin, cnt) + the (lo, hi, n) bounds on every row. The MERGEABLE
+    quantile accumulator — bin counts are plain sums, so partials from
+    partitions/batches/workers combine cellwise to exactly the histogram
+    of the union (the CMS contract applied to quantiles), and the
+    shuffle carries at most ``bins`` rows per partition no matter the
+    input size. Integer cents + integer bin math keep it bit-identical
+    across engines (float binning would ULP-flip boundary values).
+    NULL values are skipped (the percentile convention)."""
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    v = df.filter(F.col(value_col).isNotNull()).select(cents.alias("c"))
+    b = v.agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        v.crossJoin(F.broadcast(b))
+        .select(
+            F.expr(f"(c - lo) * {bins} div (hi - lo + 1)").alias("bin"),
+            "lo", "hi", "n",
+        )
+        .groupBy("bin", "lo", "hi", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from the mergeable fixed-bin histogram —
+    the BOUNDED-STATE scale path beside the exact sort-based
+    ``value_quantiles``: at 100 TB an exact percentile sorts (or
+    GK-sketches) the full value column, while this plan's shuffle
+    carries <= HIST_BINS rows per partition and the estimate is each
+    quantile's bin lower bound (error <= one bin width, integer-exact
+    and engine-identical — no float interpolation to ULP-drift).
+    rank(q) = ceil(q*n/100) over the cumulative bin counts; empty input
+    yields zero rows."""
+    ev = table(spark, sf_dir, "events")
+    hist = histogram_sketch(ev)
+    cum = hist.select(
+        "bin", "lo", "hi", "n",
+        F.sum("cnt").over(Window.orderBy("bin")).alias("cum"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q")
+    )
+    # per-q target rank, then the FIRST bin whose cumulative count
+    # reaches it; both sides of the join are tiny (<= bins x qs rows)
+    return (
+        cum.join(qs)
+        .filter(F.col("cum") >= F.expr("(q * n + 99) div 100"))
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.expr(f"lo + bin * (hi - lo + 1) div {HIST_BINS}")
+            ).alias("est_cents")
+        )
+        .select(F.col("q").cast("bigint").alias("q"), "est_cents")
+    )
+
+
+_HIST_QUANTILES_SQL = f"""
+WITH v AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL),
+b AS (SELECT MIN(c) AS lo, MAX(c) AS hi, COUNT(*) AS n FROM v),
+bins AS (
+  SELECT (c - lo) * {HIST_BINS} // (hi - lo + 1) AS bin, COUNT(*) AS cnt
+  FROM v, b GROUP BY 1),
+cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM bins),
+qs AS (SELECT UNNEST([{", ".join(str(q) for q in HIST_QS)}]) AS q)
+SELECT CAST(q AS BIGINT) AS q,
+       CAST(MIN(lo + bin * (hi - lo + 1) // {HIST_BINS}) AS BIGINT)
+         AS est_cents
+FROM qs, b, cum
+WHERE cum >= (q * n + 99) // 100
+GROUP BY q
+"""
+
+
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations the reference lacks entirely (SURVEY §2.6): users who
     clicked EXCEPT users who purchased, INTERSECT with error-reporters.
@@ -409,6 +495,10 @@ REGISTRY = {
     "funnel": QuerySpec(funnel, _FUNNEL_SQL, "analytics"),
     "retention": QuerySpec(retention, _RETENTION_SQL, "analytics"),
     "value_quantiles": QuerySpec(value_quantiles, _VALUE_QUANTILES_SQL, "analytics"),
+    "hist_quantiles": QuerySpec(
+        hist_quantiles, _HIST_QUANTILES_SQL,
+        "analytics: mergeable fixed-bin quantile sketch (scale path)",
+    ),
     "set_ops": QuerySpec(set_ops, _SET_OPS_SQL, "free surface"),
     "event_sequences": QuerySpec(event_sequences, _EVENT_SEQUENCES_SQL, "analytics"),
 }
