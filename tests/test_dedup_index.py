@@ -620,9 +620,10 @@ def test_writer_lock_excludes_across_processes(tmp_path):
     live stream). Pure genstore test, no Spark: the child takes the
     lock, signals, holds; the parent's acquisition must not complete
     until the child releases, and the CAS sees the child's commit."""
-    import json
     import multiprocessing as mp
     import time
+
+    import pytest
 
     from tomixpanel_spark.streaming.genstore import (
         atomic_json_swap,
@@ -630,6 +631,12 @@ def test_writer_lock_excludes_across_processes(tmp_path):
         load_json_manifest,
         writer_lock,
     )
+
+    # the child/timer targets are closures over local state: they need
+    # the fork start method (spawn/forkserver would have to pickle them)
+    if "fork" not in mp.get_all_start_methods():
+        pytest.skip("fork start method unavailable on this platform")
+    ctx = mp.get_context("fork")
 
     manifest = str(tmp_path / "store" / "manifest.json")
     atomic_json_swap(manifest, {"gen_seq": 0})
@@ -645,15 +652,15 @@ def test_writer_lock_excludes_across_processes(tmp_path):
             assert release_flag.wait(30)
             atomic_json_swap(manifest, {"gen_seq": 1})
 
-    held = mp.Event()
-    release = mp.Event()
-    proc = mp.Process(target=child, args=(manifest, held, release))
+    held = ctx.Event()
+    release = ctx.Event()
+    proc = ctx.Process(target=child, args=(manifest, held, release))
     proc.start()
     try:
         assert held.wait(30), "child never took the lock"
         t0 = time.monotonic()
-        release_timer = mp.Process(target=lambda e: (time.sleep(0.8), e.set()),
-                                   args=(release,))
+        release_timer = ctx.Process(target=lambda e: (time.sleep(0.8), e.set()),
+                                    args=(release,))
         release_timer.start()
         with writer_lock(manifest):
             waited = time.monotonic() - t0

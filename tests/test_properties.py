@@ -8,6 +8,7 @@ from __future__ import annotations
 from base64 import b64decode as _b64decode
 
 import json
+import os
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -1023,6 +1024,99 @@ class TestJpegCodec:
         color[sof + 9] = 3  # SOF0 component count
         with pytest.raises(ValueError, match="single-component"):
             decode_jpeg_gray(bytes(color))
+
+    def test_restart_interval_roundtrip(self):
+        """DRI/RSTn streams (T.81 E.2.4): the restart-interval encoding
+        of an image must decode to EXACTLY the pixels of the plain
+        encoding — byte realignment, DC-prediction reset, and RST cycle
+        all exercised (>8 intervals so the marker index wraps)."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        rng = np.random.default_rng(17)
+        for ri in (1, 2, 3, 5):
+            img = rng.integers(0, 256, (24, 40), dtype=np.uint8)  # 15 MCUs
+            plain = decode_jpeg_gray(encode_jpeg_gray(img, 85))
+            rst = decode_jpeg_gray(
+                encode_jpeg_gray(img, 85, restart_interval=ri)
+            )
+            assert (plain == rst).all()
+
+    def test_restart_markers_out_of_sequence_raise(self):
+        import numpy as np
+        import pytest
+
+        from tomixpanel_spark.operators.multimodal import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        img = np.random.default_rng(19).integers(
+            0, 256, (8, 32), dtype=np.uint8
+        )
+        payload = bytearray(encode_jpeg_gray(img, 85, restart_interval=1))
+        i = payload.find(b"\xff\xd0")  # first RST0 -> RST5 (wrong cycle)
+        assert i > 0
+        payload[i + 1] = 0xD5
+        with pytest.raises(ValueError, match="out of sequence"):
+            decode_jpeg_gray(bytes(payload))
+
+    def test_fill_bytes_before_markers_accepted(self):
+        """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        marker; standard decoders accept them, so must ours."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        img = np.random.default_rng(23).integers(
+            0, 256, (16, 16), dtype=np.uint8
+        )
+        payload = encode_jpeg_gray(img, 90)
+        want = decode_jpeg_gray(payload)
+        padded = payload[:2] + b"\xff\xff\xff" + payload[2:]
+        assert (decode_jpeg_gray(padded) == want).all()
+
+    def test_oversized_sof_dims_raise_not_oom(self):
+        """SOF dimensions are untrusted: a small payload claiming a
+        huge frame must raise ValueError BEFORE allocating the output
+        (the worker-OOM guard), via both the entropy-floor bound and
+        the TOMIX_IMG_MAX_PIXELS cap."""
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from tomixpanel_spark.operators.multimodal import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        img = np.full((8, 8), 77, dtype=np.uint8)
+        payload = bytearray(encode_jpeg_gray(img, 90))
+        sof = payload.find(b"\xff\xc0")
+        payload[sof + 5 : sof + 9] = struct.pack(">HH", 0xFFF8, 0xFFF8)
+        with pytest.raises(ValueError, match="entropy data could code"):
+            decode_jpeg_gray(bytes(payload))
+        # cap path: dims the entropy floor would allow, pixels > cap
+        big = np.zeros((1024, 1024), dtype=np.uint8)
+        cap_payload = encode_jpeg_gray(big, 90)
+        old = os.environ.get("TOMIX_IMG_MAX_PIXELS")
+        os.environ["TOMIX_IMG_MAX_PIXELS"] = str(512 * 512)
+        try:
+            with pytest.raises(ValueError, match="TOMIX_IMG_MAX_PIXELS"):
+                decode_jpeg_gray(cap_payload)
+        finally:
+            if old is None:
+                del os.environ["TOMIX_IMG_MAX_PIXELS"]
+            else:
+                os.environ["TOMIX_IMG_MAX_PIXELS"] = old
 
     def test_dhash_stable_across_png_and_jpeg(self):
         """The SAME pixels encoded as PNG (lossless) and JPEG (q98)

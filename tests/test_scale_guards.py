@@ -341,3 +341,26 @@ class TestEmptyInputs:
             f"SELECT count(*) FROM read_parquet('{dn}/embeddings.parquet')"
         ).fetchone()
         assert len(out) == n
+
+
+def test_tokenize_tf_duplicate_doc_id_rows_are_independent_documents(spark):
+    """The fused-dl input contract (textops.tokenize_tf): a document IS
+    a physical row. Duplicate doc_id rows each carry their OWN dl and
+    their own tf rows — nothing pools across the duplicates (the
+    pre-fusion window-sum pooled dl but not tf: neither semantics)."""
+    from tomixpanel_spark.operators.textops import tokenize_tf
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (1, "a"), (2, "c c c c")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.token, r.tf, r.dl)
+        for r in tokenize_tf(docs).collect()
+    }
+    assert rows == {
+        (1, "a", 2, 3),
+        (1, "b", 1, 3),
+        (1, "a", 1, 1),
+        (2, "c", 4, 4),
+    }

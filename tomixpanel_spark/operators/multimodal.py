@@ -21,6 +21,7 @@ computed in pandas batches, hash-identical to the DuckDB SQL mirror.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import Callable, Optional
 
@@ -620,11 +621,16 @@ def _jpeg_magnitude(v: int):
     return size, bits
 
 
-def encode_jpeg_gray(pixels, quality: int = 90) -> bytes:
+def encode_jpeg_gray(pixels, quality: int = 90, restart_interval: int = 0) -> bytes:
     """Encode an (h, w) uint8 array as a REAL baseline grayscale JPEG
     (SOI, DQT, SOF0, Annex-K DHT, SOS, Huffman-coded DCT blocks with
     byte stuffing, EOI) — readable by any JPEG decoder. Edge-replicated
-    to 8x8 block multiples."""
+    to 8x8 block multiples.
+
+    ``restart_interval`` > 0 writes a DRI segment and emits RST0-RST7
+    markers every that-many MCUs (byte-aligned, DC prediction reset) —
+    the corruption-resilience feature real pipelines enable, and the
+    decoder-side test vector for RST handling."""
     import struct
 
     import numpy as np
@@ -641,8 +647,17 @@ def encode_jpeg_gray(pixels, quality: int = 90) -> bytes:
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align, emit RSTm (cycles 0-7), reset DC prediction
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                prev_dc = 0
+            mcu += 1
             block = padded[by : by + 8, bx : bx + 8] - 128.0
             coef = dmat @ block @ dmat.T
             qz = np.rint(coef / qt).astype(np.int64)
@@ -677,6 +692,11 @@ def encode_jpeg_gray(pixels, quality: int = 90) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     dqt = seg(0xDB, b"\x00" + bytes(int(qt.reshape(-1)[i]) for i in _ZIGZAG))
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
     dht = seg(
         0xC4,
@@ -685,7 +705,7 @@ def encode_jpeg_gray(pixels, quality: int = 90) -> bytes:
     )
     sos = seg(0xDA, b"\x01\x01\x00" + b"\x00\x3f\x00")
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+        b"\xff\xd8" + dqt + dri + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
     )
 
 
@@ -733,6 +753,23 @@ class _BitReader:
                 return sym
         raise ValueError("invalid JPEG Huffman code")
 
+    def restart(self, expect_m: int) -> None:
+        """Consume an RSTm marker at a restart boundary (T.81 E.2.4):
+        discard the pad bits buffered from the byte-aligned tail of the
+        previous interval, verify the marker is the expected RST0-RST7
+        in cycle, and resume bit reading after it."""
+        self.acc = 0
+        self.n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("JPEG restart marker missing at interval boundary")
+        if self.data[self.pos + 1] - 0xD0 != (expect_m & 7):
+            raise ValueError("JPEG restart markers out of sequence")
+        self.pos += 2
+
 
 def _jpeg_extend(bits: int, size: int) -> int:
     if size == 0:
@@ -771,12 +808,19 @@ def _decode_jpeg_gray_impl(payload: bytes):
     h = w = None
     comp_tq = comp_td = comp_ta = None
     data_start = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("not a JPEG: lost marker sync")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill bytes before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone markers
+            pos += 2
+            continue
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:
@@ -815,6 +859,8 @@ def _decode_jpeg_gray_impl(payload: bytes):
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential JPEG is supported")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             if body[0] != 1:
                 raise ValueError("single-component scans only")
@@ -832,10 +878,33 @@ def _decode_jpeg_gray_impl(payload: bytes):
     br = _BitReader(payload[data_start:])
     dmat = _dct_mat()
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    # SOF dimensions are untrusted input: bound the allocation BEFORE
+    # np.zeros so a crafted small payload with huge h/w raises ValueError
+    # (the exception-hygiene contract) instead of OOM-killing the worker.
+    # Structural floor: every MCU costs >= 2 Huffman bits (1-bit DC code
+    # + 1-bit EOB), so blocks > 4 * entropy_bytes cannot all be coded.
+    n_blocks = (ph // 8) * (pw // 8)
+    entropy_bytes = max(1, len(payload) - data_start)
+    if n_blocks > 4 * entropy_bytes:
+        raise ValueError(
+            "JPEG SOF dimensions exceed what the entropy data could code"
+        )
+    max_px = int(os.environ.get("TOMIX_IMG_MAX_PIXELS", str(1 << 26)))
+    if ph * pw > max_px:
+        raise ValueError(
+            f"JPEG dimensions {h}x{w} exceed TOMIX_IMG_MAX_PIXELS={max_px}"
+        )
     out = np.zeros((ph, pw), dtype=np.float64)
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.restart(rst)
+                rst += 1
+                prev_dc = 0
+            mcu += 1
             zz = np.zeros(64, dtype=np.int64)
             size = br.huff(dc_tab)
             prev_dc += _jpeg_extend(br.bits(size), size)

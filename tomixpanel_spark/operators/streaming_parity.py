@@ -46,14 +46,24 @@ def _scratch_dir(prefix: str) -> str:
     deployment sizes checkpoint storage for durability instead, which is
     a deployment property the parity gate doesn't exercise. Override
     with TOMIX_STREAM_SCRATCH; falls back to the tempfile default when
-    no tmpfs exists. Every dir is atexit-reclaimed: tmpfs bytes are RAM,
-    and scratch that outlives the process would accumulate across bench/
+    no tmpfs exists OR when the tmpfs is too small to hold the artifacts
+    (default Docker gives /dev/shm 64 MB — staged landings alone exceed
+    that, and ENOSPC mid-stream is a far worse failure than the fsync
+    floor). Every dir is atexit-reclaimed: tmpfs bytes are RAM, and
+    scratch that outlives the process would accumulate across bench/
     driver rounds."""
     import atexit
 
     root = os.environ.get("TOMIX_STREAM_SCRATCH")
     if root is None and os.path.isdir("/dev/shm"):
-        root = "/dev/shm"
+        try:
+            st = os.statvfs("/dev/shm")
+            # landings ~13 MB/batch + WALs + state deltas + sinks across
+            # six concurrent-ish parity queries: demand ~256 MB headroom
+            if st.f_bavail * st.f_frsize >= 256 * 1024 * 1024:
+                root = "/dev/shm"
+        except OSError:
+            pass
     if root:
         os.makedirs(root, exist_ok=True)
         d = tempfile.mkdtemp(prefix=prefix, dir=root)

@@ -1053,6 +1053,41 @@ def _cms_bucket(row: int, token) -> F.Column:
     return F.pmod(h, F.lit(CMS_WIDTH))
 
 
+def _cms_bucket_arr(row: int, toks):
+    """Vectorized Python mirror of ``_cms_bucket`` for an array of
+    tokens (md5 first 8 hex digits -> int % WIDTH). The ONE copy of the
+    bucket arithmetic shared by the driver fold below and the streaming
+    partial-sketch fold (``streaming.sketches.StreamingCountMin``) — the
+    cells are oracle-parity-critical, so the spec must not fork."""
+    import hashlib
+
+    import numpy as np
+
+    pre = f"{row}:".encode("utf-8")
+    return np.fromiter(
+        (
+            int(hashlib.md5(pre + t.encode("utf-8")).hexdigest()[:8], 16)
+            % CMS_WIDTH
+            for t in toks
+        ),
+        dtype=np.int64,
+        count=len(toks),
+    )
+
+
+def cms_cells_from_counts(toks, cnt):
+    """(token, count) arrays -> the DEPTH x WIDTH cell matrix. Cells are
+    plain sums, so this is the mergeable partial-sketch builder: callers
+    (driver fold, streaming micro-batch partials) add matrices cellwise
+    to get exactly the sketch of the union."""
+    import numpy as np
+
+    cells = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    for r in range(CMS_DEPTH):
+        np.add.at(cells[r], _cms_bucket_arr(r, toks), cnt)
+    return cells
+
+
 def _cms_rb() -> F.Column:
     """token -> exploded DEPTH-element (row, bucket) struct column. One
     explode of a small struct array instead of a DEPTH-way union of full
@@ -1092,8 +1127,6 @@ def _cms_fold(docs: DataFrame) -> "pd.DataFrame":
     in-process tokenize, md5 buckets per sketch row (the same spec as
     ``_cms_bucket``/the oracle), vectorized scatter-add cells, min-over-
     rows estimate. Gate-bounded by the caller."""
-    import hashlib
-
     import numpy as np
     import pandas as pd
 
@@ -1105,16 +1138,7 @@ def _cms_fold(docs: DataFrame) -> "pd.DataFrame":
     cnt = counts.to_numpy(np.int64)
     est = np.full(len(tokens), np.iinfo(np.int64).max, dtype=np.int64)
     for r in range(CMS_DEPTH):
-        pre = f"{r}:".encode("utf-8")
-        buckets = np.fromiter(
-            (
-                int(hashlib.md5(pre + t.encode("utf-8")).hexdigest()[:8], 16)
-                % CMS_WIDTH
-                for t in tokens
-            ),
-            dtype=np.int64,
-            count=len(tokens),
-        )
+        buckets = _cms_bucket_arr(r, tokens)
         cells = np.zeros(CMS_WIDTH, dtype=np.int64)
         np.add.at(cells, buckets, cnt)
         est = np.minimum(est, cells[buckets])
@@ -1267,7 +1291,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, so the tokenize pass emits it for free, replacing the
     corpus-wide window-sum exchange this plan used to pay (round 11;
     the probe measured that window at ~0.2 s of the 50k-doc gap to the
-    oracle). The BUILD side — query terms x
+    oracle). INPUT CONTRACT made explicit by that fusion: a document IS
+    a physical row — if a corpus carries duplicate doc_id rows (e.g.
+    re-ingested shards), each row scores as its own document with its
+    own dl (the old window-sum silently pooled dl across duplicates
+    while still scoring tf rows separately — neither semantics, worse);
+    dedup_by_key is the upstream verb for collapsing duplicates first.
+    Pinned by tests/test_scale_guards.py::test_tokenize_tf_duplicate_
+    doc_id_rows_are_independent_documents. The BUILD side — query terms x
     their df x the two corpus totals — is |query vocab| rows, broadcast;
     the probe is one pass over the sparse tf table, so candidate scoring
     touches only postings of query terms (exactly what an inverted index

@@ -27,18 +27,21 @@ frequency sketch is part of the scale extension surface.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame
 
-from tomixpanel_spark.operators.textops import CMS_DEPTH, CMS_WIDTH
+from tomixpanel_spark.operators.textops import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    _cms_bucket_arr,
+    cms_cells_from_counts,
+)
 
 
 def _py_bucket(row: int, token: str) -> int:
-    """Python mirror of ``operators.textops._cms_bucket`` (md5 first 8 hex
-    digits -> int % WIDTH); equality is covered by the parity test."""
-    h = int(hashlib.md5(f"{row}:{token}".encode()).hexdigest()[:8], 16)
-    return h % CMS_WIDTH
+    """Python mirror of ``operators.textops._cms_bucket`` — delegates to
+    the ONE shared bucket-arithmetic copy (``_cms_bucket_arr``) so the
+    streaming sketch can never diverge from the batch fold's spec."""
+    return int(_cms_bucket_arr(row, [token])[0])
 
 
 class StreamingCountMin:
@@ -93,16 +96,9 @@ class StreamingCountMin:
                 if not len(tf):
                     continue
                 counts = tf.groupby("token", sort=False)["tf"].sum()
-                toks = counts.index.to_numpy()
-                cnt = counts.to_numpy(np.int64)
-                cells = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
-                for r in range(CMS_DEPTH):
-                    buckets = np.fromiter(
-                        (_py_bucket(r, t) for t in toks),
-                        dtype=np.int64,
-                        count=len(toks),
-                    )
-                    np.add.at(cells[r], buckets, cnt)
+                cells = cms_cells_from_counts(
+                    counts.index.to_numpy(), counts.to_numpy(np.int64)
+                )
                 rr, bb = np.nonzero(cells)
                 yield pd.DataFrame(
                     {"row": rr, "bucket": bb, "c": cells[rr, bb]}
