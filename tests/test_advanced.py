@@ -1288,3 +1288,87 @@ class TestHistogramSketch:
         }
         want_cents = int(__import__("math").floor(42.17 * 100))
         assert rows == {(50, want_cents), (90, want_cents), (99, want_cents)}
+
+
+class TestSeededShuffle:
+    def test_permutation_and_determinism(self, spark):
+        """(shard, pos) is a partition of 1..n_shard per shard (contiguous
+        ranks, no gaps/dupes), every doc appears exactly once, and the
+        assignment is bit-stable across runs (seeded md5, no engine RNG)."""
+        from tomixpanel_spark.operators import registry
+
+        fn = registry()["seeded_shuffle"].fn
+        a = sorted(map(tuple, fn(spark, "/root/testdata/sf0.01").collect()))
+        b = sorted(map(tuple, fn(spark, "/root/testdata/sf0.01").collect()))
+        assert a == b
+        docs = [t[0] for t in a]
+        assert len(docs) == len(set(docs))
+        per_shard: dict = {}
+        for _, shard, pos in a:
+            per_shard.setdefault(shard, []).append(pos)
+        for shard, ranks in per_shard.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), shard
+
+    def test_in_shard_order_is_hash_order(self, spark):
+        """pos must sort each shard by the seeded md5 (the training-order
+        contract): recompute the hash independently in Python and check
+        the rank order matches."""
+        import hashlib
+
+        from tomixpanel_spark.operators import registry
+        from tomixpanel_spark.operators.packing import SHUFFLE_SEED
+
+        out = registry()["seeded_shuffle"].fn(spark, "/root/testdata/sf0.001").collect()
+        per_shard: dict = {}
+        for r in out:
+            h = hashlib.md5(f"{SHUFFLE_SEED}:{r['doc_id']}".encode()).hexdigest()
+            per_shard.setdefault(r["shard"], []).append((r["pos"], h, r["doc_id"]))
+        for shard, rows in per_shard.items():
+            by_pos = [(h, d) for _, h, d in sorted(rows)]
+            assert by_pos == sorted(by_pos), f"shard {shard} not in hash order"
+
+
+class TestBigramLmScore:
+    def test_matches_independent_python_model(self, spark):
+        """Hand-rolled bigram model over the same parquet (pure Python
+        tokenize/count — an implementation independent of BOTH engines)
+        reproduces every doc's n_bigrams and lm_score_e6."""
+        import duckdb
+
+        from tomixpanel_spark.operators import registry
+
+        sf = "/root/testdata/sf0.001"
+        rows = duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+
+        def toks(text: str) -> list[str]:
+            for ws in "\t\n\r\x0b\x0c":
+                text = text.replace(ws, " ")
+            return [t for t in text.split(" ") if t]
+
+        model: dict = {}
+        ctx: dict = {}
+        vocab: set = set()
+        doc_bigrams: dict = {}
+        for doc_id, text in rows:
+            ws = toks(text)
+            vocab.update(ws)
+            bgs = list(zip(ws, ws[1:]))
+            doc_bigrams[doc_id] = bgs
+            for bg in bgs:
+                model[bg] = model.get(bg, 0) + 1
+                ctx[bg[0]] = ctx.get(bg[0], 0) + 1
+        v = len(vocab)
+        expected = {
+            doc_id: (
+                len(bgs),
+                sum((1_000_000 * (model[bg] + 1)) // (ctx[bg[0]] + v) for bg in bgs),
+            )
+            for doc_id, bgs in doc_bigrams.items()
+        }
+
+        got = registry()["bigram_lm_score"].fn(spark, sf).collect()
+        assert len(got) == len(rows)  # every doc scored, including <2-token
+        for r in got:
+            assert (r["n_bigrams"], r["lm_score_e6"]) == expected[r["doc_id"]], r

@@ -715,3 +715,47 @@ def test_gates_doc_matches_code():
     stale_in_doc = sorted(in_doc - in_code)
     assert not missing_from_doc, f"undocumented gates: {missing_from_doc}"
     assert not stale_in_doc, f"GATES.md rows with no code: {stale_in_doc}"
+
+
+def test_bigram_lm_paths_agree(spark, monkeypatch):
+    """Broadcast-model and shuffle-join scoring plans are ONE operator:
+    identical rows, and the gate actually flips the join strategy."""
+    from tomixpanel_spark.operators import textops
+
+    df_b = REG["bigram_lm_score"].fn(spark, SF_ORACLE)
+    assert "BroadcastHashJoin" in join_strategies(df_b)
+    bcast = df_b.collect()
+
+    monkeypatch.setenv("TOMIX_LM_BCAST_BIGRAMS", "0")
+    textops._LM_MODEL_COUNT_CACHE.clear()
+    df_s = REG["bigram_lm_score"].fn(spark, SF_ORACLE)
+    joins = join_strategies(df_s)
+    # the model/ctx scoring joins must NOT broadcast above the gate (the
+    # 1-row vocab aggregate and the small final left join may still)
+    assert any(j in ("SortMergeJoin", "ShuffledHashJoin") for j in joins)
+    shuf = df_s.collect()
+    textops._LM_MODEL_COUNT_CACHE.clear()
+    assert sorted(map(tuple, bcast)) == sorted(map(tuple, shuf))
+
+
+def test_seeded_shuffle_rank_windows_are_bucket_parallel(spark):
+    """The in-shard position must come from the two-level prefix sum:
+    every row_number window partitions by the 256-way bucket, never by
+    the N_SHARDS-way shard alone (8 sort tasks for the whole corpus is
+    the scale-killer this plan exists to avoid)."""
+    import re
+
+    df = REG["seeded_shuffle"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rn_windows = [
+        ln for ln in plan.splitlines()
+        if "row_number" in ln and "Window" in ln
+    ]
+    assert rn_windows, "expected a row_number window in the plan"
+    for ln in rn_windows:
+        m = re.search(r"windowspecdefinition\(([^,]+),", ln)
+        assert m is not None, ln
+        assert "bucket" in m.group(1), f"rank window partitioned by {m.group(1)}"
+    # the offsets side is 256 rows — it must come back as a broadcast,
+    # and the corpus must never exchange for the final join
+    assert "BroadcastHashJoin" in join_strategies(df)

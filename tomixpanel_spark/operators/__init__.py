@@ -49,6 +49,8 @@ _LAST_EXTERNAL = {
     # -- new in round 11: never externally checked -------------------------
     "embedding_keep_list": 0,
     "hist_quantiles": 0,
+    "bigram_lm_score": 0,
+    "seeded_shuffle": 0,
     # -- last green r8 ---------------------------------------------------
     "time_shift": 8,
     "token_count": 8,

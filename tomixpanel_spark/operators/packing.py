@@ -211,8 +211,105 @@ def lpt_shards(
     return df.mapInPandas(assign, schema="doc_id long, n_tokens long, shard long")
 
 
+# -- deterministic training-order shuffle ------------------------------------
+
+SHUFFLE_SEED = "tomix-shuffle-42"
+_HEX = "0123456789abcdef"
+
+
+def seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for reproducible training order:
+    (doc_id) -> (doc_id, shard, pos) where ``shard`` is a seeded
+    hash-assigned output file and ``pos`` is the document's 1-based
+    position within its shard, ordered by the same hash — i.e. the
+    training data loader reads shard files in pos order and sees a
+    fixed pseudorandom permutation, independent of input layout, cluster
+    size, or run (md5 of seed:doc_id — no engine-private hash, so the
+    oracle reproduces it bit-for-bit).
+
+    The scale problem is ``pos``: the obvious ``row_number() OVER
+    (PARTITION BY shard ...)`` funnels each shard's ENTIRE corpus slice
+    through one task's sort — with 8 shards that is 8 tasks for 100 TB.
+    This plan computes the same global ranks with a TWO-LEVEL prefix sum:
+
+    * bucket = first two hex digits of the hash (256 buckets, 32 per
+      shard). In-shard hash order == (bucket, hash) order because the
+      bucket IS the hash's leading digits and hex chars are
+      ASCII-monotone, so ranks decompose as bucket offset + in-bucket
+      rank.
+    * in-bucket rank: ``row_number`` partitioned by bucket — 256-way
+      parallel, each task sorts ~1/256 of the corpus (and the fan-out
+      widens by adding hex digits if 1/256 is still too big).
+    * bucket offsets: a ``groupBy(bucket).count()`` (map-side partial,
+      256 rows out) prefix-summed by a window over those 256 rows,
+      broadcast-joined back.
+
+    The oracle declares the naive single-window form; both produce
+    identical rows (the plan test pins the 256-way partitioning)."""
+    docs = table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(SHUFFLE_SEED + ":"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    ).withColumn(
+        "bucket",
+        (
+            (F.expr(f"instr('{_HEX}', substring(h, 1, 1))") - 1) * 16
+            + F.expr(f"instr('{_HEX}', substring(h, 2, 1))")
+            - 1
+        ).cast("bigint"),
+    )
+    hashed = hashed.withColumn(
+        "shard", F.pmod(F.col("bucket"), F.lit(N_SHARDS)).cast("bigint")
+    )
+    local = hashed.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("bucket").orderBy("h", "doc_id")),
+    )
+    counts = hashed.groupBy("shard", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.partitionBy("shard")
+                .orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "shard",
+            (F.col("off") + F.col("rn")).cast("bigint").alias("pos"),
+        )
+    )
+
+
+_SEEDED_SHUFFLE_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         md5(concat('{SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR))) AS h
+  FROM documents),
+sharded AS (
+  SELECT doc_id, h,
+         CAST((( (strpos('{_HEX}', substr(h, 1, 1)) - 1) * 16
+               + strpos('{_HEX}', substr(h, 2, 1)) - 1) % {N_SHARDS}) AS BIGINT) AS shard
+  FROM hashed)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM sharded
+"""
+
+
 REGISTRY = {
     "balanced_shards": QuerySpec(
         balanced_shards, _BALANCED_SHARDS_SQL, "ext:text training-shard balance"
+    ),
+    "seeded_shuffle": QuerySpec(
+        seeded_shuffle, _SEEDED_SHUFFLE_SQL, "ext:text deterministic training shuffle"
     ),
 }

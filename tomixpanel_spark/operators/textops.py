@@ -1381,7 +1381,136 @@ SELECT q_id, doc_id, rank, score_e6 FROM (
 """
 
 
+# -- bigram LM scoring (CCNet-style perplexity filter, integer-exact) --------
+
+# Broadcast the bigram model while its cardinality (distinct bigram types,
+# NOT occurrences) stays under this cap; above it the scoring join falls
+# back to a shuffle join on (prev, cur). Counted once per (application,
+# sf_dir) and memoized — the tfidf vocab-gate precedent.
+LM_BROADCAST_MAX_BIGRAMS = 2_000_000
+
+
+def _lm_bcast_cap() -> int:
+    import os
+
+    return int(os.environ.get("TOMIX_LM_BCAST_BIGRAMS", str(LM_BROADCAST_MAX_BIGRAMS)))
+
+
+_LM_MODEL_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LANGUAGE-MODEL likelihood scoring — the CCNet-style
+    quality signal (score docs by how typical their token transitions are
+    under a corpus-trained bigram model; perplexity filtering keeps the
+    high-likelihood tail). Self-scoring formulation: the corpus IS the
+    training set, as CCNet scores with an in-domain LM.
+
+    INTEGER-EXACT scoring (the tfidf N/df precedent): each bigram position
+    contributes ``term = (1e6 * (c(prev,cur) + 1)) div (c(prev) + |V|)`` —
+    the Laplace-smoothed transition probability scaled to e6 and floored.
+    True perplexity exponentiates a mean of libm logs, which differs by
+    ULPs across engines and would flip hash comparisons; the scaled
+    probability SUM is a monotone-per-position surrogate computed
+    identically everywhere. ``c(prev)`` is the context count (bigram
+    occurrences starting at prev, i.e. excluding final-token occurrences);
+    ``|V|`` is corpus distinct-token cardinality. Docs with < 2 tokens
+    score (0, 0) rather than dropping out — a filter verb must emit a
+    verdict for every document.
+
+    Scale shape: occurrences NEVER shuffle raw. The model build is a
+    map-side-partial ``groupBy(prev, cur).count()`` (shuffle carries one
+    row per bigram TYPE per partition); context counts derive from the
+    materialized model (bigram-type-sized input, token-type-sized output);
+    |V| folds in as a broadcast 1-row aggregate, not a driver constant.
+    Scoring re-reads the bigram stream through a BROADCAST join against
+    the model while it is under ``TOMIX_LM_BCAST_BIGRAMS`` (so the big
+    side never exchanges), then aggregates per doc — and bigrams of one
+    doc are colocated in its input partition, so the per-doc aggregate's
+    shuffle carries one partial row per document. Above the gate: shuffle
+    join on (prev, cur); hot contexts ("the ...") skew that exchange, and
+    AQE skew-join splitting is the designed mitigation (documented, same
+    posture as tfidf above its vocab gate)."""
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", tokens("text").alias("words"))
+    n = F.size("words")
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("words", F.lit(1), n - 1),
+            F.slice("words", F.lit(2), n - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    big = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    # model consumed 3x (gate count, ctx aggregate, scoring join) —
+    # materialize once, don't recompute the corpus tokenization per read.
+    model = stage_checkpoint(
+        big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    )
+    ctx = model.groupBy("prev").agg(F.sum("c").alias("cc"))
+    vocab = docs.select(F.explode(tokens("text")).alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    key = (spark.sparkContext.applicationId, sf_dir, "lm_bigram_types")
+    if key not in _LM_MODEL_COUNT_CACHE:
+        _LM_MODEL_COUNT_CACHE[key] = model.count()
+    if _LM_MODEL_COUNT_CACHE[key] <= _lm_bcast_cap():
+        model, ctx = F.broadcast(model), F.broadcast(ctx)
+    scored = (
+        big.join(model, ["prev", "cur"])
+        .join(ctx, ["prev"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", F.expr("(1000000 * (c + 1)) div (cc + v)").alias("term"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("term").alias("s")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("s", F.lit(0)).cast("bigint").alias("lm_score_e6"),
+        )
+    )
+
+
+_BIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+big AS (
+  SELECT doc_id, words[i] AS prev, words[i + 1] AS cur
+  FROM toks, UNNEST(range(1, len(words))) AS t(i)),
+model AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY 1, 2),
+ctx AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS cc FROM model GROUP BY 1),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+  FROM (SELECT unnest(words) AS token FROM toks)),
+scored AS (
+  SELECT b.doc_id, (1000000 * (m.c + 1)) // (x.cc + vocab.v) AS term
+  FROM big b
+  JOIN model m ON b.prev = m.prev AND b.cur = m.cur
+  JOIN ctx x ON b.prev = x.prev
+  CROSS JOIN vocab),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(term) AS BIGINT) AS s
+  FROM scored GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.s, 0) AS BIGINT) AS lm_score_e6
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 REGISTRY = {
+    "bigram_lm_score": QuerySpec(
+        bigram_lm_score, _BIGRAM_LM_SQL, "ext:text LM-likelihood quality filter"
+    ),
     "bm25_topk": QuerySpec(bm25_topk, _BM25_SQL, "ext:text lexical retrieval (BM25)"),
     "explode_hits": QuerySpec(explode_hits, _EXPLODE_HITS_SQL, "M1"),
     "cms_heavy_hitters": QuerySpec(
