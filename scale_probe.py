@@ -56,7 +56,7 @@ PROBE_TEXT_NAMES = [
     "substring_dedup_clean", "minhash_signature", "minhash_lsh_pairs",
     "lsh_keep_list", "ngram_jaccard_pairs", "dedup_keep_list",
     "neardup_components", "neardup_keep_best", "lang_id", "quality_score",
-    "gopher_quality", "chunk_documents",
+    "gopher_quality", "chunk_documents", "bigram_lm_score", "seeded_shuffle",
 ]
 
 PROBE_EMB_NAMES = [
@@ -418,10 +418,14 @@ def main() -> None:
         "documents embeddings"
     ).split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'")
+    # TOMIX_PROBE_ONLY=a,b,c narrows a family run to named queries
+    # (iterating on one row without re-timing the whole family)
+    only = set(filter(None, os.environ.get("TOMIX_PROBE_ONLY", "").split(",")))
+    pick = lambda names: [n for n in names if not only or n in only]  # noqa: E731
     if "text" in families:
-        run_queries(spark, con, reg, dst, PROBE_TEXT_NAMES)
+        run_queries(spark, con, reg, dst, pick(PROBE_TEXT_NAMES))
     if "emb" in families:
-        run_queries(spark, con, reg, dst, PROBE_EMB_NAMES)
+        run_queries(spark, con, reg, dst, pick(PROBE_EMB_NAMES))
         probe_emb_extras(spark, src, dst)
     if "cc" in families:
         probe_cc(spark, src, dst)

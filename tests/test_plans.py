@@ -718,10 +718,14 @@ def test_gates_doc_matches_code():
 
 
 def test_bigram_lm_paths_agree(spark, monkeypatch):
-    """Broadcast-model and shuffle-join scoring plans are ONE operator:
-    identical rows, and the gate actually flips the join strategy."""
+    """Driver-fold, broadcast-model, and shuffle-join scoring plans are
+    ONE operator: identical rows, and each gate actually flips the
+    plan."""
     from tomixpanel_spark.operators import textops
 
+    fold = REG["bigram_lm_score"].fn(spark, SF_ORACLE).collect()  # under fold cap
+
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
     df_b = REG["bigram_lm_score"].fn(spark, SF_ORACLE)
     assert "BroadcastHashJoin" in join_strategies(df_b)
     bcast = df_b.collect()
@@ -736,6 +740,7 @@ def test_bigram_lm_paths_agree(spark, monkeypatch):
     shuf = df_s.collect()
     textops._LM_MODEL_COUNT_CACHE.clear()
     assert sorted(map(tuple, bcast)) == sorted(map(tuple, shuf))
+    assert sorted(map(tuple, fold)) == sorted(map(tuple, bcast))
 
 
 def test_seeded_shuffle_rank_windows_are_bucket_parallel(spark):

@@ -1399,6 +1399,72 @@ def _lm_bcast_cap() -> int:
 _LM_MODEL_COUNT_CACHE: dict[tuple, int] = {}
 
 
+def _lm_driver_fold(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Small-corpus bigram-LM scoring: one Arrow transfer of the raw
+    documents (buffer-pool cached ``docs_pdf``) + an exact VECTORIZED
+    fold — no shuffle, no checkpoint, no broadcast-exchange job, no
+    gate-count job. Tokenization is the same pyarrow kernel chain as
+    ``_pa_tokenize_tf`` but ORDER-PRESERVING (no group_by): the flat
+    token stream + parent indices give adjacency directly, tokens
+    factorize via ``dictionary_encode``, and model/context/score are
+    numpy int64 ops (``//`` floors like the engines'; bincount/add.at
+    keep the sums integer-exact). A dict-Counter formulation measured
+    SLOWER than the distributed plan at 5k docs — the per-token Python
+    loop was the cost, not Spark. Bit-identical to the distributed plan
+    and the oracle (tests/test_plans.py::test_bigram_lm_paths_agree)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pdf = docs_pdf(docs)
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "n_bigrams": pd.Series([], dtype="int64"),
+            "lm_score_e6": pd.Series([], dtype="int64"),
+        }
+    )
+    schema = "doc_id long, n_bigrams long, lm_score_e6 long"
+    if not len(pdf):
+        return spark.createDataFrame(empty, schema=schema)
+    arr = pc.fill_null(pa.array(pdf["text"], type=pa.string(), from_pandas=True), "")
+    for ch in _WS_CHARS:
+        arr = pc.replace_substring(arr, ch, " ")
+    toks = pc.split_pattern(arr, " ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    flat = pc.filter(flat, mask)
+    parent = pc.filter(parent, mask).to_numpy()
+    n_docs = len(pdf)
+    nb = np.zeros(n_docs, dtype=np.int64)
+    sc = np.zeros(n_docs, dtype=np.int64)
+    if len(flat):
+        enc = pc.dictionary_encode(flat)
+        idx = enc.indices.to_numpy().astype(np.int64)
+        v = len(enc.dictionary)
+        same = parent[:-1] == parent[1:]
+        prev = idx[:-1][same]
+        cur = idx[1:][same]
+        bdoc = parent[:-1][same]
+        if len(prev):
+            combo = prev * np.int64(v) + cur
+            _, inv, cnt = np.unique(combo, return_inverse=True, return_counts=True)
+            cc = np.bincount(prev, minlength=v)  # context counts, exact
+            term = (1_000_000 * (cnt[inv] + 1)) // (cc[prev] + v)
+            np.add.at(nb, bdoc, 1)
+            np.add.at(sc, bdoc, term)
+    out = pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].to_numpy(np.int64),
+            "n_bigrams": nb,
+            "lm_score_e6": sc,
+        }
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
 def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document LANGUAGE-MODEL likelihood scoring — the CCNet-style
     quality signal (score docs by how typical their token transitions are
@@ -1418,7 +1484,13 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     score (0, 0) rather than dropping out — a filter verb must emit a
     verdict for every document.
 
-    Scale shape: occurrences NEVER shuffle raw. The model build is a
+    SIZE-ADAPTIVE (the tfidf fold precedent, same shared gate): corpora
+    under ``TOMIX_TFIDF_DRIVER_FOLD_DOCS`` score via ``_lm_driver_fold``
+    (one Arrow transfer + exact Python fold — zero shuffles); above the
+    gate, the distributed plan below (50k-doc scale probe exercises it
+    naturally).
+
+    Scale shape (distributed): occurrences NEVER shuffle raw. The model build is a
     map-side-partial ``groupBy(prev, cur).count()`` (shuffle carries one
     row per bigram TYPE per partition); context counts derive from the
     materialized model (bigram-type-sized input, token-type-sized output);
@@ -1432,6 +1504,8 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE skew-join splitting is the designed mitigation (documented, same
     posture as tfidf above its vocab gate)."""
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    if _corpus_count(spark, sf_dir, docs) <= _tfidf_driver_fold_cap():
+        return _lm_driver_fold(spark, docs)
     toks = docs.select("doc_id", tokens("text").alias("words"))
     n = F.size("words")
     pairs = F.when(
