@@ -750,8 +750,11 @@ def test_seeded_shuffle_rank_windows_are_bucket_parallel(spark):
     the scale-killer this plan exists to avoid)."""
     import re
 
-    df = REG["seeded_shuffle"].fn(spark, SF_ORACLE)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    from tomixpanel_spark.operators.base import table
+    from tomixpanel_spark.operators.packing import _seeded_ranked
+
+    ranked = _seeded_ranked(table(spark, SF_ORACLE, "documents"))
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
     rn_windows = [
         ln for ln in plan.splitlines()
         if "row_number" in ln and "Window" in ln
@@ -761,6 +764,18 @@ def test_seeded_shuffle_rank_windows_are_bucket_parallel(spark):
         m = re.search(r"windowspecdefinition\(([^,]+),", ln)
         assert m is not None, ln
         assert "bucket" in m.group(1), f"rank window partitioned by {m.group(1)}"
-    # the offsets side is 256 rows — it must come back as a broadcast,
-    # and the corpus must never exchange for the final join
+
+
+def test_seeded_shuffle_single_corpus_pass(spark):
+    """The ranked stream must be materialized ONCE for its two consumers
+    (offsets aggregate + final join): the composed plan reads the
+    checkpoint (ExistingRDD), never re-scans the parquet (the
+    un-checkpointed form scanned AND shuffled the corpus twice — the
+    subtrees don't ReuseExchange-collapse because only the join side
+    pushes isnotnull(bucket) into its scan), and the 256-row offsets
+    side comes back as a broadcast."""
+    df = REG["seeded_shuffle"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan, "corpus re-scanned outside the checkpoint"
+    assert "hashpartitioning(bucket" not in plan, "corpus re-shuffled after the checkpoint"
     assert "BroadcastHashJoin" in join_strategies(df)

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tomixpanel_spark.operators.base import QuerySpec, table
+from tomixpanel_spark.operators.base import QuerySpec, stage_checkpoint, table
 from tomixpanel_spark.functions.text import tokens
 
 N_SHARDS = 8
@@ -247,27 +247,10 @@ def seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle declares the naive single-window form; both produce
     identical rows (the plan test pins the 256-way partitioning)."""
     docs = table(spark, sf_dir, "documents")
-    hashed = docs.select(
-        "doc_id",
-        F.md5(F.concat(F.lit(SHUFFLE_SEED + ":"), F.col("doc_id").cast("string"))).alias(
-            "h"
-        ),
-    ).withColumn(
-        "bucket",
-        (
-            (F.expr(f"instr('{_HEX}', substring(h, 1, 1))") - 1) * 16
-            + F.expr(f"instr('{_HEX}', substring(h, 2, 1))")
-            - 1
-        ).cast("bigint"),
-    )
-    hashed = hashed.withColumn(
-        "shard", F.pmod(F.col("bucket"), F.lit(N_SHARDS)).cast("bigint")
-    )
-    local = hashed.withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("bucket").orderBy("h", "doc_id")),
-    )
-    counts = hashed.groupBy("shard", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    local = stage_checkpoint(_seeded_ranked(docs))
+    # bucket counts as max(rn) over the ranked stream — the shuffle
+    # carries <=256 partial rows per input partition, never the corpus
+    counts = local.groupBy("shard", "bucket").agg(F.max("rn").alias("cnt"))
     offsets = counts.select(
         "bucket",
         F.coalesce(
@@ -286,6 +269,40 @@ def seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard",
             (F.col("off") + F.col("rn")).cast("bigint").alias("pos"),
         )
+    )
+
+
+def _seeded_ranked(docs: DataFrame) -> DataFrame:
+    """The ranked stream (doc_id, h, bucket, shard, rn): seeded md5,
+    hash-prefix bucket, shard, and the 256-way-parallel in-bucket rank.
+
+    Exposed for the plan lock (tests pin that every rank window
+    partitions by bucket, never shard alone). ``seeded_shuffle``
+    materializes this ONCE (``stage_checkpoint``) for its two consumers
+    — the offsets aggregate and the final join: without the checkpoint
+    the subtrees duplicate, and they don't ReuseExchange-collapse
+    because the join side pushes an isnotnull(bucket) filter into its
+    scan that the aggregate side lacks, so the corpus would be SCANNED
+    AND SHUFFLED TWICE (observed in the physical plan)."""
+    hashed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(SHUFFLE_SEED + ":"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    ).withColumn(
+        "bucket",
+        (
+            (F.expr(f"instr('{_HEX}', substring(h, 1, 1))") - 1) * 16
+            + F.expr(f"instr('{_HEX}', substring(h, 2, 1))")
+            - 1
+        ).cast("bigint"),
+    )
+    hashed = hashed.withColumn(
+        "shard", F.pmod(F.col("bucket"), F.lit(N_SHARDS)).cast("bigint")
+    )
+    return hashed.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("bucket").orderBy("h", "doc_id")),
     )
 
 
