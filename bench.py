@@ -49,6 +49,7 @@ DISTRIBUTED_TIER = (
     "dedup_keep_list",
     "lsh_keep_list",
     "asof_latest_order",
+    "bigram_lm_score",
 )
 
 
@@ -224,6 +225,7 @@ def main() -> None:
         "TOMIX_TFIDF_DRIVER_FOLD_DOCS": "0",  # text/substring/simhash folds
         "TOMIX_CC_LOCAL_MAX": "0",  # driver union-find -> label propagation
         "TOMIX_ASOF_BCAST_ROWS": "0",  # broadcast as-of -> window strategy
+        "TOMIX_LM_BCAST_BIGRAMS": "0",  # bigram-LM model broadcast -> shuffle join
     }
     baseline_fp = {
         name: result_fingerprint(reg[name].fn(spark, sf_dir))

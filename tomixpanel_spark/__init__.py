@@ -61,6 +61,8 @@ def __getattr__(name):
         ),
         "pack_sequences": ("tomixpanel_spark.operators.packing", "pack_sequences"),
         "lpt_shards": ("tomixpanel_spark.operators.packing", "lpt_shards"),
+        "seeded_shuffle": ("tomixpanel_spark.operators.packing", "seeded_shuffle"),
+        "bigram_lm_score": ("tomixpanel_spark.operators.textops", "bigram_lm_score"),
         "salted_join": ("tomixpanel_spark.functions.skew", "salted_join"),
         "asof_join": ("tomixpanel_spark.operators.asof", "asof_join"),
         "range_join": ("tomixpanel_spark.operators.ranges", "range_join"),
@@ -122,6 +124,8 @@ __all__ = [
     "ann_ivf_quantized",
     "pack_sequences",
     "lpt_shards",
+    "seeded_shuffle",
+    "bigram_lm_score",
     "salted_join",
     "asof_join",
     "range_join",
