@@ -1005,7 +1005,145 @@ class TestJpegCodec:
             out = decode_jpeg_gray(payload)  # desync would raise/garble
             assert out.shape == img.shape
 
-    def test_rejects_progressive_and_color(self):
+    # ---- spec-assembly helpers for the COLOR golden vectors (test-local,
+    # independent of the module's encoder — the bitstreams below are
+    # hand-derived from T.81 Annex K / F.1) ----------------------------------
+
+    @staticmethod
+    def _seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    @classmethod
+    def _dqt_flat16(cls) -> bytes:
+        return cls._seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+
+    @classmethod
+    def _dht_annexk(cls) -> bytes:
+        from tomixpanel_spark.operators.multimodal import (
+            _JPEG_AC_BITS,
+            _JPEG_AC_VALS,
+            _JPEG_DC_BITS,
+            _JPEG_DC_VALS,
+        )
+
+        return cls._seg(
+            0xC4,
+            bytes([0x00] + _JPEG_DC_BITS + _JPEG_DC_VALS)
+            + bytes([0x10] + _JPEG_AC_BITS + _JPEG_AC_VALS),
+        )
+
+    @classmethod
+    def _sof0_ycbcr(cls, h: int, w: int, y_hv: int) -> bytes:
+        body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        body += bytes([3, 1, y_hv, 0, 2, 0x11, 0, 3, 0x11, 0])
+        return cls._seg(0xC0, body)
+
+    @classmethod
+    def _sos_3comp(cls) -> bytes:
+        return cls._seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    @staticmethod
+    def _entropy(bits: str) -> bytes:
+        bits = bits + "1" * (-len(bits) % 8)
+        raw = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+        return raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+
+    def test_color_444_luma_golden(self):
+        """Hand-assembled 4:4:4 YCbCr stream: Y block DC diff +6 (code
+        '100'+'110', dequant 96 -> constant 140), Cb/Cr DC 0 + EOB. The
+        decoder must return the LUMA plane only — chroma advances the
+        bitstream but contributes no pixels."""
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        bits = "100" "110" "1010" + "00" "1010" + "00" "1010"
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof0_ycbcr(8, 8, 0x11)
+            + self._dht_annexk() + self._sos_3comp()
+            + self._entropy(bits) + b"\xff\xd9"
+        )
+        got = decode_jpeg_gray(payload)
+        assert got.shape == (8, 8)
+        assert (got == 140).all(), got
+
+    def test_color_420_luma_golden_and_dc_prediction(self):
+        """Hand-assembled 4:2:0 stream (Y 2x2, Cb/Cr 1x1 — one 16x16
+        MCU): four Y blocks with DC diffs +6,+2,-2,-6 pin the
+        PER-COMPONENT DC prediction chain across the luma blocks of one
+        MCU; quadrant constants 140/144/140/128 follow from cumulative
+        DC 6,8,6,0 x flat-16 quant."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        bits = (
+            "100" "110" "1010"      # Y TL: diff +6 -> dc 6 -> 140
+            "011" "10" "1010"       # Y TR: diff +2 -> dc 8 -> 144
+            "011" "01" "1010"       # Y BL: diff -2 -> dc 6 -> 140
+            "100" "001" "1010"      # Y BR: diff -6 -> dc 0 -> 128
+            "00" "1010"             # Cb: dc 0, EOB
+            "00" "1010"             # Cr: dc 0, EOB
+        )
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof0_ycbcr(16, 16, 0x22)
+            + self._dht_annexk() + self._sos_3comp()
+            + self._entropy(bits) + b"\xff\xd9"
+        )
+        got = decode_jpeg_gray(payload)
+        assert got.shape == (16, 16)
+        expected = np.zeros((16, 16), dtype=np.uint8)
+        expected[:8, :8] = 140
+        expected[:8, 8:] = 144
+        expected[8:, :8] = 140
+        expected[8:, 8:] = 128
+        assert (got == expected).all(), got
+
+    def test_color_420_odd_dims_crop(self):
+        """4:2:0 with 12x12 SOF dims: the MCU still codes 16x16 of luma;
+        the decoder must crop to the declared image size."""
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        bits = (
+            "100" "110" "1010" "011" "10" "1010"
+            "011" "01" "1010" "100" "001" "1010"
+            "00" "1010" "00" "1010"
+        )
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof0_ycbcr(12, 12, 0x22)
+            + self._dht_annexk() + self._sos_3comp()
+            + self._entropy(bits) + b"\xff\xd9"
+        )
+        got = decode_jpeg_gray(payload)
+        assert got.shape == (12, 12)
+        assert (got[:8, :8] == 140).all()
+        assert (got[:8, 8:] == 144).all()
+        assert (got[8:, :8] == 140).all()
+        assert (got[8:, 8:] == 128).all()
+
+    def test_color_dhash_through_perceptual_pipeline(self):
+        """A color 4:4:4 payload flows through decode_image_gray +
+        dhash_bits exactly like its grayscale twin: both decode to the
+        same luma, so the dHashes are EQUAL."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            decode_image_gray,
+            dhash_bits,
+            encode_jpeg_gray,
+        )
+
+        bits = "100" "110" "1010" + "00" "1010" + "00" "1010"
+        color = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof0_ycbcr(8, 8, 0x11)
+            + self._dht_annexk() + self._sos_3comp()
+            + self._entropy(bits) + b"\xff\xd9"
+        )
+        gray = encode_jpeg_gray(np.full((8, 8), 140, dtype=np.uint8), 100)
+        luma_c = decode_image_gray(color)
+        luma_g = decode_image_gray(gray)
+        assert (luma_c == luma_g).all()
+        assert dhash_bits(luma_c) == dhash_bits(luma_g)
+
+    def test_rejects_progressive_and_cmyk(self):
         import numpy as np
         import pytest
 
@@ -1020,10 +1158,18 @@ class TestJpegCodec:
         progressive = bytes(payload[:sof + 1]) + b"\xc2" + bytes(payload[sof + 2:])
         with pytest.raises(ValueError, match="baseline"):
             decode_jpeg_gray(progressive)
-        color = bytearray(payload)
-        color[sof + 9] = 3  # SOF0 component count
-        with pytest.raises(ValueError, match="single-component"):
-            decode_jpeg_gray(bytes(color))
+        # a correctly-sized 4-component (CMYK-style) SOF must raise the
+        # honest-contract error, not a truncation artifact
+        body = bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        body += bytes([4]) + bytes(
+            b for i in range(4) for b in (i + 1, 0x11, 0)
+        )
+        cmyk = (
+            b"\xff\xd8" + self._dqt_flat16()
+            + self._seg(0xC0, body) + self._dht_annexk()
+        )
+        with pytest.raises(ValueError, match="CMYK|3-component|1-component"):
+            decode_jpeg_gray(cmyk)
 
     def test_restart_interval_roundtrip(self):
         """DRI/RSTn streams (T.81 E.2.4): the restart-interval encoding

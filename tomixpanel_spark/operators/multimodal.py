@@ -8,8 +8,11 @@ JVM<->Python boundary in columnar batches, never row-at-a-time. The default
 (fmt/data chunk), and MP3 (frame header, ID3v2-aware) headers with stdlib
 ``struct``. PIXEL/PCM decode is also real where the format permits a
 stdlib implementation: 8-bit grayscale PNG (zlib + all five scanline
-filters), baseline grayscale JPEG (Annex-K Huffman + DCT, round 11), and
-WAV PCM16 — each with spec/golden-vector tests; color/progressive/
+filters), baseline JPEG — grayscale AND interleaved YCbCr color
+(any 4:4:4/4:2:2/4:2:0 sampling; the decoder returns the LUMA plane,
+which is all perceptual hashing needs — chroma blocks are
+Huffman-decoded to keep bitstream sync but never IDCT'd) — and
+WAV PCM16 — each with spec/golden-vector tests; progressive/CMYK/
 compressed-audio variants raise with an injected-decoder seam (none in
 this environment). The Spark-side plumbing (schema, batch shape, UDF
 signature, partitioning) is real and tested either way.
@@ -505,16 +508,20 @@ def _decode_png_gray_impl(payload: bytes):
     return out.astype(np.uint8)
 
 
-# -- baseline JPEG codec (grayscale, sequential DCT, Huffman) ----------------
+# -- baseline JPEG codec (sequential DCT, Huffman) ---------------------------
 # Real pixel-level JPEG in the same stdlib-only style as the PNG codec
-# above: ITU-T T.81 baseline, single (luminance) component, no
-# subsampling. Real corpora are JPEG-heavy — header-only parsing (the
-# _decode_jpeg_header above) covers metadata, but the perceptual-hash
-# near-dup path needs PIXELS, so encode/decode are implemented for real:
-# level shift, 2D DCT, Annex-K quantization (libjpeg quality scaling),
-# zigzag, DC-differential + AC run-length Huffman with byte stuffing.
-# Color / progressive / subsampled streams raise (the decode_png_gray
-# honest-contract precedent; inject a codec-backed decoder for those).
+# above: ITU-T T.81 baseline. Real corpora are JPEG-heavy — header-only
+# parsing (the _decode_jpeg_header above) covers metadata, but the
+# perceptual-hash near-dup path needs PIXELS, so encode/decode are
+# implemented for real: level shift, 2D DCT, Annex-K quantization
+# (libjpeg quality scaling), zigzag, DC-differential + AC run-length
+# Huffman with byte stuffing. The DECODER also handles interleaved
+# 3-component YCbCr at any baseline sampling (4:4:4/4:2:2/4:2:0),
+# returning the luma plane — chroma blocks are entropy-decoded to keep
+# bitstream sync but skip dequant/IDCT, since dHash consumes grayscale
+# anyway. The ENCODER stays grayscale (it exists for tests/fixtures).
+# Progressive / CMYK streams raise (the decode_png_gray honest-contract
+# precedent; inject a codec-backed decoder for those).
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -778,13 +785,15 @@ def _jpeg_extend(bits: int, size: int) -> int:
 
 
 def decode_jpeg_gray(payload: bytes):
-    """Decode a baseline grayscale JPEG back to an (h, w) uint8 array —
+    """Decode a baseline JPEG to its (h, w) uint8 LUMA plane —
     REAL decode: marker walk, DQT/DHT table construction (any
     spec-conforming tables, not just the Annex-K ones our encoder
     writes), Huffman entropy decode with byte unstuffing, DC prediction,
-    dequantize, dezigzag, IDCT. Raises ValueError for progressive /
-    multi-component / subsampled streams (the decode_png_gray
-    honest-contract rule: inject a codec-backed decoder for those) AND
+    dequantize, dezigzag, IDCT. 3-component interleaved YCbCr streams
+    (any baseline sampling) decode to their LUMA plane — chroma is
+    entropy-decoded for bitstream sync, never IDCT'd. Raises ValueError
+    for progressive / CMYK streams (the decode_png_gray honest-contract
+    rule: inject a codec-backed decoder for those) AND
     for truncated/corrupt streams — fuzzed so no IndexError/struct.error
     escapes to callers batching thousands of payloads."""
     import struct
@@ -806,7 +815,8 @@ def _decode_jpeg_gray_impl(payload: bytes):
     qtables: dict = {}
     htables: dict = {}
     h = w = None
-    comp_tq = comp_td = comp_ta = None
+    comps: list = []  # SOF order: (component_id, h_i, v_i, tq)
+    scan_tabs: dict = {}  # component_id -> (td, ta)
     data_start = None
     restart_interval = 0
     while pos + 4 <= len(payload):
@@ -849,41 +859,75 @@ def _decode_jpeg_gray_impl(payload: bytes):
                 bpos += 17 + nv
         elif marker == 0xC0:
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or nc != 1:
+            if prec != 8:
+                raise ValueError("decode_jpeg_gray handles 8-bit precision only")
+            if nc not in (1, 3):
                 raise ValueError(
-                    "decode_jpeg_gray handles 8-bit single-component only"
+                    "only 1-component (gray) or 3-component (YCbCr) baseline "
+                    "JPEG is supported (CMYK/4-component unsupported)"
                 )
-            if body[7] != 0x11:
-                raise ValueError("subsampled JPEG unsupported")
-            comp_tq = body[8]
+            if nc == 1 and body[7] != 0x11:
+                raise ValueError("subsampled single-component JPEG unsupported")
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"JPEG sampling factors {hi}x{vi} out of range")
+                comps.append((cid, hi, vi, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential JPEG is supported")
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
-            if body[0] != 1:
-                raise ValueError("single-component scans only")
-            comp_td, comp_ta = body[2] >> 4, body[2] & 0x0F
+            if not comps:
+                raise ValueError("not a JPEG: SOS before SOF")
+            if body[0] != len(comps):
+                # a 3-component file coded as separate per-component scans
+                # (non-interleaved baseline) is legal but vanishingly rare
+                raise ValueError(
+                    "scan must cover all SOF components (interleaved baseline)"
+                )
+            for i in range(body[0]):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                scan_tabs[cs] = (tdta >> 4, tdta & 0x0F)
             data_start = pos + 2 + seglen
             break
         pos += 2 + seglen
     if h is None or data_start is None:
         raise ValueError("not a JPEG: missing SOF/SOS")
-    qt = qtables.get(comp_tq)
-    dc_tab = htables.get((0, comp_td))
-    ac_tab = htables.get((1, comp_ta))
-    if qt is None or dc_tab is None or ac_tab is None:
-        raise ValueError("JPEG missing quant/Huffman tables")
-    br = _BitReader(payload[data_start:])
-    dmat = _dct_mat()
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    # resolve per-component decode state; the LUMA plane is SOF component
+    # 0 (Y by JFIF/Adobe convention) — chroma blocks are Huffman-decoded
+    # to advance the bitstream but never dequantized/IDCT'd (dHash needs
+    # only luma, and skipping chroma IDCT is ~2/3 of the math at 4:4:4)
+    plan = []
+    for cid, hi, vi, tq in comps:
+        if cid not in scan_tabs:
+            raise ValueError("SOS component id missing from SOF")
+        td, ta = scan_tabs[cid]
+        qt_c = qtables.get(tq)
+        dc_tab = htables.get((0, td))
+        ac_tab = htables.get((1, ta))
+        if qt_c is None or dc_tab is None or ac_tab is None:
+            raise ValueError("JPEG missing quant/Huffman tables")
+        plan.append((hi, vi, qt_c, dc_tab, ac_tab))
+    hmax = max(p[0] for p in plan)
+    vmax = max(p[1] for p in plan)
+    h0, v0 = plan[0][0], plan[0][1]
+    qt = plan[0][2]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # luma plane: Y's own sampling grid; for the standard case (Y carries
+    # hmax x vmax) this is the full image resolution
+    ph, pw = mcuy * v0 * 8, mcux * h0 * 8
+    out_h = -(-h * v0 // vmax)
+    out_w = -(-w * h0 // hmax)
     # SOF dimensions are untrusted input: bound the allocation BEFORE
     # np.zeros so a crafted small payload with huge h/w raises ValueError
     # (the exception-hygiene contract) instead of OOM-killing the worker.
-    # Structural floor: every MCU costs >= 2 Huffman bits (1-bit DC code
+    # Structural floor: every block costs >= 2 Huffman bits (1-bit DC code
     # + 1-bit EOB), so blocks > 4 * entropy_bytes cannot all be coded.
-    n_blocks = (ph // 8) * (pw // 8)
+    n_blocks = mcux * mcuy * sum(p[0] * p[1] for p in plan)
     entropy_bytes = max(1, len(payload) - data_start)
     if n_blocks > 4 * entropy_bytes:
         raise ValueError(
@@ -894,40 +938,51 @@ def _decode_jpeg_gray_impl(payload: bytes):
         raise ValueError(
             f"JPEG dimensions {h}x{w} exceed TOMIX_IMG_MAX_PIXELS={max_px}"
         )
+    br = _BitReader(payload[data_start:])
+    dmat = _dct_mat()
     out = np.zeros((ph, pw), dtype=np.float64)
-    prev_dc = 0
+    prev_dc = [0] * len(plan)
     mcu = 0
     rst = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.restart(rst)
                 rst += 1
-                prev_dc = 0
+                prev_dc = [0] * len(plan)
             mcu += 1
-            zz = np.zeros(64, dtype=np.int64)
-            size = br.huff(dc_tab)
-            prev_dc += _jpeg_extend(br.bits(size), size)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = br.huff(ac_tab)
-                run, size = rs >> 4, rs & 0x0F
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC coefficient index overflow")
-                zz[k] = _jpeg_extend(br.bits(size), size)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_ZIGZAG] = zz
-            block = dmat.T @ (coef.reshape(8, 8) * qt) @ dmat
-            out[by : by + 8, bx : bx + 8] = block + 128.0
-    return np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
+            for ci, (hi, vi, qt_c, dc_tab, ac_tab) in enumerate(plan):
+                for bv in range(vi):
+                    for bh in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = br.huff(dc_tab)
+                        prev_dc[ci] += _jpeg_extend(br.bits(size), size)
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.huff(ac_tab)
+                            run, size = rs >> 4, rs & 0x0F
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC coefficient index overflow"
+                                )
+                            zz[k] = _jpeg_extend(br.bits(size), size)
+                            k += 1
+                        if ci != 0:
+                            continue  # chroma: bitstream advanced, no IDCT
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz
+                        block = dmat.T @ (coef.reshape(8, 8) * qt_c) @ dmat
+                        by = (my * v0 + bv) * 8
+                        bx = (mx * h0 + bh) * 8
+                        out[by : by + 8, bx : bx + 8] = block + 128.0
+    return np.clip(np.rint(out[:out_h, :out_w]), 0, 255).astype(np.uint8)
 
 
 # -- perceptual hashing + media near-dup -------------------------------------
