@@ -1097,6 +1097,50 @@ class TestJpegCodec:
         expected[8:, 8:] = 128
         assert (got == expected).all(), got
 
+    def test_color_422_luma_golden(self):
+        """4:2:2 (Y 2x1, Cb/Cr 1x1 — one 16-wide MCU): exercises the
+        horizontal-only sampling loop; halves 140 / 144."""
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        bits = (
+            "100" "110" "1010"   # Y left: dc 6 -> 140
+            "011" "10" "1010"    # Y right: dc 8 -> 144
+            "00" "1010" "00" "1010"
+        )
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof0_ycbcr(8, 16, 0x21)
+            + self._dht_annexk() + self._sos_3comp()
+            + self._entropy(bits) + b"\xff\xd9"
+        )
+        got = decode_jpeg_gray(payload)
+        assert got.shape == (8, 16)
+        assert (got[:, :8] == 140).all() and (got[:, 8:] == 144).all()
+
+    def test_color_chroma_ac_keeps_bitstream_sync(self):
+        """Chroma blocks carrying real AC coefficients must be entropy-
+        decoded (skipped-IDCT) without desyncing the luma that follows:
+        two 4:4:4 MCUs where MCU1's Cb codes an AC coefficient and
+        MCU2's Y must still decode to its spec value."""
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        bits = (
+            # MCU 1 (left 8x8): Y dc 6 -> 140
+            "100" "110" "1010"
+            + "00" "01" "00" "1010"   # Cb: dc 0, AC run0/size2 raw00 (-3), EOB
+            + "00" "1010"             # Cr: dc 0
+            # MCU 2 (right 8x8): Y diff +2 -> dc 8 -> 144
+            + "011" "10" "1010"
+            + "00" "1010" + "00" "1010"
+        )
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof0_ycbcr(8, 16, 0x11)
+            + self._dht_annexk() + self._sos_3comp()
+            + self._entropy(bits) + b"\xff\xd9"
+        )
+        got = decode_jpeg_gray(payload)
+        assert got.shape == (8, 16)
+        assert (got[:, :8] == 140).all() and (got[:, 8:] == 144).all()
+
     def test_color_420_odd_dims_crop(self):
         """4:2:0 with 12x12 SOF dims: the MCU still codes 16x16 of luma;
         the decoder must crop to the declared image size."""
