@@ -1187,6 +1187,177 @@ class TestJpegCodec:
         assert (luma_c == luma_g).all()
         assert dhash_bits(luma_c) == dhash_bits(luma_g)
 
+    # ---- progressive (SOF2) golden vectors ---------------------------------
+
+    @classmethod
+    def _sof2_gray(cls, h: int, w: int) -> bytes:
+        body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        body += bytes([1, 1, 0x11, 0])
+        return cls._seg(0xC2, body)
+
+    @classmethod
+    def _sof2_ycbcr(cls, h: int, w: int, y_hv: int) -> bytes:
+        body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        body += bytes([3, 1, y_hv, 0, 2, 0x11, 0, 3, 0x11, 0])
+        return cls._seg(0xC2, body)
+
+    @classmethod
+    def _sos_prog(cls, comp_specs, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cs, tdta in comp_specs:
+            body += bytes([cs, tdta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return cls._seg(0xDA, body)
+
+    @staticmethod
+    def _direct_idct(coefmat):
+        """T.81 A.3.3 direct IDCT — the spec's own formula, independent
+        of the decoder's matrix implementation."""
+        import numpy as np
+
+        out = np.zeros((8, 8))
+        for yy in range(8):
+            for xx in range(8):
+                s = 0.0
+                for v in range(8):
+                    for u in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * coefmat[v, u]
+                            * np.cos((2 * xx + 1) * u * np.pi / 16)
+                            * np.cos((2 * yy + 1) * v * np.pi / 16)
+                        )
+                out[yy, xx] = s / 4 + 128
+        return np.clip(np.rint(out), 0, 255).astype("uint8")
+
+    def test_progressive_dc_first_refine_then_ac(self):
+        """Grayscale SOF2, three scans: DC-first at Al=1 (diff +3 ->
+        DC 6), DC-refinement appending bit 1 (DC 7), AC-first all-EOB.
+        Successive approximation must assemble DC=7 -> dequant 112 ->
+        constant 142."""
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof2_gray(8, 8)
+            + self._dht_annexk()
+            + self._sos_prog([(1, 0x00)], 0, 0, 0, 1)
+            + self._entropy("011" "11")           # DC cat2 +3, shifted <<1
+            + self._sos_prog([(1, 0x00)], 0, 0, 1, 0)
+            + self._entropy("1")                   # refinement bit -> |=1
+            + self._sos_prog([(1, 0x00)], 1, 63, 0, 0)
+            + self._entropy("1010")                # AC: EOB
+            + b"\xff\xd9"
+        )
+        got = decode_jpeg_gray(payload)
+        assert got.shape == (8, 8)
+        assert (got == 142).all(), got
+
+    def test_progressive_ac_first_and_refinement(self):
+        """AC successive approximation: first pass codes +1 at k=1 under
+        Al=1 (coefficient 2), the refinement pass's EOB-run correction
+        bit promotes it to 3 (G.1.2.3). Expected pixels from the spec's
+        direct IDCT with coefficient 48 at (v=0, u=1)."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof2_gray(8, 8)
+            + self._dht_annexk()
+            + self._sos_prog([(1, 0x00)], 0, 0, 0, 0)
+            + self._entropy("00")                  # DC 0
+            + self._sos_prog([(1, 0x00)], 1, 63, 0, 1)
+            + self._entropy("00" "1" "1010")       # AC 0/1 +1 (<<1 = 2), EOB
+            + self._sos_prog([(1, 0x00)], 1, 63, 1, 0)
+            + self._entropy("1010" "1")            # EOB run 1 + correction bit
+            + b"\xff\xd9"
+        )
+        got = decode_jpeg_gray(payload)
+        coef = np.zeros((8, 8))
+        coef[0, 1] = 3 * 16  # refined coefficient x flat quant
+        assert (got == self._direct_idct(coef)).all(), got
+
+    def test_progressive_spectral_bands(self):
+        """Band-split AC scans (Ss..Se partitions): k=1 coded in band
+        1..5, k=6 in band 6..63; the assembled spectrum must match the
+        direct IDCT of both coefficients together."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            _ZIGZAG,
+            decode_jpeg_gray,
+        )
+
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof2_gray(8, 8)
+            + self._dht_annexk()
+            + self._sos_prog([(1, 0x00)], 0, 0, 0, 0)
+            + self._entropy("00")                  # DC 0
+            + self._sos_prog([(1, 0x00)], 1, 5, 0, 0)
+            + self._entropy("00" "1" "1010")       # k=1: +1, EOB(band)
+            + self._sos_prog([(1, 0x00)], 6, 63, 0, 0)
+            + self._entropy("00" "1" "1010")       # k=6: +1, EOB(band)
+            + b"\xff\xd9"
+        )
+        got = decode_jpeg_gray(payload)
+        coef = np.zeros(64)
+        coef[1] = 16
+        coef[6] = 16
+        mat = np.zeros((8, 8))
+        mat.flat[_ZIGZAG] = coef  # dezigzag: position k lands at _ZIGZAG[k]
+        assert (got == self._direct_idct(mat)).all(), got
+
+    def test_progressive_color_interleaved_dc(self):
+        """3-component progressive: interleaved DC-first scan (Y diff +6,
+        chroma 0) + three per-component all-EOB AC scans. Luma must
+        decode to constant 140; chroma scans only advance the walk."""
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof2_ycbcr(8, 8, 0x11)
+            + self._dht_annexk()
+            + self._sos_prog([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 0, 0)
+            + self._entropy("100" "110" + "00" + "00")
+            + self._sos_prog([(1, 0x00)], 1, 63, 0, 0)
+            + self._entropy("1010")
+            + self._sos_prog([(2, 0x00)], 1, 63, 0, 0)
+            + self._entropy("1010")
+            + self._sos_prog([(3, 0x00)], 1, 63, 0, 0)
+            + self._entropy("1010")
+            + b"\xff\xd9"
+        )
+        got = decode_jpeg_gray(payload)
+        assert got.shape == (8, 8)
+        assert (got == 140).all(), got
+
+    def test_progressive_eob_run_spans_blocks(self):
+        """A 16x8 (two-block) image where one AC-first EOB run covers
+        BOTH blocks: EOBn symbols (RS=0x10 here) don't exist in the
+        Annex-K baseline table, so the scan ships its own DHT — also
+        pinning that tables may be REDEFINED between scans."""
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        # custom AC table (class 1, id 0): single symbol 0x10 = EOB1,
+        # canonical code '0' (BITS=[1,0,...])
+        eob1_dht = self._seg(
+            0xC4, bytes([0x10, 1] + [0] * 15 + [0x10])
+        )
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof2_gray(8, 16)
+            + self._dht_annexk()
+            + self._sos_prog([(1, 0x00)], 0, 0, 0, 0)
+            + self._entropy("100" "110" + "011" "10")  # DC 6 then +2 -> 8
+            + eob1_dht
+            + self._sos_prog([(1, 0x00)], 1, 63, 0, 0)
+            # code '0' = EOB1 -> run 2^1 + appended bit 0 = 2 blocks
+            + self._entropy("0" "0")
+            + b"\xff\xd9"
+        )
+        got = decode_jpeg_gray(payload)
+        assert got.shape == (8, 16)
+        assert (got[:, :8] == 140).all() and (got[:, 8:] == 144).all()
+
     def test_rejects_progressive_and_cmyk(self):
         import numpy as np
         import pytest
@@ -1199,9 +1370,14 @@ class TestJpegCodec:
         img = np.full((8, 8), 100, dtype=np.uint8)
         payload = bytearray(encode_jpeg_gray(img, 90))
         sof = payload.find(b"\xff\xc0")
-        progressive = bytes(payload[:sof + 1]) + b"\xc2" + bytes(payload[sof + 2:])
+        lossless = bytes(payload[:sof + 1]) + b"\xc3" + bytes(payload[sof + 2:])
         with pytest.raises(ValueError, match="baseline"):
-            decode_jpeg_gray(progressive)
+            decode_jpeg_gray(lossless)
+        # a baseline stream relabeled SOF2 carries a full-band SOS, which
+        # a progressive DC scan must reject (Se must be 0)
+        relabeled = bytes(payload[:sof + 1]) + b"\xc2" + bytes(payload[sof + 2:])
+        with pytest.raises(ValueError, match="Se=0"):
+            decode_jpeg_gray(relabeled)
         # a correctly-sized 4-component (CMYK-style) SOF must raise the
         # honest-contract error, not a truncation artifact
         body = bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
@@ -1406,6 +1582,29 @@ class TestImageDecoderExceptionHygiene:
 
         img = np.arange(64, dtype=np.uint8).reshape(8, 8)
         self._fuzz(encode_jpeg_gray(img, 90), decode_jpeg_gray, b"\xff\xd8")
+
+    def test_progressive_jpeg_fuzz_only_valueerror(self):
+        """Bit-flip/truncation/garbage fuzz over a valid PROGRESSIVE
+        stream: the multi-scan path must uphold the same
+        only-ValueError exception contract as baseline."""
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        valid = (
+            b"\xff\xd8" + TestJpegCodec._dqt_flat16()
+            + TestJpegCodec._sof2_gray(8, 16)
+            + TestJpegCodec._dht_annexk()
+            + TestJpegCodec._sos_prog([(1, 0x00)], 0, 0, 0, 1)
+            + TestJpegCodec._entropy("011" "11" + "011" "10")
+            + TestJpegCodec._sos_prog([(1, 0x00)], 0, 0, 1, 0)
+            + TestJpegCodec._entropy("1" "0")
+            + TestJpegCodec._sos_prog([(1, 0x00)], 1, 63, 0, 1)
+            + TestJpegCodec._entropy("00" "1" "1010" + "1010")
+            + TestJpegCodec._sos_prog([(1, 0x00)], 1, 63, 1, 0)
+            + TestJpegCodec._entropy("1010" "1" + "1010")
+            + b"\xff\xd9"
+        )
+        decode_jpeg_gray(valid)  # the seed stream itself must decode
+        self._fuzz(valid, decode_jpeg_gray, b"\xff\xd8")
 
     def test_png_fuzz_only_valueerror(self):
         import numpy as np

@@ -12,7 +12,9 @@ filters), baseline JPEG — grayscale AND interleaved YCbCr color
 (any 4:4:4/4:2:2/4:2:0 sampling; the decoder returns the LUMA plane,
 which is all perceptual hashing needs — chroma blocks are
 Huffman-decoded to keep bitstream sync but never IDCT'd) — and
-WAV PCM16 — each with spec/golden-vector tests; progressive/CMYK/
+WAV PCM16 — each with spec/golden-vector tests. Progressive (SOF2)
+JPEG decodes too (multi-scan coefficient accumulation, Annex G — most
+web-era JPEGs are progressive); CMYK/lossless/arithmetic JPEG and
 compressed-audio variants raise with an injected-decoder seam (none in
 this environment). The Spark-side plumbing (schema, batch shape, UDF
 signature, partitioning) is real and tested either way.
@@ -520,8 +522,11 @@ def _decode_png_gray_impl(payload: bytes):
 # returning the luma plane — chroma blocks are entropy-decoded to keep
 # bitstream sync but skip dequant/IDCT, since dHash consumes grayscale
 # anyway. The ENCODER stays grayscale (it exists for tests/fixtures).
-# Progressive / CMYK streams raise (the decode_png_gray honest-contract
-# precedent; inject a codec-backed decoder for those).
+# PROGRESSIVE (SOF2) streams decode via _decode_jpeg_progressive:
+# multi-scan coefficient accumulation (DC first/refine, AC first/refine
+# with EOB runs per Annex G), luma-only IDCT at the end. CMYK /
+# lossless / arithmetic-coded streams raise (the decode_png_gray
+# honest-contract precedent; inject a codec-backed decoder for those).
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -791,8 +796,10 @@ def decode_jpeg_gray(payload: bytes):
     writes), Huffman entropy decode with byte unstuffing, DC prediction,
     dequantize, dezigzag, IDCT. 3-component interleaved YCbCr streams
     (any baseline sampling) decode to their LUMA plane — chroma is
-    entropy-decoded for bitstream sync, never IDCT'd. Raises ValueError
-    for progressive / CMYK streams (the decode_png_gray honest-contract
+    entropy-decoded for bitstream sync, never IDCT'd. Progressive
+    (SOF2) streams decode through the multi-scan path
+    (``_decode_jpeg_progressive``). Raises ValueError for CMYK /
+    lossless / arithmetic streams (the decode_png_gray honest-contract
     rule: inject a codec-backed decoder for those) AND
     for truncated/corrupt streams — fuzzed so no IndexError/struct.error
     escapes to callers batching thousands of payloads."""
@@ -819,6 +826,7 @@ def _decode_jpeg_gray_impl(payload: bytes):
     scan_tabs: dict = {}  # component_id -> (td, ta)
     data_start = None
     restart_interval = 0
+    progressive = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("not a JPEG: lost marker sync")
@@ -857,7 +865,8 @@ def _decode_jpeg_gray_impl(payload: bytes):
                     (code, ln): sym for sym, (code, ln) in codes.items()
                 }
                 bpos += 17 + nv
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("decode_jpeg_gray handles 8-bit precision only")
@@ -866,7 +875,7 @@ def _decode_jpeg_gray_impl(payload: bytes):
                     "only 1-component (gray) or 3-component (YCbCr) baseline "
                     "JPEG is supported (CMYK/4-component unsupported)"
                 )
-            if nc == 1 and body[7] != 0x11:
+            if nc == 1 and body[7] != 0x11 and not progressive:
                 raise ValueError("subsampled single-component JPEG unsupported")
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
@@ -874,14 +883,21 @@ def _decode_jpeg_gray_impl(payload: bytes):
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(f"JPEG sampling factors {hi}x{vi} out of range")
                 comps.append((cid, hi, vi, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG is supported")
+            raise ValueError(
+                "only baseline-sequential or progressive JPEG is supported"
+            )
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             if not comps:
                 raise ValueError("not a JPEG: SOS before SOF")
+            if progressive:
+                return _decode_jpeg_progressive(
+                    payload, pos, h, w, comps, qtables, htables,
+                    restart_interval,
+                )
             if body[0] != len(comps):
                 # a 3-component file coded as separate per-component scans
                 # (non-interleaved baseline) is legal but vanishingly rare
@@ -983,6 +999,295 @@ def _decode_jpeg_gray_impl(payload: bytes):
                         bx = (mx * h0 + bh) * 8
                         out[by : by + 8, bx : bx + 8] = block + 128.0
     return np.clip(np.rint(out[:out_h, :out_w]), 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg_progressive(
+    payload, pos, h, w, comps, qtables, htables, restart_interval
+):
+    """Progressive (SOF2) decode per T.81 Annex G: scans accumulate DCT
+    coefficients into per-component buffers — DC first/refinement scans
+    (interleaved MCU order when Ns>1), AC first/refinement scans (always
+    single-component, block raster order, EOB-run coded; the refinement
+    pass is the G.1.2.3 correction-bit algorithm) — then the LUMA plane
+    alone is dequantized and IDCT'd, exactly as the baseline path does.
+    Most web-era JPEGs are progressive (mozjpeg default), so the
+    perceptual-hash pipeline needs this for real corpora. ``pos`` points
+    at the first SOS marker; DHT/DQT/DRI may be redefined between scans.
+    """
+    import struct
+
+    import numpy as np
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component geometry: MCU-padded buffer dims (interleaved scans
+    # code padding blocks) and REAL block dims (non-interleaved scans
+    # cover only those — T.81 A.2.2)
+    geo = []
+    total_blocks = 0
+    for cid, hi, vi, tq in comps:
+        bw_pad, bh_pad = mcux * hi, mcuy * vi
+        bw_real = -(-(-(-w * hi // hmax)) // 8)
+        bh_real = -(-(-(-h * vi // vmax)) // 8)
+        geo.append((cid, hi, vi, tq, bw_pad, bh_pad, bw_real, bh_real))
+        total_blocks += bw_pad * bh_pad
+    max_px = int(os.environ.get("TOMIX_IMG_MAX_PIXELS", str(1 << 26)))
+    if total_blocks * 64 > 4 * max_px:
+        raise ValueError(
+            f"JPEG dimensions {h}x{w} exceed TOMIX_IMG_MAX_PIXELS={max_px}"
+        )
+    bufs = [
+        np.zeros((g[5], g[4], 64), dtype=np.int64) for g in geo
+    ]  # [comp][by, bx, zigzag-k]
+    cid_index = {g[0]: i for i, g in enumerate(geo)}
+
+    def entropy_end(start: int) -> int:
+        i = start
+        n = len(payload)
+        while i + 1 < n:
+            if payload[i] == 0xFF:
+                nxt = payload[i + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    i += 2
+                    continue
+                return i
+            i += 1
+        return n
+
+    # the baseline entropy-floor guard does not apply here (an EOB run
+    # legitimately codes thousands of blocks in a few bits), so bound
+    # the block-loop work by capping scans instead: real progressive
+    # encoders emit ~10; 64 is far past any legitimate file
+    n_scans = 0
+    saw_scan = False
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("not a JPEG: lost marker sync")
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xC4:
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0x0F
+                bits = list(body[bpos + 1 : bpos + 17])
+                nv = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + nv])
+                codes = _huff_codes(bits, vals)
+                htables[(tc, th)] = {
+                    (code, ln): sym for sym, (code, ln) in codes.items()
+                }
+                bpos += 17 + nv
+        elif marker == 0xDB:
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(
+                    body[bpos + 1 : bpos + 65], dtype=np.uint8
+                )
+                qtables[tq] = tbl.reshape(8, 8)
+                bpos += 65
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                if cs not in cid_index:
+                    raise ValueError("SOS component id missing from SOF")
+                scan.append((cid_index[cs], tdta >> 4, tdta & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            n_scans += 1
+            if n_scans > 64:
+                raise ValueError("progressive JPEG has implausibly many scans")
+            dstart = pos + 2 + seglen
+            dend = entropy_end(dstart)
+            _jpeg_progressive_scan(
+                payload[dstart:dend], scan, ss, se, ah, al, geo, bufs,
+                htables, restart_interval, mcux, mcuy,
+            )
+            saw_scan = True
+            pos = dend
+            continue
+        pos += 2 + seglen
+    if not saw_scan:
+        raise ValueError("not a JPEG: missing SOS")
+    # luma output: dequant + IDCT the REAL blocks of SOF component 0
+    cid, h0, v0, tq0, bw_pad, bh_pad, bw_real, bh_real = geo[0]
+    qt = qtables.get(tq0)
+    if qt is None:
+        raise ValueError("JPEG missing quant table")
+    dmat = _dct_mat()
+    out = np.zeros((bh_real * 8, bw_real * 8), dtype=np.float64)
+    for by in range(bh_real):
+        for bx in range(bw_real):
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = bufs[0][by, bx]
+            block = dmat.T @ (coef.reshape(8, 8) * qt) @ dmat
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block + 128.0
+    out_h = -(-h * v0 // vmax)
+    out_w = -(-w * h0 // hmax)
+    return np.clip(np.rint(out[:out_h, :out_w]), 0, 255).astype(np.uint8)
+
+
+def _jpeg_progressive_scan(
+    data, scan, ss, se, ah, al, geo, bufs, htables, restart_interval,
+    mcux, mcuy,
+):
+    """One progressive scan into the coefficient buffers (T.81 G.2):
+    DC scans (ss==0) are MCU-interleaved when Ns>1; AC scans are always
+    single-component block-raster. Restart intervals reset DC predictors
+    and the EOB run and realign the bit reader."""
+    br = _BitReader(data)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        dc_tabs = {}
+        for ci, td, _ta in scan:
+            tab = htables.get((0, td))
+            if tab is None and ah == 0:
+                raise ValueError("JPEG missing quant/Huffman tables")
+            dc_tabs[ci] = tab
+        preds = {ci: 0 for ci, _, _ in scan}
+
+        def dc_unit(ci, by, bx):
+            buf = bufs[ci]
+            if ah == 0:
+                size = br.huff(dc_tabs[ci])
+                preds[ci] += _jpeg_extend(br.bits(size), size)
+                buf[by, bx, 0] = preds[ci] << al
+            else:  # refinement: one appended bit per block
+                if br.bits(1):
+                    buf[by, bx, 0] |= 1 << al
+
+        mcu = 0
+        rst = 0
+        if len(scan) > 1:  # interleaved MCU order over the scan components
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        br.restart(rst)
+                        rst += 1
+                        preds = {ci: 0 for ci in preds}
+                    mcu += 1
+                    for ci, _td, _ta in scan:
+                        _cid, hi, vi = geo[ci][0], geo[ci][1], geo[ci][2]
+                        for bv in range(vi):
+                            for bh in range(hi):
+                                dc_unit(ci, my * vi + bv, mx * hi + bh)
+        else:  # single-component: raster over that component's real blocks
+            ci = scan[0][0]
+            bw_real, bh_real = geo[ci][6], geo[ci][7]
+            for by in range(bh_real):
+                for bx in range(bw_real):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        br.restart(rst)
+                        rst += 1
+                        preds = {ci: 0}
+                    mcu += 1
+                    dc_unit(ci, by, bx)
+        return
+    # AC scan: always one component (T.81 G.1.1.1)
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not (1 <= ss <= se <= 63):
+        raise ValueError("progressive AC scan has invalid spectral range")
+    ci, _td, ta = scan[0]
+    ac_tab = htables.get((1, ta))
+    if ac_tab is None:
+        raise ValueError("JPEG missing quant/Huffman tables")
+    buf = bufs[ci]
+    bw_real, bh_real = geo[ci][6], geo[ci][7]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    mcu = 0
+    rst = 0
+    for by in range(bh_real):
+        for bx in range(bw_real):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.restart(rst)
+                rst += 1
+                eobrun = 0
+            mcu += 1
+            blk = buf[by, bx]
+            if ah == 0:  # first pass for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.huff(ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC coefficient index overflow")
+                    blk[k] = _jpeg_extend(br.bits(s), s) << al
+                    k += 1
+                continue
+            # refinement pass (G.1.2.3, the libjpeg AC_refine algorithm)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = br.huff(ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # r == 15: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "progressive AC refinement size must be 1"
+                            )
+                        val = p1 if br.bits(1) else m1
+                    while k <= se:
+                        coef = blk[k]
+                        if coef != 0:
+                            if br.bits(1) and (coef & p1) == 0:
+                                blk[k] += p1 if coef > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    coef = blk[k]
+                    if coef != 0 and br.bits(1) and (coef & p1) == 0:
+                        blk[k] += p1 if coef > 0 else m1
+                    k += 1
+                eobrun -= 1
 
 
 # -- perceptual hashing + media near-dup -------------------------------------
