@@ -1545,6 +1545,48 @@ class TestJpegCodec:
         for i in range(n):
             assert (i, 100 + i) in pairs, f"twin pair for image {i} missing"
 
+    def test_progressive_color_payload_through_spark_pipeline(self, spark):
+        """A hand-assembled PROGRESSIVE interleaved-color payload runs
+        through the real Spark perceptual_hash stage (mapInPandas,
+        executor-side decode) and hashes identically to its baseline
+        grayscale twin — the three format classes (baseline gray,
+        baseline color, progressive color) are ONE pipeline."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            encode_jpeg_gray,
+            perceptual_hash,
+        )
+
+        T = TestJpegCodec
+        progressive_color = (
+            b"\xff\xd8" + T._dqt_flat16() + T._sof2_ycbcr(8, 8, 0x11)
+            + T._dht_annexk()
+            + T._sos_prog([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 0, 0)
+            + T._entropy("100" "110" + "00" + "00")
+            + T._sos_prog([(1, 0x00)], 1, 63, 0, 0) + T._entropy("1010")
+            + T._sos_prog([(2, 0x00)], 1, 63, 0, 0) + T._entropy("1010")
+            + T._sos_prog([(3, 0x00)], 1, 63, 0, 0) + T._entropy("1010")
+            + b"\xff\xd9"
+        )
+        gray_twin = encode_jpeg_gray(np.full((8, 8), 140, dtype=np.uint8), 100)
+        baseline_color = (
+            b"\xff\xd8" + T._dqt_flat16() + T._sof0_ycbcr(8, 8, 0x11)
+            + T._dht_annexk() + T._sos_3comp()
+            + T._entropy("100" "110" "1010" + "00" "1010" + "00" "1010")
+            + b"\xff\xd9"
+        )
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(gray_twin)),
+                (2, bytearray(baseline_color)),
+                (3, bytearray(progressive_color)),
+            ],
+            "item_id long, payload binary",
+        )
+        got = {r["doc_id"]: r["dhash"] for r in perceptual_hash(media).collect()}
+        assert got[1] == got[2] == got[3], got
+
 
 class TestImageDecoderExceptionHygiene:
     """Corrupt/truncated payloads must raise ValueError — never leak
