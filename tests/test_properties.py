@@ -1358,6 +1358,31 @@ class TestJpegCodec:
         assert got.shape == (8, 16)
         assert (got[:, :8] == 140).all() and (got[:, 8:] == 144).all()
 
+    def test_progressive_restart_markers_and_dri_redefinition(self):
+        """Progressive DC scan under DRI=1: an RST0 between the two
+        blocks must byte-realign and reset the DC predictor (block 2
+        codes +8 ABSOLUTE, not a +2 delta). A second DRI=0 segment then
+        disables restarts for the AC scan — DRI is redefinable between
+        scans."""
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        # block 1: cat3 '100'+'110' (+6), pad '11' -> 0x9B; RST0;
+        # block 2 (pred reset): cat4 '101'+'1000' (+8), pad '1' -> 0xB1
+        ent_dc = bytes([0b10011011]) + b"\xff\xd0" + bytes([0b10110001])
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof2_gray(8, 16)
+            + self._dht_annexk()
+            + self._seg(0xDD, (1).to_bytes(2, "big"))
+            + self._sos_prog([(1, 0x00)], 0, 0, 0, 0) + ent_dc
+            + self._seg(0xDD, (0).to_bytes(2, "big"))
+            + self._sos_prog([(1, 0x00)], 1, 63, 0, 0)
+            + self._entropy("1010" "1010")  # EOB, EOB — no restart now
+            + b"\xff\xd9"
+        )
+        got = decode_jpeg_gray(payload)
+        assert got.shape == (8, 16)
+        assert (got[:, :8] == 140).all() and (got[:, 8:] == 144).all()
+
     def test_rejects_progressive_and_cmyk(self):
         import numpy as np
         import pytest
