@@ -50,6 +50,7 @@ DISTRIBUTED_TIER = (
     "lsh_keep_list",
     "asof_latest_order",
     "bigram_lm_score",
+    "bpe_merges",
 )
 
 

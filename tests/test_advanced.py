@@ -1372,3 +1372,67 @@ class TestBigramLmScore:
         assert len(got) == len(rows)  # every doc scored, including <2-token
         for r in got:
             assert (r["n_bigrams"], r["lm_score_e6"]) == expected[r["doc_id"]], r
+
+
+class TestBpeMerges:
+    def test_matches_hand_computed_merges(self, spark, tmp_path, monkeypatch):
+        """Toy corpus with hand-derived BPE merges (Sennrich by hand):
+        'low low low lower newest newest' — freq(low)=3, lower=1,
+        newest=2. Step 1: (l,o)=4 ties (o,w)=4, lexicographic pick
+        (l,o). Step 2: (lo,w)=4. Step 3 ties at 2 -> (e,s). Step 4:
+        'e' < 'es' so (e,w) beats (es,t). Step 5: (es,t). Step 6:
+        (ew,est). Both the fold and the distributed path must reproduce
+        the chain exactly."""
+        import duckdb
+
+        docs_dir = tmp_path / "sf"
+        docs_dir.mkdir()
+        duckdb.sql(
+            "COPY (SELECT 1 AS doc_id, 'low low low lower newest newest' AS text,"
+            " 'en' AS lang, 's' AS source, 31 AS n_chars)"
+            f" TO '{docs_dir}/documents.parquet' (FORMAT PARQUET)"
+        )
+        from tomixpanel_spark.operators import registry
+        from tomixpanel_spark.operators import textops
+
+        expected = [
+            (1, "l", "o", "lo", 4),
+            (2, "lo", "w", "low", 4),
+            (3, "e", "s", "es", 2),
+            (4, "e", "w", "ew", 2),
+            (5, "es", "t", "est", 2),
+            (6, "ew", "est", "ewest", 2),
+        ]
+        fn = registry()["bpe_merges"].fn
+        fold = sorted(map(tuple, fn(spark, str(docs_dir)).collect()))
+        assert fold == expected, fold
+        monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+        dist = sorted(map(tuple, fn(spark, str(docs_dir)).collect()))
+        assert dist == expected, dist
+
+    def test_overlap_merge_is_left_to_right(self, spark, tmp_path, monkeypatch):
+        """'aaaa' x1: step 1 counts (a,a)=3 (overlaps counted, Sennrich
+        get_stats) but merges LEFT-TO-RIGHT non-overlapping -> [aa, aa];
+        step 2 then counts (aa,aa)=1. A naive overlap-merging rewrite
+        would produce a different chain."""
+        import duckdb
+
+        docs_dir = tmp_path / "sf"
+        docs_dir.mkdir()
+        duckdb.sql(
+            "COPY (SELECT 1 AS doc_id, 'aaaa' AS text, 'en' AS lang,"
+            " 's' AS source, 4 AS n_chars)"
+            f" TO '{docs_dir}/documents.parquet' (FORMAT PARQUET)"
+        )
+        from tomixpanel_spark.operators import registry
+
+        expected = [
+            (1, "a", "a", "aa", 3),
+            (2, "aa", "aa", "aaaa", 1),
+        ]
+        fn = registry()["bpe_merges"].fn
+        fold = sorted(map(tuple, fn(spark, str(docs_dir)).collect()))
+        assert fold == expected, fold
+        monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+        dist = sorted(map(tuple, fn(spark, str(docs_dir)).collect()))
+        assert dist == expected, dist

@@ -779,3 +779,17 @@ def test_seeded_shuffle_single_corpus_pass(spark):
     assert "FileScan parquet" not in plan, "corpus re-scanned outside the checkpoint"
     assert "hashpartitioning(bucket" not in plan, "corpus re-shuffled after the checkpoint"
     assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_bpe_paths_agree(spark, monkeypatch):
+    """Driver-fold (Sennrich dict loop) and distributed (Catalyst
+    aggregate-fold merge + sentinel argmax) BPE training produce
+    IDENTICAL merge tables — two independent implementations of the
+    same spec, like the oracle's recursive-CTE third."""
+    from tomixpanel_spark.operators import textops
+
+    fold = REG["bpe_merges"].fn(spark, SF_ORACLE).collect()
+    assert len(fold) > 0
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+    dist = REG["bpe_merges"].fn(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, fold)) == sorted(map(tuple, dist))

@@ -5,6 +5,7 @@ multimodal / streaming)."""
 from tomixpanel_spark.operators import (
     analytics,
     asof,
+    bpe,
     identity,
     dedup,
     events,
@@ -50,6 +51,7 @@ _LAST_EXTERNAL = {
     "embedding_keep_list": 0,
     "hist_quantiles": 0,
     "bigram_lm_score": 0,
+    "bpe_merges": 0,
     "seeded_shuffle": 0,
     # -- last green r8 ---------------------------------------------------
     "time_shift": 8,
@@ -179,6 +181,7 @@ def registry() -> dict[str, QuerySpec]:
     reg = collect_registry(
         relational,
         events,
+        bpe,
         textops,
         dedup,
         similarity,
