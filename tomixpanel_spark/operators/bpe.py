@@ -192,7 +192,14 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = stage_checkpoint(words)
     steps = []
     for i in range(N_MERGES):
-        best = stage_checkpoint(_best_pair(spark, _pair_counts(cur)))
+        # best is NOT checkpointed: its input (cur) is already
+        # materialized, so the two consumers (output row + merge
+        # broadcast) each recompute one cheap vocab-sized aggregate.
+        # Measured equal wall-clock to checkpointing it at the 50k
+        # probe (2.66 s vs 2.67 s) — kept for one fewer materialization
+        # per step; the step cost is the fold+aggregate stages, not
+        # lineage
+        best = _best_pair(spark, _pair_counts(cur))
         steps.append(
             best.select(
                 F.lit(i + 1).cast("bigint").alias("step"),
