@@ -51,6 +51,7 @@ DISTRIBUTED_TIER = (
     "asof_latest_order",
     "bigram_lm_score",
     "bpe_merges",
+    "bpe_token_count",
 )
 
 

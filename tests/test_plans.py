@@ -793,3 +793,15 @@ def test_bpe_paths_agree(spark, monkeypatch):
     monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
     dist = REG["bpe_merges"].fn(spark, SF_ORACLE).collect()
     assert sorted(map(tuple, fold)) == sorted(map(tuple, dist))
+
+
+def test_bpe_token_count_paths_agree(spark, monkeypatch):
+    """Fold and distributed token accounting agree row-for-row, and the
+    distributed vocab join broadcasts under the shared vocab gate."""
+    fold = REG["bpe_token_count"].fn(spark, SF_ORACLE).collect()
+    assert len(fold) > 0
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+    df = REG["bpe_token_count"].fn(spark, SF_ORACLE)
+    assert "BroadcastHashJoin" in join_strategies(df)
+    dist = df.collect()
+    assert sorted(map(tuple, fold)) == sorted(map(tuple, dist))

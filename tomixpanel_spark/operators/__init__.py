@@ -52,6 +52,7 @@ _LAST_EXTERNAL = {
     "hist_quantiles": 0,
     "bigram_lm_score": 0,
     "bpe_merges": 0,
+    "bpe_token_count": 0,
     "seeded_shuffle": 0,
     # -- last green r8 ---------------------------------------------------
     "time_shift": 8,

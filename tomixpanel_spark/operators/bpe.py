@@ -123,10 +123,11 @@ def _merge_step(words: DataFrame, best: DataFrame) -> DataFrame:
     return j.select("word", "freq", folded.alias("syms"))
 
 
-def _bpe_driver_fold(spark: SparkSession, docs: DataFrame, n_merges: int) -> DataFrame:
-    """Small-corpus path (shared text fold cap): classic Sennrich loop
-    over the driver-collected word-frequency table — dict counters,
-    exact ties, identical output (paths-agree-tested)."""
+def _fold_train(docs: DataFrame, n_merges: int):
+    """Classic Sennrich training loop over the driver-collected
+    word-frequency table — dict counters, exact ties. Returns the merge
+    rows AND the final word -> symbol-list vocab (token counting reads
+    the latter)."""
     from collections import Counter
 
     from tomixpanel_spark.operators.dedup import _fold_tokenize
@@ -165,20 +166,17 @@ def _bpe_driver_fold(spark: SparkSession, docs: DataFrame, n_merges: int) -> Dat
                 out.append(pend)
             vocab[w] = out
         rows.append((i + 1, left, right, left + right, int(cnt)))
-    return spark.createDataFrame(rows, schema=_OUT_SCHEMA)
+    return rows, vocab
 
 
-def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tomixpanel_spark.operators.textops import (
-        _corpus_count,
-        _tfidf_driver_fold_cap,
-    )
-    from tomixpanel_spark.operators.base import ensure_parallel
+def _train_distributed(spark: SparkSession, docs: DataFrame, n_merges: int,
+                       need_final: bool):
+    """The distributed training chain: returns (per-step 1-row merge
+    DataFrames, final words table after ALL merges or None). The final
+    merge is skipped when nothing consumes it (bpe_merges only reads
+    the merge rows)."""
     from tomixpanel_spark.functions.text import tokens
 
-    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
-    if _corpus_count(spark, sf_dir, docs) <= _tfidf_driver_fold_cap():
-        return _bpe_driver_fold(spark, docs, N_MERGES)
     words = (
         docs.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
@@ -191,7 +189,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cur = stage_checkpoint(words)
     steps = []
-    for i in range(N_MERGES):
+    for i in range(n_merges):
         # best is NOT checkpointed: its input (cur) is already
         # materialized, so the two consumers (output row + merge
         # broadcast) each recompute one cheap vocab-sized aggregate.
@@ -209,18 +207,101 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("__c").alias("pair_count"),
             )
         )
-        if i + 1 < N_MERGES:
+        if i + 1 < n_merges or need_final:
             cur = stage_checkpoint(_merge_step(cur, best))
+    return steps, (cur if need_final else None)
+
+
+def _under_fold_cap(spark: SparkSession, sf_dir: str, docs: DataFrame) -> bool:
+    from tomixpanel_spark.operators.textops import (
+        _corpus_count,
+        _tfidf_driver_fold_cap,
+    )
+
+    return _corpus_count(spark, sf_dir, docs) <= _tfidf_driver_fold_cap()
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tomixpanel_spark.operators.base import ensure_parallel
+
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    if _under_fold_cap(spark, sf_dir, docs):
+        rows, _vocab = _fold_train(docs, N_MERGES)
+        return spark.createDataFrame(rows, schema=_OUT_SCHEMA)
+    steps, _final = _train_distributed(spark, docs, N_MERGES, need_final=False)
     out = steps[0]
     for s in steps[1:]:
         out = out.unionByName(s)
     return out.filter(F.col("pair_count") > 0)
 
 
-def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE training: per-document subword token budget
+    under the learned merges — (doc_id, n_words, n_bpe_tokens). The
+    practical accounting verb ("how many tokens is my corpus under this
+    vocab") that every training-data pipeline runs after training.
+
+    Distributed: the per-word final symbol count is a VOCAB-sized table
+    (Heaps' law keeps it corpus-sublinear), broadcast to the exploded
+    document words while under ``TOMIX_TFIDF_BCAST_VOCAB`` (the shared
+    vocab-broadcast gate; shuffle join above), then one map-side-partial
+    per-doc aggregate. Docs with no tokens emit (0, 0) — accounting must
+    cover every document."""
+    from tomixpanel_spark.functions.text import tokens
+    from tomixpanel_spark.operators.base import ensure_parallel
+    from tomixpanel_spark.operators.textops import _tfidf_vocab_cap, _vocab_count
+
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    schema = "doc_id long, n_words long, n_bpe_tokens long"
+    if _under_fold_cap(spark, sf_dir, docs):
+        from tomixpanel_spark.operators.dedup import _fold_tokenize
+        from tomixpanel_spark.operators.textops import docs_pdf
+
+        _rows, vocab = _fold_train(docs, N_MERGES)
+        pdf = docs_pdf(docs)
+        out = [
+            (
+                int(doc_id),
+                len(ws),
+                sum(len(vocab[w]) for w in ws),
+            )
+            for doc_id, ws in (
+                (d, _fold_tokenize(t))
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            )
+        ]
+        return spark.createDataFrame(out, schema=schema)
+    _steps, final = _train_distributed(spark, docs, N_MERGES, need_final=True)
+    wl = final.select("word", F.size("syms").cast("bigint").alias("k"))
+    key = (spark.sparkContext.applicationId, sf_dir, "bpe_vocab")
+    if _vocab_count(spark, key, wl) <= _tfidf_vocab_cap():
+        wl = F.broadcast(wl)
+    doc_words = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    per_doc = (
+        doc_words.join(wl, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("k").alias("n_bpe"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_bpe", F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _bpe_oracle_sql(n_merges: int = N_MERGES, emit: str = "merges") -> str:
     """Programmatically unrolled DuckDB mirror: per step a pair-count
     CTE, the sentinel argmax, and a per-word recursive position-cursor
-    CTE applying the left-to-right merge."""
+    CTE applying the left-to-right merge. ``emit='merges'`` yields the
+    training table; ``emit='doc_counts'`` applies the final vocab to
+    every document (bpe_token_count's oracle)."""
     parts = [
         "WITH RECURSIVE words0 AS MATERIALIZED (",
         "  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,",
@@ -260,6 +341,21 @@ words{i} AS MATERIALIZED (
   FROM walk{i} k JOIN words{i - 1} w ON k.word = w.word
   WHERE k.pos > len(w.syms))"""
         parts.append(p)
+    if emit == "doc_counts":
+        parts.append(f""", docw AS MATERIALIZED (
+  SELECT doc_id, unnest(list_filter(string_split(
+    translate(text, chr(9)||chr(10)||chr(13)||chr(11)||chr(12), '     '),
+    ' '), t -> t <> '')) AS word FROM documents),
+perdoc AS MATERIALIZED (
+  SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(f.syms)) AS BIGINT) AS n_bpe
+  FROM docw dw JOIN words{n_merges} f ON dw.word = f.word
+  GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+  CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""")
+        return "\n".join(parts)
     selects = [
         f"SELECT CAST({i} AS BIGINT) AS step, l AS left, r AS right,"
         f" l || r AS merged, c AS pair_count FROM best{i}"
@@ -276,5 +372,10 @@ REGISTRY = {
         bpe_merges,
         _bpe_oracle_sql(),
         "ext:text distributed BPE tokenizer-merge training",
+    ),
+    "bpe_token_count": QuerySpec(
+        bpe_token_count,
+        _bpe_oracle_sql(emit="doc_counts"),
+        "ext:text BPE-vocab token budget per document",
     ),
 }
