@@ -427,7 +427,8 @@ def main() -> None:
         run_queries(spark, con, reg, dst, pick(PROBE_TEXT_NAMES))
     if "emb" in families:
         run_queries(spark, con, reg, dst, pick(PROBE_EMB_NAMES))
-        probe_emb_extras(spark, src, dst)
+        if not only:  # the extras are whole-family legs, not per-query rows
+            probe_emb_extras(spark, src, dst)
     if "cc" in families:
         probe_cc(spark, src, dst)
 

@@ -1383,6 +1383,26 @@ class TestJpegCodec:
         assert got.shape == (8, 16)
         assert (got[:, :8] == 140).all() and (got[:, 8:] == 144).all()
 
+    def test_progressive_luma_plane_respects_pixel_cap(self, monkeypatch):
+        """Review regression: a small SOF2 payload declaring dims past
+        TOMIX_IMG_MAX_PIXELS must raise BEFORE allocating — the old
+        coefficient-only bound (4x max_px) let a 1-component stream's
+        luma plane exceed the cap the baseline path enforces."""
+        import pytest
+
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        monkeypatch.setenv("TOMIX_IMG_MAX_PIXELS", "65536")
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof2_gray(512, 512)
+            + self._dht_annexk()
+            + self._sos_prog([(1, 0x00)], 0, 0, 0, 0)
+            + self._entropy("00")
+            + b"\xff\xd9"
+        )
+        with pytest.raises(ValueError, match="TOMIX_IMG_MAX_PIXELS"):
+            decode_jpeg_gray(payload)
+
     def test_rejects_progressive_and_cmyk(self):
         import numpy as np
         import pytest

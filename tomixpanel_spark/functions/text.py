@@ -69,6 +69,23 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, gram))
 
 
+def adjacent_pairs(arr: Column, left: str = "l", right: str = "r") -> Column:
+    """All adjacent (left, right) STRUCT pairs of a string-array column,
+    with repeats; empty array for inputs shorter than 2. The shared
+    adjacency expression behind bigram-LM scoring and BPE pair counting
+    — the n>=2 guard, the empty-array cast, and the 1-based slice
+    offsets live in exactly one place."""
+    n = F.size(arr)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(arr, F.lit(1), n - 1),
+            F.slice(arr, F.lit(2), n - 1),
+            lambda a, b: F.struct(a.alias(left), b.alias(right)),
+        ),
+    ).otherwise(F.array().cast(f"array<struct<{left}:string,{right}:string>>"))
+
+
 def bigrams(words: Column) -> Column:
     """All adjacent word bigrams ('w1 w2' strings) from a MATERIALIZED token
     array column, with repeats (repetition measurement needs multiplicity,

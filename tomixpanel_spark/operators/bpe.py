@@ -52,17 +52,10 @@ _OUT_SCHEMA = (
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
-    n = F.size("syms")
-    pairs = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice("syms", F.lit(1), n - 1),
-            F.slice("syms", F.lit(2), n - 1),
-            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-        ),
-    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    from tomixpanel_spark.functions.text import adjacent_pairs
+
     return (
-        words.select("freq", F.explode(pairs).alias("p"))
+        words.select("freq", F.explode(adjacent_pairs(F.col("syms"))).alias("p"))
         .groupBy(F.col("p.l").alias("__l"), F.col("p.r").alias("__r"))
         .agg(F.sum("freq").alias("__c"))
     )

@@ -811,6 +811,38 @@ def decode_jpeg_gray(payload: bytes):
         raise ValueError(f"truncated or corrupt JPEG: {exc!r}") from exc
 
 
+def _parse_dqt(body: bytes, qtables: dict) -> None:
+    """DQT segment -> 8x8 dezigzagged int64 tables (shared by the
+    baseline and the progressive inter-scan marker walks)."""
+    import numpy as np
+
+    bpos = 0
+    while bpos < len(body):
+        pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
+        if pq != 0:
+            raise ValueError("16-bit quant tables unsupported")
+        tbl = np.zeros(64, dtype=np.int64)
+        tbl[_ZIGZAG] = np.frombuffer(body[bpos + 1 : bpos + 65], dtype=np.uint8)
+        qtables[tq] = tbl.reshape(8, 8)
+        bpos += 65
+
+
+def _parse_dht(body: bytes, htables: dict) -> None:
+    """DHT segment -> (code, length) -> symbol lookup dicts (shared by
+    both marker walks; tables are redefinable between scans)."""
+    bpos = 0
+    while bpos < len(body):
+        tc, th = body[bpos] >> 4, body[bpos] & 0x0F
+        bits = list(body[bpos + 1 : bpos + 17])
+        nv = sum(bits)
+        vals = list(body[bpos + 17 : bpos + 17 + nv])
+        codes = _huff_codes(bits, vals)
+        htables[(tc, th)] = {
+            (code, ln): sym for sym, (code, ln) in codes.items()
+        }
+        bpos += 17 + nv
+
+
 def _decode_jpeg_gray_impl(payload: bytes):
     import struct
 
@@ -842,29 +874,9 @@ def _decode_jpeg_gray_impl(payload: bytes):
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:
-            bpos = 0
-            while bpos < len(body):
-                pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZIGZAG] = np.frombuffer(
-                    body[bpos + 1 : bpos + 65], dtype=np.uint8
-                )
-                qtables[tq] = tbl.reshape(8, 8)
-                bpos += 65
+            _parse_dqt(body, qtables)
         elif marker == 0xC4:
-            bpos = 0
-            while bpos < len(body):
-                tc, th = body[bpos] >> 4, body[bpos] & 0x0F
-                bits = list(body[bpos + 1 : bpos + 17])
-                nv = sum(bits)
-                vals = list(body[bpos + 17 : bpos + 17 + nv])
-                codes = _huff_codes(bits, vals)
-                htables[(tc, th)] = {
-                    (code, ln): sym for sym, (code, ln) in codes.items()
-                }
-                bpos += 17 + nv
+            _parse_dht(body, htables)
         elif marker in (0xC0, 0xC2):
             progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
@@ -930,7 +942,6 @@ def _decode_jpeg_gray_impl(payload: bytes):
     hmax = max(p[0] for p in plan)
     vmax = max(p[1] for p in plan)
     h0, v0 = plan[0][0], plan[0][1]
-    qt = plan[0][2]
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     # luma plane: Y's own sampling grid; for the standard case (Y carries
@@ -1034,7 +1045,14 @@ def _decode_jpeg_progressive(
         geo.append((cid, hi, vi, tq, bw_pad, bh_pad, bw_real, bh_real))
         total_blocks += bw_pad * bh_pad
     max_px = int(os.environ.get("TOMIX_IMG_MAX_PIXELS", str(1 << 26)))
-    if total_blocks * 64 > 4 * max_px:
+    # two bounds, both required: the LUMA plane itself must respect the
+    # pixel cap exactly as the baseline path enforces it (a 1-component
+    # or 4:2:0 stream previously slipped through the coefficient bound
+    # 4x over the cap — caught by review), and the total coefficient
+    # cells bound the int64 buffers (<= 4x covers 3 chroma-subsampled
+    # planes + MCU padding)
+    luma_px = (geo[0][5] * 8) * (geo[0][4] * 8)
+    if luma_px > max_px or total_blocks * 64 > 4 * max_px:
         raise ValueError(
             f"JPEG dimensions {h}x{w} exceed TOMIX_IMG_MAX_PIXELS={max_px}"
         )
@@ -1077,29 +1095,9 @@ def _decode_jpeg_progressive(
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xC4:
-            bpos = 0
-            while bpos < len(body):
-                tc, th = body[bpos] >> 4, body[bpos] & 0x0F
-                bits = list(body[bpos + 1 : bpos + 17])
-                nv = sum(bits)
-                vals = list(body[bpos + 17 : bpos + 17 + nv])
-                codes = _huff_codes(bits, vals)
-                htables[(tc, th)] = {
-                    (code, ln): sym for sym, (code, ln) in codes.items()
-                }
-                bpos += 17 + nv
+            _parse_dht(body, htables)
         elif marker == 0xDB:
-            bpos = 0
-            while bpos < len(body):
-                pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZIGZAG] = np.frombuffer(
-                    body[bpos + 1 : bpos + 65], dtype=np.uint8
-                )
-                qtables[tq] = tbl.reshape(8, 8)
-                bpos += 65
+            _parse_dqt(body, qtables)
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:

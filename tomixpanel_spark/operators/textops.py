@@ -1503,19 +1503,13 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on (prev, cur); hot contexts ("the ...") skew that exchange, and
     AQE skew-join splitting is the designed mitigation (documented, same
     posture as tfidf above its vocab gate)."""
+    from tomixpanel_spark.functions.text import adjacent_pairs
+
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
     if _corpus_count(spark, sf_dir, docs) <= _tfidf_driver_fold_cap():
         return _lm_driver_fold(spark, docs)
     toks = docs.select("doc_id", tokens("text").alias("words"))
-    n = F.size("words")
-    pairs = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice("words", F.lit(1), n - 1),
-            F.slice("words", F.lit(2), n - 1),
-            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
-        ),
-    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = adjacent_pairs(F.col("words"), "prev", "cur")
     big = toks.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
     )
