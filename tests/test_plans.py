@@ -351,21 +351,41 @@ def test_driver_window_rotation_policy():
         ordered_names,
     )
 
+    from tomixpanel_spark.operators import changed_since_green
+
     names = list(REG)
     assert names == ordered_names()  # registry order IS the derived order
     window = names[:WINDOW_SIZE]
     # (a) every never-checked query and both canaries sit inside the window
     never = {q for q, r in _LAST_EXTERNAL.items() if r == 0}
     assert (never | set(_CANARIES)) <= set(window)
-    # (b) the window is staleness-first: no query outside the window may
-    # be staler than one inside it (canaries exempt)
-    inside = max(
-        _LAST_EXTERNAL[q] for q in window if q not in _CANARIES
-    )
-    outside = [
-        q for q in names[WINDOW_SIZE:] if _LAST_EXTERNAL[q] < inside
+    # (b) the window admits changed-since-green rows before unchanged
+    # ones, and is staleness-first within each group: a row outside the
+    # window may only be staler than one inside it if the inside row is
+    # changed-since-green and the outside row is not (canaries exempt).
+    changed = changed_since_green()
+    for grp in (changed, set(names) - changed):
+        grp_window = [q for q in window if q in grp and q not in _CANARIES]
+        if not grp_window:
+            continue
+        inside = max(_LAST_EXTERNAL[q] for q in grp_window)
+        outside = [
+            q
+            for q in names[WINDOW_SIZE:]
+            if q in grp and _LAST_EXTERNAL[q] < inside
+        ]
+        assert not outside, f"staler than the window yet rotated out: {outside}"
+    # (b2) no window slot is wasted on an unchanged row while a changed
+    # row waits outside (the round-11 verdict's rotation rule)
+    changed_out = [q for q in names[WINDOW_SIZE:] if q in changed]
+    unchanged_in = [
+        q for q in window if q not in changed and q not in _CANARIES
+        and _LAST_EXTERNAL[q] > 0
     ]
-    assert not outside, f"staler than the window yet rotated out: {outside}"
+    assert not (changed_out and unchanged_in), (
+        f"changed-since-green rows outside the window ({changed_out[:5]}…) "
+        f"while unchanged rows occupy slots ({unchanged_in[:5]}…)"
+    )
     # (c) the log itself is consistent with the driver's artifacts: no
     # round claimed in the log exceeds rounds that exist on disk, and
     # every green row the log claims matches the recorded file
@@ -379,6 +399,50 @@ def test_driver_window_rotation_policy():
         assert rec and rec.get("rows_match") and rec.get("hash_match"), (
             f"rotation log claims {q} green in r{r}, file disagrees"
         )
+
+
+def test_rotation_changed_code_outranks_staleness():
+    """Round-11 verdict #7: a row whose implementation changed since its
+    last external green must jump the staleness queue. Synthetic case —
+    under pure staleness 'rewritten' (r10, code changed after its green)
+    would sit BEHIND every r9 row and could rotate out of a small
+    window; the ordering rule must pull it ahead of unchanged rows."""
+    from tomixpanel_spark.operators import _derive_order
+
+    log = {f"old{i}": 9 for i in range(4)} | {"rewritten": 10, "fresh": 11}
+    # no change info -> pure staleness: rewritten is 5th, outside a
+    # window of 4 — this is the failure mode the rule exists to fix
+    plain = _derive_order(log, (), set())
+    assert plain.index("rewritten") == 4
+    # with the change recorded, rewritten leads the queue
+    bumped = _derive_order(log, (), {"rewritten"})
+    assert bumped.index("rewritten") == 0
+    assert bumped[1:5] == ["old0", "old1", "old2", "old3"]
+    # never-checked rows and canaries still outrank everything
+    log2 = log | {"brand_new": 0}
+    order2 = _derive_order(log2, ("old3",), {"rewritten"})
+    assert order2[:3] == ["brand_new", "old3", "rewritten"]
+
+
+def test_rotation_recorded_hashes_regenerate_cleanly():
+    """The per-query recorded code hashes (_CHECKED_SRC) must match a
+    fresh regeneration from the round-marker commits — catches editing
+    _LAST_EXTERNAL or a ROTATION_DEPS list without rerunning
+    tools/update_rotation.py (which would silently mis-rank the
+    window)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "update_rotation.py"),
+         "--check"],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    assert p.returncode == 0, f"rotation hash drift:\n{p.stdout}{p.stderr}"
 
 
 def test_ensure_parallel_skips_already_split_sources(spark):

@@ -47,57 +47,7 @@ from tomixpanel_spark.sources import csv as csv_source
 # has local DuckDB parity in tests/test_oracle_parity.py every round.
 _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
-    # -- new in round 11: never externally checked -------------------------
-    "embedding_keep_list": 0,
-    "hist_quantiles": 0,
-    "bigram_lm_score": 0,
-    "bpe_merges": 0,
-    "bpe_token_count": 0,
-    "seeded_shuffle": 0,
-    # -- last green r8 ---------------------------------------------------
-    "time_shift": 8,
-    "token_count": 8,
-    "tpch_q6": 8,
-    "union_all": 8,
-    "when_chain": 8,
-    "window_running": 8,
-    "word_freq": 8,
-    # -- last green r9 ---------------------------------------------------
-    "cagg_store_read": 9,
-    "chunk_documents": 9,
-    "cms_heavy_hitters": 9,
-    "containment_pairs": 9,
-    "cosine_topk": 9,
-    "cosine_topk_partitioned": 9,
-    "custom_dims": 9,
-    "decontam_overlap": 9,
-    "dedup_exact": 9,
-    "dedup_index_probe": 9,
-    "dedup_keep_list": 9,
-    "embedding_decontam": 9,
-    "embedding_neardup": 9,
-    "event_sequences": 9,
-    "funnel": 9,
-    "gopher_quality": 9,
-    "hypertable_rollup": 9,
-    "identity_components": 9,
-    "kmv_distinct": 9,
-    "lsh_keep_list": 9,
-    "minhash_lsh_pairs": 9,
-    "minhash_signature": 9,
-    "mixture_rebalance": 9,
-    "multimodal_meta": 9,
-    "neardup_components": 9,
-    "neardup_keep_best": 9,
-    "ngram_jaccard_pairs": 9,
-    "pii_redact": 9,
-    "range_join_active_windows": 9,
-    "retention": 9,
-    "rolling_active_users": 9,
-    "salted_join_stats": 9,
-    "segment_dedup": 9,
-    "sessionize": 9,
-    "set_ops": 9,
+    # -- last green r9 ---------------------------------------------
     "simhash": 9,
     "simhash_pairs": 9,
     "streaming_dedup_parity": 9,
@@ -111,9 +61,8 @@ _LAST_EXTERNAL = {
     "topk_per_group": 9,
     "tpch_q1": 9,
     "tpch_q3": 9,
-    # -- last green r10 --------------------------------------------------
+    # -- last green r10 --------------------------------------------
     "amp_profiles": 10,
-    "amp_transform": 10,
     "ann_ivf_q": 10,
     "ann_lsh": 10,
     "ann_pq_q": 10,
@@ -130,7 +79,6 @@ _LAST_EXTERNAL = {
     "explode_hits": 10,
     "filter_nonempty": 10,
     "ga_profiles": 10,
-    "ga_transform": 10,
     "incremental_dedup": 10,
     "insert_id_md5": 10,
     "label_centroids": 10,
@@ -162,24 +110,187 @@ _LAST_EXTERNAL = {
     "tpch_q5": 10,
     "value_quantiles": 10,
     "weighted_sample": 10,
+    # -- last green r11 --------------------------------------------
+    "amp_transform": 11,
+    "bigram_lm_score": 11,
+    "bpe_merges": 11,
+    "bpe_token_count": 11,
+    "cagg_store_read": 11,
+    "chunk_documents": 11,
+    "cms_heavy_hitters": 11,
+    "containment_pairs": 11,
+    "cosine_topk": 11,
+    "cosine_topk_partitioned": 11,
+    "custom_dims": 11,
+    "decontam_overlap": 11,
+    "dedup_exact": 11,
+    "dedup_index_probe": 11,
+    "dedup_keep_list": 11,
+    "embedding_decontam": 11,
+    "embedding_keep_list": 11,
+    "embedding_neardup": 11,
+    "event_sequences": 11,
+    "funnel": 11,
+    "ga_transform": 11,
+    "gopher_quality": 11,
+    "hist_quantiles": 11,
+    "hypertable_rollup": 11,
+    "identity_components": 11,
+    "kmv_distinct": 11,
+    "lsh_keep_list": 11,
+    "minhash_lsh_pairs": 11,
+    "minhash_signature": 11,
+    "mixture_rebalance": 11,
+    "multimodal_meta": 11,
+    "neardup_components": 11,
+    "neardup_keep_best": 11,
+    "ngram_jaccard_pairs": 11,
+    "pii_redact": 11,
+    "range_join_active_windows": 11,
+    "retention": 11,
+    "rolling_active_users": 11,
+    "salted_join_stats": 11,
+    "seeded_shuffle": 11,
+    "segment_dedup": 11,
+    "sessionize": 11,
+    "set_ops": 11,
+    "time_shift": 11,
+    "token_count": 11,
+    "tpch_q6": 11,
+    "union_all": 11,
+    "when_chain": 11,
+    "window_running": 11,
+    "word_freq": 11,
 }
 
 WINDOW_SIZE = 50  # the driver samples this many leading registry entries
 
+# Changed-code-outranks-staleness (round-11 verdict #7): _CHECKED_SRC
+# records, per query, the hash of its implementing module (plus that
+# module's declared ROTATION_DEPS helper files) AS OF the round marker
+# commit of the query's last external green. A query whose current code
+# hash differs was rewritten after its last hard driver check, so it
+# jumps the staleness queue — e.g. the r11 streaming rewrites whose last
+# green was r9. Regenerate both maps at the start of each round with
+# tools/update_rotation.py. Hash values are REPLACED below by the
+# generator; the mechanism (not the values) is what tests lock.
+_CHECKED_SRC: dict[str, str] = {
+    "amp_profiles": "14c7cbc98501",
+    "amp_transform": "14c7cbc98501",
+    "ann_ivf_q": "e5159defe882",
+    "ann_lsh": "e5159defe882",
+    "ann_pq_q": "e5159defe882",
+    "asof_latest_order": "f51fbac46fb4",
+    "attribution_last_touch": "f51fbac46fb4",
+    "balanced_shards": "233b810ecbeb",
+    "bigram_lm_score": "53520182f820",
+    "bm25_topk": "976e19637d6e",
+    "bpe_merges": "c83db8df0ac3",
+    "bpe_token_count": "c83db8df0ac3",
+    "cagg_store_read": "0b60c9201178",
+    "chunk_documents": "53520182f820",
+    "cms_heavy_hitters": "53520182f820",
+    "coalesce_id": "bc4aae97b654",
+    "containment_pairs": "46fe9bb1e675",
+    "cosine_topk": "692822205f1e",
+    "cosine_topk_partitioned": "692822205f1e",
+    "count_agg": "bc4aae97b654",
+    "csv_scan": "8d1418d439f8",
+    "custom_dims": "14c7cbc98501",
+    "decontam_overlap": "46fe9bb1e675",
+    "dedup_by_key": "bc4aae97b654",
+    "dedup_exact": "46fe9bb1e675",
+    "dedup_index_probe": "0b60c9201178",
+    "dedup_keep_list": "46fe9bb1e675",
+    "doc_fingerprint": "976e19637d6e",
+    "embedding_decontam": "692822205f1e",
+    "embedding_keep_list": "692822205f1e",
+    "embedding_neardup": "692822205f1e",
+    "engage_reshape": "14c7cbc98501",
+    "event_sequences": "ae50a9a9c900",
+    "explode_hits": "976e19637d6e",
+    "filter_nonempty": "bc4aae97b654",
+    "funnel": "ae50a9a9c900",
+    "ga_profiles": "14c7cbc98501",
+    "ga_transform": "14c7cbc98501",
+    "gopher_quality": "53520182f820",
+    "hist_quantiles": "ae50a9a9c900",
+    "hypertable_rollup": "ae50a9a9c900",
+    "identity_components": "506713212010",
+    "incremental_dedup": "6403986a14bf",
+    "insert_id_md5": "bc4aae97b654",
+    "kmv_distinct": "ae50a9a9c900",
+    "label_centroids": "e5159defe882",
+    "lang_id": "976e19637d6e",
+    "lsh_keep_list": "46fe9bb1e675",
+    "map_merge": "bc4aae97b654",
+    "media_audio_features": "87e8365bfcb0",
+    "media_image_resize": "87e8365bfcb0",
+    "media_meta": "87e8365bfcb0",
+    "media_neardup": "87e8365bfcb0",
+    "media_video_frames": "87e8365bfcb0",
+    "merge_pairs": "bc4aae97b654",
+    "minhash_lsh_pairs": "46fe9bb1e675",
+    "minhash_signature": "46fe9bb1e675",
+    "mixture_rebalance": "53520182f820",
+    "mixture_stats": "976e19637d6e",
+    "multimodal_meta": "a2979d9c8bfb",
+    "neardup_components": "46fe9bb1e675",
+    "neardup_keep_best": "46fe9bb1e675",
+    "ngram_jaccard_pairs": "46fe9bb1e675",
+    "part_revenue": "1e54db3a40b3",
+    "pii_redact": "53520182f820",
+    "pivot_status": "1e54db3a40b3",
+    "project_drop": "1e54db3a40b3",
+    "project_rename": "1e54db3a40b3",
+    "pushdown_filter": "1e54db3a40b3",
+    "quality_score": "976e19637d6e",
+    "range_join_active_windows": "b6ba9074d9cd",
+    "retention": "ae50a9a9c900",
+    "reverse_events": "14c7cbc98501",
+    "rolling_active_users": "ae50a9a9c900",
+    "rollup_orders": "1e54db3a40b3",
+    "salted_join_stats": "1e54db3a40b3",
+    "schema_gate": "bc4aae97b654",
+    "seeded_shuffle": "283a7841ff64",
+    "segment_dedup": "53520182f820",
+    "semi_join": "1e54db3a40b3",
+    "session_bounds": "bc4aae97b654",
+    "sessionize": "ae50a9a9c900",
+    "set_ops": "ae50a9a9c900",
+    "simhash": "1ef169362ddb",
+    "simhash_pairs": "1ef169362ddb",
+    "stratified_sample": "976e19637d6e",
+    "streaming_cagg_parity": "e0fdc30b337e",
+    "streaming_dedup_parity": "bea884306f4b",
+    "streaming_incremental_parity": "bea884306f4b",
+    "streaming_sketch_parity": "bea884306f4b",
+    "streaming_stateful_parity": "bea884306f4b",
+    "streaming_windowed_parity": "bea884306f4b",
+    "substring_dedup_clean": "1ef169362ddb",
+    "substring_dup_spans": "1ef169362ddb",
+    "substring_dup_stats": "6403986a14bf",
+    "supplier_balance": "1e54db3a40b3",
+    "tfidf_keywords": "976e19637d6e",
+    "time_normalize": "bc4aae97b654",
+    "time_shift": "bc4aae97b654",
+    "token_count": "53520182f820",
+    "topk_per_group": "1e54db3a40b3",
+    "tpch_q1": "1e54db3a40b3",
+    "tpch_q3": "1e54db3a40b3",
+    "tpch_q5": "1e54db3a40b3",
+    "tpch_q6": "1e54db3a40b3",
+    "union_all": "1e54db3a40b3",
+    "value_quantiles": "17d09302355e",
+    "weighted_sample": "976e19637d6e",
+    "when_chain": "bc4aae97b654",
+    "window_running": "1e54db3a40b3",
+    "word_freq": "53520182f820",
+}
 
-def ordered_names() -> list[str]:
-    """Registry order derived from the rotation log: never-checked
-    first, canaries pinned behind them, then staleness-ascending."""
-    never = sorted(q for q, r in _LAST_EXTERNAL.items() if r == 0)
-    rest = sorted(
-        (q for q, r in _LAST_EXTERNAL.items() if r > 0 and q not in _CANARIES),
-        key=lambda q: (_LAST_EXTERNAL[q], q),
-    )
-    return never + list(_CANARIES) + rest
 
-
-def registry() -> dict[str, QuerySpec]:
-    reg = collect_registry(
+def _collect() -> dict[str, QuerySpec]:
+    return collect_registry(
         relational,
         events,
         bpe,
@@ -196,7 +307,98 @@ def registry() -> dict[str, QuerySpec]:
         packing,
         streaming_parity,
     )
-    order = ordered_names()
+
+
+_HASH_CACHE: dict[str, str] = {}
+
+
+def code_hash(modname: str) -> str:
+    """Current working-tree hash of a module file + its ROTATION_DEPS."""
+    h = _HASH_CACHE.get(modname)
+    if h is None:
+        import hashlib
+
+        md5 = hashlib.md5()
+        for rel in module_relpaths(modname):
+            repo = _repo_root()
+            try:
+                with open(f"{repo}/{rel}", "rb") as f:
+                    md5.update(f.read())
+            except OSError:
+                pass
+        h = _HASH_CACHE[modname] = md5.hexdigest()[:12]
+    return h
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def module_relpaths(modname: str) -> list[str]:
+    """Repo-relative source files the rotation hash covers for a module:
+    the module itself plus its declared ROTATION_DEPS (one level)."""
+    import importlib
+    import os
+
+    repo = _repo_root()
+    mod = importlib.import_module(modname)
+    paths = {os.path.relpath(mod.__file__, repo)}
+    for dep in getattr(mod, "ROTATION_DEPS", ()):
+        d = importlib.import_module(dep)
+        paths.add(os.path.relpath(d.__file__, repo))
+    return sorted(paths)
+
+
+def changed_since_green(reg: dict[str, QuerySpec] | None = None) -> set[str]:
+    """Queries whose implementing code changed after their last external
+    green (recorded hash != current hash). Never-checked rows excluded —
+    they already lead the window."""
+    if reg is None:
+        reg = _collect()
+    out = set()
+    for q, recorded in _CHECKED_SRC.items():
+        if _LAST_EXTERNAL.get(q, 0) > 0 and q in reg:
+            if recorded != code_hash(reg[q].fn.__module__):
+                out.add(q)
+    return out
+
+
+def _derive_order(
+    last_external: dict[str, int],
+    canaries: tuple[str, ...],
+    changed: set[str],
+) -> list[str]:
+    """Pure ordering rule (unit-testable): never-checked first, canaries
+    pinned, then changed-since-green rows by (staleness, name) — code
+    changed after its last hard check outranks plain staleness — then
+    the unchanged rest by (staleness, name)."""
+    never = sorted(q for q, r in last_external.items() if r == 0)
+    pool = [
+        q for q, r in last_external.items() if r > 0 and q not in canaries
+    ]
+    bumped = sorted(
+        (q for q in pool if q in changed),
+        key=lambda q: (last_external[q], q),
+    )
+    rest = sorted(
+        (q for q in pool if q not in changed),
+        key=lambda q: (last_external[q], q),
+    )
+    return never + list(canaries) + bumped + rest
+
+
+def ordered_names(reg: dict[str, QuerySpec] | None = None) -> list[str]:
+    """Registry order derived from the rotation log + code-change log."""
+    if reg is None:
+        reg = _collect()
+    return _derive_order(_LAST_EXTERNAL, _CANARIES, changed_since_green(reg))
+
+
+def registry() -> dict[str, QuerySpec]:
+    reg = _collect()
+    order = ordered_names(reg)
     missing = [n for n in order if n not in reg]
     extra = [n for n in reg if n not in order]
     if missing or extra:
@@ -208,4 +410,12 @@ def registry() -> dict[str, QuerySpec]:
     return {n: reg[n] for n in order}
 
 
-__all__ = ["registry", "QuerySpec", "ordered_names", "WINDOW_SIZE"]
+__all__ = [
+    "registry",
+    "QuerySpec",
+    "ordered_names",
+    "WINDOW_SIZE",
+    "changed_since_green",
+    "code_hash",
+    "module_relpaths",
+]

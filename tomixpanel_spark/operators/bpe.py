@@ -360,6 +360,14 @@ FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""")
     return "\n".join(parts)
 
 
+# Helper modules whose changes should count as a change to this
+# module's registered queries for the external-window rotation
+# (rule: code changed since last external green outranks staleness).
+ROTATION_DEPS = [
+    "tomixpanel_spark.functions.text",
+    "tomixpanel_spark.operators.textops",
+]
+
 REGISTRY = {
     "bpe_merges": QuerySpec(
         bpe_merges,

@@ -1841,6 +1841,15 @@ FROM run2 r2 LEFT JOIN run1 r1 ON r2.hh = r1.hh
 """
 
 
+# Helper modules whose changes should count as a change to this
+# module's registered queries for the external-window rotation
+# (rule: code changed since last external green outranks staleness).
+ROTATION_DEPS = [
+    "tomixpanel_spark.functions.text",
+    "tomixpanel_spark.operators.identity",
+    "tomixpanel_spark.streaming.dedup_index",
+]
+
 REGISTRY = {
     "dedup_exact": QuerySpec(dedup_exact, _DEDUP_EXACT_SQL, "ext:dedup"),
     "incremental_dedup": QuerySpec(

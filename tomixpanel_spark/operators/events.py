@@ -317,6 +317,13 @@ FROM events
 """
 
 
+# Helper modules whose changes should count as a change to this
+# module's registered queries for the external-window rotation
+# (rule: code changed since last external green outranks staleness).
+ROTATION_DEPS = [
+    "tomixpanel_spark.functions.canonical",
+]
+
 REGISTRY = {
     "filter_nonempty": QuerySpec(filter_nonempty, _FILTER_NONEMPTY_SQL, "T3"),
     "coalesce_id": QuerySpec(coalesce_id, _COALESCE_ID_SQL, "T4"),

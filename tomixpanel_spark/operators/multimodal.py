@@ -1859,6 +1859,13 @@ FROM px GROUP BY doc_id, f
 """
 
 
+# Helper modules whose changes should count as a change to this
+# module's registered queries for the external-window rotation
+# (rule: code changed since last external green outranks staleness).
+ROTATION_DEPS = [
+    "tomixpanel_spark.operators.dedup",
+]
+
 REGISTRY = {
     "multimodal_meta": QuerySpec(multimodal_meta, _MULTIMODAL_META_SQL, "ext:multimodal"),
     "media_audio_features": QuerySpec(

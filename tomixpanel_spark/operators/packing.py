@@ -322,6 +322,13 @@ FROM sharded
 """
 
 
+# Helper modules whose changes should count as a change to this
+# module's registered queries for the external-window rotation
+# (rule: code changed since last external green outranks staleness).
+ROTATION_DEPS = [
+    "tomixpanel_spark.functions.text",
+]
+
 REGISTRY = {
     "balanced_shards": QuerySpec(
         balanced_shards, _BALANCED_SHARDS_SQL, "ext:text training-shard balance"

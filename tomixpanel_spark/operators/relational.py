@@ -479,6 +479,13 @@ JOIN (SELECT event_type, COUNT(*) AS type_n, MAX(value) AS type_max
 """
 
 
+# Helper modules whose changes should count as a change to this
+# module's registered queries for the external-window rotation
+# (rule: code changed since last external green outranks staleness).
+ROTATION_DEPS = [
+    "tomixpanel_spark.functions.skew",
+]
+
 REGISTRY = {
     "project_rename": QuerySpec(project_rename, _PROJECT_RENAME_SQL, "T1"),
     "project_drop": QuerySpec(project_drop, _PROJECT_DROP_SQL, "T2"),

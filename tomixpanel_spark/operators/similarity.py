@@ -1345,6 +1345,13 @@ WHERE c.node IS NULL OR c.component = e.vec_id
 """
 
 
+# Helper modules whose changes should count as a change to this
+# module's registered queries for the external-window rotation
+# (rule: code changed since last external green outranks staleness).
+ROTATION_DEPS = [
+    "tomixpanel_spark.operators.identity",
+]
+
 REGISTRY = {
     "cosine_topk": QuerySpec(cosine_topk, _COSINE_TOPK_SQL, "ext:similarity"),
     "embedding_keep_list": QuerySpec(

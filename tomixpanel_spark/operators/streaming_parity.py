@@ -788,6 +788,20 @@ FROM probe p LEFT JOIN idx i ON p.h = i.h
 """
 
 
+# Helper modules whose changes should count as a change to this
+# module's registered queries for the external-window rotation
+# (rule: code changed since last external green outranks staleness).
+ROTATION_DEPS = [
+    "tomixpanel_spark.streaming.cagg",
+    "tomixpanel_spark.streaming.dedup",
+    "tomixpanel_spark.streaming.dedup_index",
+    "tomixpanel_spark.streaming.genstore",
+    "tomixpanel_spark.streaming.incremental",
+    "tomixpanel_spark.streaming.sketches",
+    "tomixpanel_spark.streaming.stateful",
+    "tomixpanel_spark.streaming.windowed",
+]
+
 REGISTRY = {
     "streaming_cagg_parity": QuerySpec(
         streaming_cagg_parity,

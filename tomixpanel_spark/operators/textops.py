@@ -1575,6 +1575,13 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+# Helper modules whose changes should count as a change to this
+# module's registered queries for the external-window rotation
+# (rule: code changed since last external green outranks staleness).
+ROTATION_DEPS = [
+    "tomixpanel_spark.functions.text",
+]
+
 REGISTRY = {
     "bigram_lm_score": QuerySpec(
         bigram_lm_score, _BIGRAM_LM_SQL, "ext:text LM-likelihood quality filter"

@@ -606,6 +606,16 @@ FROM events
 """
 
 
+# Helper modules whose changes should count as a change to this
+# module's registered queries for the external-window rotation
+# (rule: code changed since last external green outranks staleness).
+ROTATION_DEPS = [
+    "tomixpanel_spark.transforms.amplitude",
+    "tomixpanel_spark.transforms.ga",
+    "tomixpanel_spark.transforms.mixpanel",
+    "tomixpanel_spark.schemas",
+]
+
 REGISTRY = {
     "amp_transform": QuerySpec(amp_transform, _AMP_TRANSFORM_SQL, "T4+T5+T6+T8 e2e"),
     "custom_dims": QuerySpec(custom_dims, _CUSTOM_DIMS_SQL, "T12"),

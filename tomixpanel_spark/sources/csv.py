@@ -94,6 +94,13 @@ FROM events
 """
 
 
+# Helper modules whose changes should count as a change to this
+# module's registered queries for the external-window rotation
+# (rule: code changed since last external green outranks staleness).
+ROTATION_DEPS = [
+    "tomixpanel_spark.sources.staging",
+]
+
 REGISTRY = {
     "csv_scan": QuerySpec(csv_scan, _CSV_SCAN_SQL, "S5"),
 }

@@ -1,0 +1,98 @@
+"""Regenerate the rotation log's code-change records.
+
+Run at the START of each round, after updating ``_LAST_EXTERNAL`` from the
+previous round's CORRECTNESS file:
+
+    python tools/update_rotation.py            # rewrite _CHECKED_SRC in place
+    python tools/update_rotation.py --check    # print drift, exit 1 if any
+
+For every registered query this computes the hash of its implementing
+module (plus the module's declared ROTATION_DEPS files) **as of the round
+marker commit** (``round N: verdict/...``) of the query's last external
+green, and writes the map into ``tomixpanel_spark/operators/__init__.py``
+as ``_CHECKED_SRC``. ``ordered_names()`` then bumps any query whose
+current code hash differs — code changed after its last hard driver check
+outranks plain staleness in the external window (round-11 verdict #7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def round_markers() -> dict[int, str]:
+    out = subprocess.run(
+        ["git", "log", "--format=%H %s"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    markers: dict[int, str] = {}
+    for line in out.splitlines():
+        m = re.match(r"([0-9a-f]+) round (\d+): verdict", line)
+        if m and int(m.group(2)) not in markers:  # newest first
+            markers[int(m.group(2))] = m.group(1)
+    return markers
+
+
+def historical_hash(commit: str, relpaths: list[str]) -> str:
+    md5 = hashlib.md5()
+    for rel in relpaths:
+        p = subprocess.run(
+            ["git", "show", f"{commit}:{rel}"],
+            cwd=REPO,
+            capture_output=True,
+        )
+        if p.returncode == 0:  # file may not exist at that commit
+            md5.update(p.stdout)
+    return md5.hexdigest()[:12]
+
+
+def main() -> int:
+    from tomixpanel_spark import operators as ops
+
+    reg = ops._collect()
+    markers = round_markers()
+    checked: dict[str, str] = {}
+    for q, rnd in sorted(ops._LAST_EXTERNAL.items()):
+        if rnd == 0:
+            continue
+        if rnd not in markers:
+            print(f"WARN: no marker commit for round {rnd} ({q})")
+            continue
+        rels = ops.module_relpaths(reg[q].fn.__module__)
+        checked[q] = historical_hash(markers[rnd], rels)
+
+    if "--check" in sys.argv:
+        drift = {
+            q: (checked.get(q), ops._CHECKED_SRC.get(q))
+            for q in set(checked) | set(ops._CHECKED_SRC)
+            if checked.get(q) != ops._CHECKED_SRC.get(q)
+        }
+        for q, (want, got) in sorted(drift.items()):
+            print(f"drift {q}: recorded={got} regenerated={want}")
+        return 1 if drift else 0
+
+    path = os.path.join(REPO, "tomixpanel_spark", "operators", "__init__.py")
+    src = open(path).read()
+    body = "\n".join(f'    "{q}": "{h}",' for q, h in sorted(checked.items()))
+    new = f"_CHECKED_SRC: dict[str, str] = {{\n{body}\n}}"
+    src, n = re.subn(
+        r"_CHECKED_SRC: dict\[str, str\] = \{[^}]*\}", new, src, count=1
+    )
+    assert n == 1, "could not find _CHECKED_SRC block"
+    open(path, "w").write(src)
+    print(f"wrote {len(checked)} recorded hashes")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
