@@ -52,6 +52,7 @@ DISTRIBUTED_TIER = (
     "bigram_lm_score",
     "bpe_merges",
     "bpe_token_count",
+    "bpe_encode",
 )
 
 
@@ -228,6 +229,7 @@ def main() -> None:
         "TOMIX_CC_LOCAL_MAX": "0",  # driver union-find -> label propagation
         "TOMIX_ASOF_BCAST_ROWS": "0",  # broadcast as-of -> window strategy
         "TOMIX_LM_BCAST_BIGRAMS": "0",  # bigram-LM model broadcast -> shuffle join
+        "TOMIX_BPE_LOCAL_WORDS": "0",  # BPE word-fold tier -> distributed iteration
     }
     baseline_fp = {
         name: result_fingerprint(reg[name].fn(spark, sf_dir))

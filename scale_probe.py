@@ -2,7 +2,7 @@
 size-adaptive gates so the DISTRIBUTED plans get wall-clock + value
 signal on real above-gate inputs, not just forced-off gates.
 
-Three probe families (select with argv, default all):
+Four probe families (select with argv, default all):
 
 * ``text`` — documents 10x (5k -> 50k docs, doc_id-offset, per-replica
   text suffix on 2/3 of docs so duplicate structure stays rich): flips
@@ -25,7 +25,14 @@ Three probe families (select with argv, default all):
   path NATURALLY; verified value-identical against the driver
   union-find with the gate raised, with LP round count and wall-clock.
 
-Usage: ``python scale_probe.py [text|emb|cc ...]`` (writes probe
+* ``asof`` — temporal-join family (round-11 verdict #2): events 60x /
+  orders 10x so BOTH as-of right sides exceed TOMIX_ASOF_BCAST_ROWS
+  (clicks 1.19M, order states 1.5M) and the union+window sort-merge
+  strategy engages NATURALLY; DuckDB native ASOF JOIN / IEJoin oracles
+  side-by-side, natural-vs-forced-broadcast paths-agree checksums, and
+  range-join bin-width invariance (1-day vs 6-hour bins).
+
+Usage: ``python scale_probe.py [text|emb|cc|asof ...]`` (writes probe
 datasets under $TOMIX_PROBE_DIR, default /tmp/sfx10, then prints
 name,spark_s,duckdb_s,ratio,rows,match per query). Results are recorded
 in ARCHITECTURE.md rounds 10-11.
@@ -57,7 +64,7 @@ PROBE_TEXT_NAMES = [
     "lsh_keep_list", "ngram_jaccard_pairs", "dedup_keep_list",
     "neardup_components", "neardup_keep_best", "lang_id", "quality_score",
     "gopher_quality", "chunk_documents", "bigram_lm_score", "seeded_shuffle",
-    "bpe_merges", "bpe_token_count",
+    "bpe_merges", "bpe_token_count", "bpe_encode",
 ]
 
 PROBE_EMB_NAMES = [
@@ -167,6 +174,157 @@ def build_cc_dataset(src_sf: str, dst: str) -> None:
     )
 
 
+ASOF_EVENT_REPLICAS = 60   # clicks 19.9k -> 1.19M > TOMIX_ASOF_BCAST_ROWS
+ASOF_ORDER_REPLICAS = 10   # orders 150k -> 1.5M  > TOMIX_ASOF_BCAST_ROWS
+
+PROBE_ASOF_NAMES = ["asof_latest_order", "attribution_last_touch",
+                    "range_join_active_windows"]
+
+
+def build_asof_dataset(src_sf: str, dst: str) -> None:
+    """Temporal-join probe: events x60 (ts jittered +7s/replica so click
+    times stay distinct; user_id UNCHANGED so every replica's clicks and
+    orders remain as-of candidates for every purchase) and orders x10
+    (o_orderkey offset shifts the %720/%48 derivations, so each replica
+    contributes fresh window starts/lengths). Both right sides then
+    exceed TOMIX_ASOF_BCAST_ROWS (1M) NATURALLY: clicks 19.9k->1.19M,
+    derived order states 150k->1.5M — the union+window sort-merge
+    strategy engages without forcing the gate; the range-join interval
+    set grows 10x (1.5M windows, ~10k/user)."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.event_id + rr.r * 100000000 AS event_id,
+                 e.ts + rr.r * INTERVAL 7 SECOND AS ts,
+                 e.user_id, e.event_type, e.value, e.props
+          FROM read_parquet('{src_sf}/events.parquet') e,
+               (SELECT unnest(range({ASOF_EVENT_REPLICAS})) AS r) rr
+        ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT o.o_orderkey + rr.r * 10000000 AS o_orderkey,
+                 o.o_custkey, o.o_orderstatus, o.o_totalprice,
+                 o.o_orderdate, o.o_orderpriority
+          FROM read_parquet('{src_sf}/orders.parquet') o,
+               (SELECT unnest(range({ASOF_ORDER_REPLICAS})) AS r) rr
+        ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in (
+        "region nation customer supplier part lineitem documents embeddings"
+    ).split():
+        if not os.path.exists(f"{dst}/{t}.parquet"):
+            shutil.copyfile(f"{src_sf}/{t}.parquet", f"{dst}/{t}.parquet")
+
+
+def probe_asof(spark, src_sf: str, probe_root: str) -> None:
+    """Temporal-join family above its gates (round-11 verdict #2):
+
+    1. the three registered queries vs their DuckDB oracles (native ASOF
+       JOIN / IEJoin) at 6M events / 1.5M right-side rows — the auto
+       gate must flip to the union+window strategy NATURALLY;
+    2. paths-agree: natural window plan vs forced-broadcast plan,
+       order-free checksums must match (the cc/decontam precedent);
+    3. range-join bin-width invariance: 1-day vs 6-hour bins must
+       checksum-identical (any bin-boundary bug drops/dups candidates).
+    """
+    import duckdb
+
+    from tomixpanel_spark.operators import asof as A
+    from tomixpanel_spark.operators import registry
+    from tomixpanel_spark.operators.base import table
+
+    reg = registry()
+    dst = probe_root + "_asof"
+    if not os.path.exists(f"{dst}/_probe_asof_v1"):
+        build_asof_dataset(src_sf, dst)
+        open(f"{dst}/_probe_asof_v1", "w").close()
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 4}")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'")
+    run_queries(spark, con, reg, dst, PROBE_ASOF_NAMES)
+    assert A.LAST_STRATEGY == "window", (
+        f"gate did not flip naturally (LAST_STRATEGY={A.LAST_STRATEGY}) — "
+        "probe is mis-sized"
+    )
+
+    # paths-agree: the same query through the natural (window) and the
+    # forced-broadcast strategies, order-free checksum equality
+    for name in ("asof_latest_order", "attribution_last_touch"):
+        t0 = time.perf_counter()
+        nat = _spark_checksum(reg[name].fn(spark, dst))
+        t_nat = time.perf_counter() - t0
+        assert A.LAST_STRATEGY == "window"
+        prev = os.environ.get("TOMIX_ASOF_BCAST_ROWS")
+        os.environ["TOMIX_ASOF_BCAST_ROWS"] = "100000000"
+        try:
+            t0 = time.perf_counter()
+            forced = _spark_checksum(reg[name].fn(spark, dst))
+            t_brd = time.perf_counter() - t0
+        finally:
+            if prev is None:
+                os.environ.pop("TOMIX_ASOF_BCAST_ROWS", None)
+            else:
+                os.environ["TOMIX_ASOF_BCAST_ROWS"] = prev
+        assert A.LAST_STRATEGY == "broadcast"
+        ok = "HASH_OK" if nat == forced else "MISMATCH"
+        print(
+            f"{name}_paths,{t_nat:.2f},broadcast={t_brd:.2f}s,,{nat[0]},{ok}",
+            flush=True,
+        )
+
+    # bin-width invariance for the range join at probe scale: 1-day vs
+    # 6-hour bins (4x interval replication) must agree cell-for-cell
+    from tomixpanel_spark.operators.ranges import range_join
+    from pyspark.sql import functions as F
+
+    ev = table(spark, dst, "events").select("event_id", "user_id", "ts")
+    orders = table(spark, dst, "orders")
+    win = orders.select(
+        F.pmod("o_custkey", F.lit(150)).cast("bigint").alias("user_id"),
+        F.expr(
+            "timestampadd(HOUR, cast(o_orderkey % 720 as int), "
+            "timestamp'2024-01-01 00:00:00')"
+        ).alias("w_start"),
+        F.expr(
+            "timestampadd(HOUR, cast(o_orderkey % 720 + o_orderkey % 48 + 1 as int), "
+            "timestamp'2024-01-01 00:00:00')"
+        ).alias("w_end"),
+        F.col("o_orderkey").alias("window_key"),
+    )
+
+    def agg(bin_s):
+        j = range_join(ev, win, on="user_id", point_time="ts",
+                       start="w_start", end="w_end", bin_width_s=bin_s)
+        return j.groupBy("event_id", "user_id").agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.max("window_key").alias("top_window"),
+        )
+
+    t0 = time.perf_counter()
+    day = _spark_checksum(agg(86_400))
+    t_day = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    quarter = _spark_checksum(agg(21_600))
+    t_q = time.perf_counter() - t0
+    ok = "HASH_OK" if day == quarter else "MISMATCH"
+    print(
+        f"range_join_bins,{t_day:.2f},bin6h={t_q:.2f}s,,{day[0]},{ok}",
+        flush=True,
+    )
+
+
 def _canon_hash(pdf) -> str:
     """Order-free value hash over a pandas frame: sort columns by name,
     stringify cells (repr for floats, the oracle-parity convention),
@@ -178,6 +336,8 @@ def _canon_hash(pdf) -> str:
     cols = sorted(pdf.columns)
 
     def cell(v):
+        if isinstance(v, (list, tuple, np.ndarray)):  # array columns
+            return "[" + ",".join(cell(x) for x in list(v)) + "]"
         if v is None or v != v:  # None / NaN
             return "\x00NULL"
         if isinstance(v, (bool, np.bool_)):
@@ -392,7 +552,7 @@ def main() -> None:
     os.environ.setdefault("TOMIX_CACHE_TABLES", "1")
     os.environ.setdefault("TOMIX_CACHE_PARTS", "8")
     os.environ.setdefault("TOMIX_CACHE_PARTS_MIN_MB", "0.4")
-    families = set(sys.argv[1:]) or {"text", "emb", "cc"}
+    families = set(sys.argv[1:]) or {"text", "emb", "cc", "asof"}
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dst = os.environ.get("TOMIX_PROBE_DIR", "/tmp/sfx10")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -431,6 +591,8 @@ def main() -> None:
             probe_emb_extras(spark, src, dst)
     if "cc" in families:
         probe_cc(spark, src, dst)
+    if "asof" in families:
+        probe_asof(spark, src, dst)
 
 
 if __name__ == "__main__":

@@ -846,15 +846,19 @@ def test_seeded_shuffle_single_corpus_pass(spark):
 
 
 def test_bpe_paths_agree(spark, monkeypatch):
-    """Driver-fold (Sennrich dict loop) and distributed (Catalyst
-    aggregate-fold merge + sentinel argmax) BPE training produce
-    IDENTICAL merge tables — two independent implementations of the
-    same spec, like the oracle's recursive-CTE third."""
+    """All THREE adaptive tiers — corpus-fold (Sennrich dict loop over
+    collected docs), word-fold (distributed word-count + driver loop),
+    and fully distributed (Catalyst aggregate-fold merge + fused argmax)
+    — produce IDENTICAL merge tables: three independent implementations
+    of the same spec, like the oracle's recursive-CTE fourth."""
     from tomixpanel_spark.operators import textops
 
     fold = REG["bpe_merges"].fn(spark, SF_ORACLE).collect()
     assert len(fold) > 0
     monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+    word_fold = REG["bpe_merges"].fn(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, fold)) == sorted(map(tuple, word_fold))
+    monkeypatch.setenv("TOMIX_BPE_LOCAL_WORDS", "0")
     dist = REG["bpe_merges"].fn(spark, SF_ORACLE).collect()
     assert sorted(map(tuple, fold)) == sorted(map(tuple, dist))
 
@@ -865,7 +869,80 @@ def test_bpe_token_count_paths_agree(spark, monkeypatch):
     fold = REG["bpe_token_count"].fn(spark, SF_ORACLE).collect()
     assert len(fold) > 0
     monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+    word_fold = REG["bpe_token_count"].fn(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, fold)) == sorted(map(tuple, word_fold))
+    monkeypatch.setenv("TOMIX_BPE_LOCAL_WORDS", "0")
     df = REG["bpe_token_count"].fn(spark, SF_ORACLE)
     assert "BroadcastHashJoin" in join_strategies(df)
     dist = df.collect()
     assert sorted(map(tuple, fold)) == sorted(map(tuple, dist))
+
+
+def test_bpe_encode_paths_agree(spark, monkeypatch):
+    """Fold and distributed piece emission agree cell-for-cell (including
+    in-array order — the sort_array(collect_list(struct(pos, syms)))
+    order-rebuild against the driver loop's natural order), and the
+    distributed vocab join broadcasts under the shared vocab gate."""
+    fold = {r["doc_id"]: r["pieces"] for r in
+            REG["bpe_encode"].fn(spark, SF_ORACLE).collect()}
+    assert fold and any(len(v) > 0 for v in fold.values())
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+    word_fold = {r["doc_id"]: r["pieces"] for r in
+                 REG["bpe_encode"].fn(spark, SF_ORACLE).collect()}
+    assert fold == word_fold
+    monkeypatch.setenv("TOMIX_BPE_LOCAL_WORDS", "0")
+    df = REG["bpe_encode"].fn(spark, SF_ORACLE)
+    assert "BroadcastHashJoin" in join_strategies(df)
+    dist = {r["doc_id"]: r["pieces"] for r in df.collect()}
+    assert fold == dist
+
+
+def test_bpe_batched_merges_library_mode(spark, tmp_path, monkeypatch):
+    """merges_per_round > 1 (library mode; the REGISTERED queries pin
+    m=1 = strict Sennrich): each round's batch must be SYMBOL-DISJOINT,
+    and because of that disjointness the one-pass batched application
+    must equal applying the same pairs sequentially. On a corpus whose
+    top pairs don't interact, batched and sequential training learn the
+    same merge SET in fewer rounds."""
+    import duckdb
+
+    from tomixpanel_spark.operators.base import table
+    from tomixpanel_spark.operators.bpe import (
+        _merge_step,
+        _train_distributed,
+    )
+
+    docs_dir = tmp_path / "sf"
+    docs_dir.mkdir()
+    duckdb.sql(
+        "COPY (SELECT 1 AS doc_id,"
+        " 'ab ab ab cd cd cd ef ef ab cd' AS text,"
+        " 'en' AS lang, 's' AS source, 30 AS n_chars)"
+        f" TO '{docs_dir}/documents.parquet' (FORMAT PARQUET)"
+    )
+    docs = table(spark, str(docs_dir), "documents")
+    seq, _ = _train_distributed(spark, docs, 3, need_final=False)
+    bat, _ = _train_distributed(
+        spark, docs, 3, need_final=False, merges_per_round=3
+    )
+    # top-3 pairs (a,b) (c,d) (e,f) are symbol-disjoint: same merge set
+    assert {(l, r, c) for _, l, r, _m, c in seq} == {
+        (l, r, c) for _, l, r, _m, c in bat
+    }
+    # disjointness invariant: no symbol appears in two pairs of a batch
+    syms = [s for _, l, r, _m, _c in bat for s in (l, r)]
+    assert len(syms) == len(set(syms))
+    # one-pass batched fold == sequential application of the same pairs
+    words = spark.createDataFrame(
+        [("abcdef", 1, list("abcdef")), ("fedcba", 1, list("fedcba"))],
+        schema="word string, freq long, syms array<string>",
+    )
+    pairs = [("a", "b"), ("c", "d"), ("e", "f")]
+    one_pass = {r["word"]: r["syms"] for r in
+                _merge_step(words, pairs).collect()}
+    step_by_step = words
+    for p in pairs:
+        step_by_step = _merge_step(step_by_step, [p])
+    sequential = {r["word"]: r["syms"] for r in step_by_step.collect()}
+    assert one_pass == sequential
+    assert one_pass["abcdef"] == ["ab", "cd", "ef"]

@@ -47,6 +47,8 @@ from tomixpanel_spark.sources import csv as csv_source
 # has local DuckDB parity in tests/test_oracle_parity.py every round.
 _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
+    # -- new in round 12: never externally checked -------------------
+    "bpe_encode": 0,
     # -- last green r9 ---------------------------------------------
     "simhash": 9,
     "simhash_pairs": 9,

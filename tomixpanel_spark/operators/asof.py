@@ -120,6 +120,8 @@ def asof_join(
         else:
             _ASOF_GATE_CACHE.move_to_end(key)
         strategy = "broadcast" if hit else "window"
+    global LAST_STRATEGY
+    LAST_STRATEGY = strategy  # probe/test observable (identity.LAST_DISTRIBUTED_ROUNDS precedent)
     if strategy == "cogroup":
         return _asof_cogroup(
             left, right, on, left_time, right_time, right_tiebreak, direction,
