@@ -1590,6 +1590,112 @@ class TestJpegCodec:
         for i in range(n):
             assert (i, 100 + i) in pairs, f"twin pair for image {i} missing"
 
+    def test_noninterleaved_baseline_three_scans(self):
+        """Non-interleaved baseline (T.81 A.2.2, round-11 advice's rare
+        case): a 4:4:4 YCbCr file coded as THREE single-component scans
+        must decode its luma identically to the interleaved twin. The
+        chroma scans are self-contained and skipped wholesale."""
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        def sos1(cid):
+            return self._seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0]))
+
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof0_ycbcr(8, 8, 0x11)
+            + self._dht_annexk()
+            + sos1(1) + self._entropy("100" "110" "1010")  # Y: dc 6 -> 140
+            + sos1(2) + self._entropy("00" "1010")          # Cb
+            + sos1(3) + self._entropy("00" "1010")          # Cr
+            + b"\xff\xd9"
+        )
+        got = decode_jpeg_gray(payload)
+        assert got.shape == (8, 8)
+        assert (got == 140).all(), got
+
+    def test_noninterleaved_dc_prediction_across_blocks(self):
+        """Two luma blocks in one non-interleaved scan: block raster
+        order with DC prediction (+6 then +2 -> 140 / 144), chroma scans
+        carrying arbitrary self-contained entropy the decoder never
+        reads."""
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        def sos1(cid):
+            return self._seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0]))
+
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof0_ycbcr(8, 16, 0x11)
+            + self._dht_annexk()
+            + sos1(1) + self._entropy("100" "110" "1010" + "011" "10" "1010")
+            + sos1(2) + b"\x5a\x5a"  # garbage chroma entropy: never decoded
+            + sos1(3) + b"\x5a\x5a"
+            + b"\xff\xd9"
+        )
+        got = decode_jpeg_gray(payload)
+        assert got.shape == (8, 16)
+        assert (got[:, :8] == 140).all() and (got[:, 8:] == 144).all()
+
+    def test_partial_interleave_scan_subset_raises(self):
+        """A scan covering 2 of 3 SOF components (partial interleave) is
+        the remaining unsupported layout — honest ValueError, not a
+        silent misdecode."""
+        import pytest
+
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof0_ycbcr(8, 8, 0x11)
+            + self._dht_annexk()
+            + self._seg(0xDA, bytes([2, 1, 0x00, 2, 0x00, 0, 63, 0]))
+            + self._entropy("100" "110" "1010" "00" "1010")
+            + b"\xff\xd9"
+        )
+        with pytest.raises(ValueError, match="partial-interleave"):
+            decode_jpeg_gray(payload)
+
+    def test_progressive_dqt_snapshot_at_first_scan(self):
+        """libjpeg latches each component's quant table at its FIRST
+        coefficient-bearing scan: a DQT redefinition AFTER luma's first
+        scan must NOT change luma dequantization (last-definition-wins
+        decoded 152 here; the snapshot semantics give 140)."""
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        dqt_flat32 = self._seg(0xDB, bytes([0x00]) + bytes([32] * 64))
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof2_gray(8, 8)
+            + self._dht_annexk()
+            + self._sos_prog([(1, 0x00)], 0, 0, 0, 0)
+            + self._entropy("100" "110")           # DC 6 (x16 -> 140)
+            + dqt_flat32                            # redefined AFTER scan 1
+            + self._sos_prog([(1, 0x00)], 1, 63, 0, 0)
+            + self._entropy("1010")                 # AC: EOB
+            + b"\xff\xd9"
+        )
+        got = decode_jpeg_gray(payload)
+        assert got.shape == (8, 8)
+        assert (got == 140).all(), got
+
+    def test_progressive_alloc_bound_is_payload_proportional(self):
+        """DoS amplification bound: a few-hundred-byte progressive
+        payload whose SOF geometry passes the pixel/cell caps but claims
+        >max(64 MB, 1024 x payload) of coefficient buffers must raise
+        BEFORE np.zeros (EOB runs make block-count-vs-entropy floors
+        inapplicable in progressive mode, so the allocation is bounded
+        against the payload size instead)."""
+        import pytest
+
+        from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+        payload = (
+            b"\xff\xd8" + self._dqt_flat16() + self._sof2_gray(8192, 8192)
+            + self._dht_annexk()
+            + self._sos_prog([(1, 0x00)], 0, 0, 0, 0)
+            + self._entropy("00")
+            + b"\xff\xd9"
+        )
+        assert len(payload) < 1024  # the amplification premise
+        with pytest.raises(ValueError, match="allocation bound"):
+            decode_jpeg_gray(payload)
+
     def test_progressive_color_payload_through_spark_pipeline(self, spark):
         """A hand-assembled PROGRESSIVE interleaved-color payload runs
         through the real Spark perceptual_hash stage (mapInPandas,
@@ -1631,6 +1737,133 @@ class TestJpegCodec:
         )
         got = {r["doc_id"]: r["dhash"] for r in perceptual_hash(media).collect()}
         assert got[1] == got[2] == got[3], got
+
+
+class TestExifOrientation:
+    """EXIF orientation (APP1 tag 0x0112) parse + normalization
+    (round-11 verdict #5): a rotated re-save of the same image must
+    dHash into the same Hamming bucket."""
+
+    @staticmethod
+    def _exif_app1(orientation: int, endian: str = "<") -> bytes:
+        import struct
+
+        tiff = (b"II" if endian == "<" else b"MM")
+        tiff += struct.pack(endian + "H", 42) + struct.pack(endian + "I", 8)
+        tiff += struct.pack(endian + "H", 1)  # one IFD0 entry
+        tiff += (
+            struct.pack(endian + "HHI", 0x0112, 3, 1)
+            + struct.pack(endian + "H", orientation)
+            + b"\x00\x00"
+        )
+        tiff += struct.pack(endian + "I", 0)  # no next IFD
+        body = b"Exif\x00\x00" + tiff
+        return bytes([0xFF, 0xE1]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    @staticmethod
+    def _display_img():
+        import numpy as np
+
+        # strong distinct steps (multiples of 32, horizontally adjacent
+        # values never equal) so dHash gradient signs survive JPEG loss
+        r, c = np.mgrid[0:8, 0:8]
+        return (((r * 37 + c * 11) % 8) * 32).astype(np.uint8)
+
+    def test_orientation_parse_both_endians_and_absence(self):
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            _jpeg_exif_orientation,
+            encode_jpeg_gray,
+        )
+
+        base = encode_jpeg_gray(self._display_img(), 100)
+        assert _jpeg_exif_orientation(base) == 1
+        for endian in ("<", ">"):
+            for ori in (3, 6, 8):
+                tagged = base[:2] + self._exif_app1(ori, endian) + base[2:]
+                assert _jpeg_exif_orientation(tagged) == ori, (endian, ori)
+        # malformed EXIF degrades to 1, never raises
+        broken = base[:2] + self._exif_app1(6)[:12] + base[2:]
+        assert _jpeg_exif_orientation(base[:2] + b"\xff\xe1\x00\x04xx" + base[2:]) == 1
+        assert _jpeg_exif_orientation(b"\xff\xd8") == 1
+
+    def test_exif_transpose_roundtrips_all_orientations(self):
+        """For every orientation, storing transform(display) and
+        normalizing must recover display exactly (pure-numpy check of
+        the transform table, no JPEG loss)."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import exif_transpose
+
+        display = self._display_img().astype(np.int64)
+        stored_of = {
+            1: display,
+            2: np.fliplr(display),
+            3: display[::-1, ::-1],
+            4: np.flipud(display),
+            5: display.T,
+            6: np.rot90(display, 1),   # inverse of rotate-90-CW
+            7: display[::-1, ::-1].T,
+            8: np.rot90(display, -1),  # inverse of rotate-90-CCW
+        }
+        for ori, stored in stored_of.items():
+            got = exif_transpose(stored, ori)
+            assert (np.asarray(got) == display).all(), ori
+
+    def test_decode_image_gray_normalizes_orientation6(self):
+        import numpy as np
+
+        from tomixpanel_spark.operators.multimodal import (
+            decode_image_gray,
+            dhash_bits,
+            encode_jpeg_gray,
+        )
+
+        display = self._display_img()
+        plain = encode_jpeg_gray(display, 100)
+        stored = np.ascontiguousarray(np.rot90(display, 1))
+        rotated = encode_jpeg_gray(stored, 100)
+        exif6 = rotated[:2] + self._exif_app1(6) + rotated[2:]
+        # without the tag, the rotated payload hashes differently…
+        assert dhash_bits(decode_image_gray(rotated)) != dhash_bits(
+            decode_image_gray(plain)
+        )
+        # …with it, normalization makes the twins hash-identical
+        assert dhash_bits(decode_image_gray(exif6)) == dhash_bits(
+            decode_image_gray(plain)
+        )
+
+    def test_orientation6_twin_lands_in_same_hamming_bucket(self, spark):
+        """End to end through the REAL pipeline stages: perceptual_hash
+        (executor-side decode + EXIF normalize) then banded_hamming_pairs
+        must pair the orientation-6 re-save with its upright twin."""
+        import numpy as np
+
+        from tomixpanel_spark.operators.dedup import banded_hamming_pairs
+        from tomixpanel_spark.operators.multimodal import (
+            MEDIA_BANDS,
+            MEDIA_HAM_MAX,
+            encode_jpeg_gray,
+            perceptual_hash,
+        )
+
+        display = self._display_img()
+        plain = encode_jpeg_gray(display, 100)
+        stored = np.ascontiguousarray(np.rot90(display, 1))
+        rotated = encode_jpeg_gray(stored, 100)
+        exif6 = rotated[:2] + self._exif_app1(6) + rotated[2:]
+        media = spark.createDataFrame(
+            [(0, bytearray(plain)), (1, bytearray(exif6))],
+            "item_id long, payload binary",
+        )
+        sig = perceptual_hash(media)
+        pairs = banded_hamming_pairs(
+            sig, "dhash", MEDIA_BANDS, 8, MEDIA_HAM_MAX
+        ).collect()
+        assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs] == [
+            (0, 1, 0)
+        ]
 
 
 class TestImageDecoderExceptionHygiene:
