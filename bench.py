@@ -195,6 +195,13 @@ def main() -> None:
             run_once(name)  # populate the derived cache
             derived_cached[name] = round(run_once(name), 4)
     os.environ.pop("TOMIX_CACHE_DERIVED", None)
+    # the derived-cache READ is now unconditional (an existing artifact
+    # serves even with the flag off — verdict #8), so evict the
+    # artifacts this leg materialized before the distributed tier times
+    # its own plans
+    from tomixpanel_spark.operators.base import clear_derived_cache
+
+    clear_derived_cache()
 
     # DISTRIBUTED tier: the size-adaptive families re-timed with every
     # driver-fold/local-path gate forced OFF, so the ABOVE-GATE plans (the
@@ -339,6 +346,16 @@ def main() -> None:
             / max(sum(oracle[k] for k in ns), 1e-9),
             3,
         )
+    # Streaming-family regression guard (round-11 verdict #6): the r11
+    # rewrites brought the 6 streaming parity rows under the 10 s target
+    # (9.3-9.9 s idle); lock that win. The guard is LABEL-GATED because
+    # the family's wall-clock swings 15-30% with host load: the JSON
+    # always carries the family total and a pass/exceeded verdict;
+    # TOMIX_BENCH_STRICT_STREAMING=1 (set it only on an idle host)
+    # escalates an exceeded budget to a nonzero exit AFTER the JSON
+    # lines print, so the driver's recorder still gets its artifact.
+    guard = streaming_family_guard(timings)
+    out.update(guard)
     # stop BEFORE printing: nothing may write to stdout after the compact
     # headline (the recorder parses the last line of a bounded tail)
     spark.stop()
@@ -349,6 +366,43 @@ def main() -> None:
         "distributed_all_match": out["distributed_all_match"],
     }
     print(compact_headline(timings, sf_val, cpus, out["timing_policy"], extra=extra))
+    if guard["streaming_guard"] == "exceeded" and os.environ.get(
+        "TOMIX_BENCH_STRICT_STREAMING"
+    ) == "1":
+        raise SystemExit(1)
+
+
+# idle-host budget for the 6 streaming parity rows: the r11 floor
+# decomposition (~0.5 s/trigger x ~3.3 triggers x 6 queries ≈ 10-11 s,
+# ARCHITECTURE §R11) plus headroom below the 15.85 s pre-rewrite level —
+# a regression to the old shapes trips it, host noise does not
+STREAMING_FAMILY_BUDGET_S = 12.0
+STREAMING_FAMILY = (
+    "streaming_stateful_parity",
+    "streaming_sketch_parity",
+    "streaming_windowed_parity",
+    "streaming_dedup_parity",
+    "streaming_incremental_parity",
+    "streaming_cagg_parity",
+)
+
+
+def streaming_family_guard(timings: dict[str, float]) -> dict:
+    """Pure guard verdict (unit-tested): family total vs the idle-host
+    budget. 'pass' / 'exceeded' / 'incomplete' (family rows missing —
+    a narrowed run must not fake a pass)."""
+    missing = [k for k in STREAMING_FAMILY if k not in timings]
+    total = round(sum(timings.get(k, 0.0) for k in STREAMING_FAMILY), 4)
+    verdict = (
+        "incomplete"
+        if missing
+        else ("pass" if total <= STREAMING_FAMILY_BUDGET_S else "exceeded")
+    )
+    return {
+        "streaming_family_s": total,
+        "streaming_budget_s": STREAMING_FAMILY_BUDGET_S,
+        "streaming_guard": verdict,
+    }
 
 
 def compact_headline(

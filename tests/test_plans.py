@@ -123,11 +123,20 @@ def test_derived_artifact_gated_on_own_flag(spark, monkeypatch):
     base.derived(spark, ("t_art",), build).count()
     base.derived(spark, ("t_art",), build).count()
     assert calls["n"] == 3  # cached on the second call
-    # fixture-kind still rides the tables flag
+    # READ side is unconditional (round-11 verdict #8): flag off, the
+    # already-materialized artifact still serves…
     monkeypatch.delenv("TOMIX_CACHE_DERIVED", raising=False)
-    base.derived(spark, ("t_fix",), build, kind="fixture").count()
+    base.derived(spark, ("t_art",), build).count()
+    assert calls["n"] == 3
+    # …until clear_derived_cache evicts artifacts (fixtures untouched)
+    monkeypatch.setenv("TOMIX_CACHE_TABLES", "1")
     base.derived(spark, ("t_fix",), build, kind="fixture").count()
     assert calls["n"] == 4
+    base.clear_derived_cache()
+    base.derived(spark, ("t_art",), build).count()
+    assert calls["n"] == 5  # artifact evicted: rebuilt, not re-cached
+    base.derived(spark, ("t_fix",), build, kind="fixture").count()
+    assert calls["n"] == 5  # fixture survived the derived-cache clear
     base.clear_table_cache()
 
 
@@ -422,6 +431,23 @@ def test_rotation_changed_code_outranks_staleness():
     log2 = log | {"brand_new": 0}
     order2 = _derive_order(log2, ("old3",), {"rewritten"})
     assert order2[:3] == ["brand_new", "old3", "rewritten"]
+
+
+def test_streaming_family_bench_guard():
+    """The bench JSON must carry a streaming-family verdict against the
+    12 s idle-host budget (round-11 verdict #6): pass under budget,
+    exceeded over it, incomplete when a family row is missing (a
+    narrowed run must not fake a pass)."""
+    import bench
+
+    fam = {k: 1.5 for k in bench.STREAMING_FAMILY}
+    ok = bench.streaming_family_guard({**fam, "tpch_q1": 50.0})
+    assert ok["streaming_guard"] == "pass"
+    assert ok["streaming_family_s"] == 9.0  # other rows don't count
+    slow = bench.streaming_family_guard({k: 2.5 for k in bench.STREAMING_FAMILY})
+    assert slow["streaming_guard"] == "exceeded"
+    part = bench.streaming_family_guard({"streaming_sketch_parity": 0.1})
+    assert part["streaming_guard"] == "incomplete"
 
 
 def test_rotation_recorded_hashes_regenerate_cleanly():

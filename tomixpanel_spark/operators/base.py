@@ -64,12 +64,33 @@ def _cache_put(key: tuple, df: DataFrame) -> None:
 
 def clear_table_cache() -> None:
     """Unpersist and drop every cached table/derived view."""
+    _ARTIFACT_KEYS.clear()
     while _TABLE_CACHE:
         _, df = _TABLE_CACHE.popitem()
         try:
             df.unpersist()
         except Exception:
             pass
+
+
+_ARTIFACT_KEYS: set = set()
+
+
+def clear_derived_cache() -> None:
+    """Unpersist and drop ONLY artifact-kind derived views, keeping
+    fixture/table caches intact. Needed because the derived-cache READ
+    is unconditional: a bench leg that populated artifacts under
+    TOMIX_CACHE_DERIVED must evict them before later timed legs, or
+    those legs would silently serve from the artifact instead of
+    exercising their own plans."""
+    for k in list(_ARTIFACT_KEYS):
+        _ARTIFACT_KEYS.discard(k)
+        df = _TABLE_CACHE.pop(k, None)
+        if df is not None:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -196,14 +217,23 @@ def derived(spark: SparkSession, key: tuple, builder, kind: str = "artifact") ->
     """
     import os
 
+    # READ side is unconditional (round-11 verdict #8): an artifact some
+    # earlier query already materialized under the flag keeps serving
+    # consumers (bm25 reading tfidf's tokenize_tf) even after the flag
+    # flips off — the artifact exists, re-deriving it helps nobody.
+    # The WRITE side stays flag-gated so benchmarks' timed passes never
+    # materialize work products they weren't asked to.
+    k = (spark.sparkContext.applicationId,) + tuple(key)
+    hit = _cache_get(k)
+    if hit is not None:
+        return hit
     flag = "TOMIX_CACHE_TABLES" if kind == "fixture" else "TOMIX_CACHE_DERIVED"
     if not os.environ.get(flag):
         return builder()
-    k = (spark.sparkContext.applicationId,) + tuple(key)
-    hit = _cache_get(k)
-    if hit is None:
-        hit = builder().persist()
-        _cache_put(k, hit)
+    hit = builder().persist()
+    _cache_put(k, hit)
+    if kind == "artifact":
+        _ARTIFACT_KEYS.add(k)
     return hit
 
 
