@@ -53,6 +53,7 @@ DISTRIBUTED_TIER = (
     "bpe_merges",
     "bpe_token_count",
     "bpe_encode",
+    "chunk_by_bpe",
 )
 
 

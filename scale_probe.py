@@ -64,7 +64,7 @@ PROBE_TEXT_NAMES = [
     "lsh_keep_list", "ngram_jaccard_pairs", "dedup_keep_list",
     "neardup_components", "neardup_keep_best", "lang_id", "quality_score",
     "gopher_quality", "chunk_documents", "bigram_lm_score", "seeded_shuffle",
-    "bpe_merges", "bpe_token_count", "bpe_encode",
+    "bpe_merges", "bpe_token_count", "bpe_encode", "chunk_by_bpe",
 ]
 
 PROBE_EMB_NAMES = [

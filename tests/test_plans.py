@@ -923,6 +923,41 @@ def test_bpe_encode_paths_agree(spark, monkeypatch):
     assert fold == dist
 
 
+def test_chunk_by_bpe_paths_agree(spark, monkeypatch):
+    """All three adaptive tiers of the BPE-budget chunker produce
+    identical chunk rows, and the Catalyst-fold pack obeys the contract:
+    every chunk is within budget unless it is a single over-budget word,
+    and per-doc chunk budgets sum to bpe_token_count's n_bpe_tokens
+    (no piece lost or double-counted at chunk boundaries)."""
+    from tomixpanel_spark.operators.bpe import CHUNK_BPE_BUDGET
+
+    fold = sorted(map(tuple, REG["chunk_by_bpe"].fn(spark, SF_ORACLE).collect()))
+    assert len(fold) > 0
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+    word_fold = sorted(
+        map(tuple, REG["chunk_by_bpe"].fn(spark, SF_ORACLE).collect())
+    )
+    assert fold == word_fold
+    monkeypatch.setenv("TOMIX_BPE_LOCAL_WORDS", "0")
+    dist = sorted(map(tuple, REG["chunk_by_bpe"].fn(spark, SF_ORACLE).collect()))
+    assert fold == dist
+    for _doc, _ci, text, nw, nb in fold:
+        assert nb <= CHUNK_BPE_BUDGET or nw == 1, (text, nw, nb)
+    budgets: dict = {}
+    for doc, _ci, _text, _nw, nb in fold:
+        budgets[doc] = budgets.get(doc, 0) + nb
+    monkeypatch.delenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS")
+    monkeypatch.delenv("TOMIX_BPE_LOCAL_WORDS")
+    totals = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in REG["bpe_token_count"].fn(spark, SF_ORACLE).collect()
+    }
+    for doc, total in budgets.items():
+        assert total == totals[doc], doc
+    # zero-token docs yield no chunks; every tokenized doc is covered
+    assert set(budgets) == {d for d, t in totals.items() if t > 0}
+
+
 def test_bpe_batched_merges_library_mode(spark, tmp_path, monkeypatch):
     """merges_per_round > 1 (library mode; the REGISTERED queries pin
     m=1 = strict Sennrich): each round's batch must be SYMBOL-DISJOINT,

@@ -49,6 +49,7 @@ _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
     # -- new in round 12: never externally checked -------------------
     "bpe_encode": 0,
+    "chunk_by_bpe": 0,
     # -- last green r9 ---------------------------------------------
     "simhash": 9,
     "simhash_pairs": 9,

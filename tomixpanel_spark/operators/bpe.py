@@ -482,13 +482,140 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_BPE_BUDGET = 60  # max BPE pieces per chunk (greedy word packing)
+
+
+def _pack_words(ws, budget: int):
+    """Greedy word-boundary packing by BPE budget (driver mirror of the
+    Catalyst fold): ws = [(word, k)] in document order -> list of
+    (chunk_text, chunk_words, chunk_bpe). A word never splits; a chunk
+    closes when adding the next word would exceed the budget (a single
+    over-budget word still gets its own chunk)."""
+    chunks = []
+    cur: list = []
+    run = 0
+    for w, k in ws:
+        if run + k > budget and run > 0:
+            chunks.append((" ".join(x for x, _ in cur), len(cur),
+                           sum(x for _, x in cur)))
+            cur, run = [], 0
+        cur.append((w, k))
+        run += k
+    if cur:
+        chunks.append((" ".join(x for x, _ in cur), len(cur),
+                       sum(x for _, x in cur)))
+    return chunks
+
+
+def chunk_by_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking by REAL subword budget (round-11 verdict #4's wiring):
+    split each document into chunks of at most CHUNK_BPE_BUDGET BPE
+    pieces under the learned merges, greedily at word boundaries — the
+    packing a training pipeline runs so sequences fit a context window
+    measured in ACTUAL tokenizer tokens, not whitespace words (which
+    ``chunk_documents`` counts). Output: (doc_id, chunk_idx, chunk_text,
+    chunk_words, chunk_bpe).
+
+    Scale shape (distributed): per-word piece counts come from the
+    vocab-sized final-merge table (broadcast under the shared gate);
+    the greedy pack runs as ONE Catalyst fold per document over the
+    pos-ordered (word, k) array — chunk ids are doc-local, so chunk
+    ASSEMBLY is pure array ops (filter/transform per chunk id) with no
+    second shuffle: the only exchange is the per-doc collect_list."""
+    from pyspark.sql.functions import posexplode
+
+    from tomixpanel_spark.functions.text import tokens
+    from tomixpanel_spark.operators.base import ensure_parallel
+
+    out_schema = (
+        "doc_id long, chunk_idx long, chunk_text string, "
+        "chunk_words long, chunk_bpe long"
+    )
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    if _under_fold_cap(spark, sf_dir, docs):
+        from tomixpanel_spark.operators.dedup import _fold_tokenize
+        from tomixpanel_spark.operators.textops import docs_pdf
+
+        _rows, vocab = _fold_train(docs, N_MERGES)
+        pdf = docs_pdf(docs)
+        out = []
+        for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+            ws = [(w, len(vocab[w])) for w in _fold_tokenize(t)]
+            for ci, (text, nw, nb) in enumerate(
+                _pack_words(ws, CHUNK_BPE_BUDGET)
+            ):
+                out.append((int(doc_id), ci, text, nw, nb))
+        return spark.createDataFrame(out, schema=out_schema)
+    wl = _distributed_vocab(spark, docs).select(
+        "word", F.size("syms").cast("bigint").alias("k")
+    )
+    dw = docs.select(
+        "doc_id", posexplode(tokens("text")).alias("pos", "word")
+    ).join(wl, "word")
+    arr = dw.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "word", "k"))).alias("ws")
+    )
+    init = F.struct(
+        F.array().cast(
+            "array<struct<word:string,k:bigint,cid:bigint>>"
+        ).alias("out"),
+        F.lit(0).cast("bigint").alias("cid"),
+        F.lit(0).cast("bigint").alias("run"),
+    )
+    budget = F.lit(CHUNK_BPE_BUDGET).cast("bigint")
+
+    def step(acc, x):
+        new_chunk = (acc["run"] + x["k"] > budget) & (acc["run"] > 0)
+        cid = F.when(new_chunk, acc["cid"] + 1).otherwise(acc["cid"])
+        run = F.when(new_chunk, x["k"]).otherwise(acc["run"] + x["k"])
+        entry = F.struct(
+            x["word"].alias("word"), x["k"].alias("k"), cid.alias("cid")
+        )
+        return F.struct(
+            F.concat(acc["out"], F.array(entry)).alias("out"),
+            cid.alias("cid"),
+            run.alias("run"),
+        )
+
+    packed = arr.select(
+        "doc_id", F.aggregate(F.col("ws"), init, step, lambda a: a["out"]).alias("out")
+    )
+    cid_max = F.element_at(F.col("out"), -1)["cid"]
+
+    def chunk_of(c):
+        members = F.filter(F.col("out"), lambda x: x["cid"] == c)
+        return F.struct(
+            F.array_join(
+                F.transform(members, lambda x: x["word"]), " "
+            ).alias("chunk_text"),
+            F.size(members).cast("bigint").alias("chunk_words"),
+            F.aggregate(
+                members, F.lit(0).cast("bigint"), lambda a, x: a + x["k"]
+            ).alias("chunk_bpe"),
+        )
+
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), cid_max), chunk_of
+    )
+    return packed.select("doc_id", F.posexplode(chunks)).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("chunk_idx"),
+        F.col("col.chunk_text").alias("chunk_text"),
+        F.col("col.chunk_words").alias("chunk_words"),
+        F.col("col.chunk_bpe").alias("chunk_bpe"),
+    )
+
+
 def _bpe_oracle_sql(n_merges: int = N_MERGES, emit: str = "merges") -> str:
     """Programmatically unrolled DuckDB mirror: per step a pair-count
     CTE, the sentinel argmax, and a per-word recursive position-cursor
     CTE applying the left-to-right merge. ``emit='merges'`` yields the
     training table; ``emit='doc_counts'`` applies the final vocab to
     every document (bpe_token_count's oracle); ``emit='pieces'`` emits
-    the per-document piece sequences (bpe_encode's oracle)."""
+    the per-document piece sequences (bpe_encode's oracle);
+    ``emit='chunks'`` greedily packs words into CHUNK_BPE_BUDGET-piece
+    chunks via a per-document recursive position cursor (chunk_by_bpe's
+    oracle)."""
     parts = [
         "WITH RECURSIVE words0 AS MATERIALIZED (",
         "  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,",
@@ -528,7 +655,7 @@ words{i} AS MATERIALIZED (
   FROM walk{i} k JOIN words{i - 1} w ON k.word = w.word
   WHERE k.pos > len(w.syms))"""
         parts.append(p)
-    if emit in ("doc_counts", "pieces"):
+    if emit in ("doc_counts", "pieces", "chunks"):
         parts.append(""", docw AS MATERIALIZED (
   SELECT doc_id, j AS pos, words[j] AS word
   FROM (SELECT doc_id, list_filter(string_split(
@@ -545,6 +672,25 @@ SELECT d.doc_id,
   CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
   CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
 FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""")
+        return "\n".join(parts)
+    if emit == "chunks":
+        parts.append(f""", wk AS MATERIALIZED (
+  SELECT dw.doc_id, dw.pos, dw.word, CAST(len(f.syms) AS BIGINT) AS k
+  FROM docw dw JOIN words{n_merges} f ON dw.word = f.word),
+pack(doc_id, pos, cid, run) AS (
+  SELECT doc_id, pos, CAST(0 AS BIGINT), k FROM wk WHERE pos = 1
+  UNION ALL
+  SELECT w.doc_id, w.pos,
+    CASE WHEN p.run + w.k > {CHUNK_BPE_BUDGET} THEN p.cid + 1 ELSE p.cid END,
+    CASE WHEN p.run + w.k > {CHUNK_BPE_BUDGET} THEN w.k ELSE p.run + w.k END
+  FROM pack p JOIN wk w ON w.doc_id = p.doc_id AND w.pos = p.pos + 1),
+packm AS MATERIALIZED (SELECT * FROM pack)
+SELECT p.doc_id, CAST(p.cid AS BIGINT) AS chunk_idx,
+  string_agg(w.word, ' ' ORDER BY p.pos) AS chunk_text,
+  CAST(COUNT(*) AS BIGINT) AS chunk_words,
+  CAST(SUM(w.k) AS BIGINT) AS chunk_bpe
+FROM packm p JOIN wk w ON w.doc_id = p.doc_id AND w.pos = p.pos
+GROUP BY 1, 2""")
         return "\n".join(parts)
     if emit == "pieces":
         parts.append(f""", perdoc AS MATERIALIZED (
@@ -588,5 +734,10 @@ REGISTRY = {
         bpe_encode,
         _bpe_oracle_sql(emit="pieces"),
         "ext:text BPE tokenizer apply — per-document piece sequences",
+    ),
+    "chunk_by_bpe": QuerySpec(
+        chunk_by_bpe,
+        _bpe_oracle_sql(emit="chunks"),
+        "ext:text greedy word packing into BPE-budget chunks",
     ),
 }
