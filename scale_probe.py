@@ -65,6 +65,7 @@ PROBE_TEXT_NAMES = [
     "neardup_components", "neardup_keep_best", "lang_id", "quality_score",
     "gopher_quality", "chunk_documents", "bigram_lm_score", "seeded_shuffle",
     "bpe_merges", "bpe_token_count", "bpe_encode", "chunk_by_bpe",
+    "dsir_weights",
 ]
 
 PROBE_EMB_NAMES = [

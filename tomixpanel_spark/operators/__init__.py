@@ -50,6 +50,7 @@ _LAST_EXTERNAL = {
     # -- new in round 12: never externally checked -------------------
     "bpe_encode": 0,
     "chunk_by_bpe": 0,
+    "dsir_weights": 0,
     # -- last green r9 ---------------------------------------------
     "simhash": 9,
     "simhash_pairs": 9,

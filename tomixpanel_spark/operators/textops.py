@@ -446,6 +446,111 @@ WHERE h < least(n_tokens * 100, 9000)
 """
 
 
+DSIR_BUCKETS = 1024  # hashed n-gram feature space (Xie et al. 2023 use 10k)
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-bigram feature distribution
+    is — the data-SELECTION verb that upweights in-domain text before
+    pretraining. Target here: the corpus's English subset (lang = 'en');
+    raw: the whole corpus.
+
+    Engine-portable, integer-exact surrogate (the tfidf N/df precedent —
+    libm logs diverge across engines by ULPs): per feature bucket,
+    frequency ratio r_e6 = (f_target_e9 * 1e6) div f_raw_e9 with
+    f_*_e9 = (bucket_count * 1e9) div total, and a document's weight is
+    the SUM of its bigrams' ratios (DSIR proper sums LOG ratios — the
+    sum-of-ratios surrogate keeps per-feature monotonicity and
+    integer-exact cross-engine parity; exactness bound: per-bucket
+    counts <= ~9e9 before the e9 scaling overflows int64, far past any
+    single-corpus bucket at B=1024).
+
+    Scale shape: the two feature tables are BUCKET-sized (<= 1024 rows
+    each — two map-side-partial aggregates whose shuffles carry bucket
+    ids), folded into ONE broadcast map; the scoring pass is then a pure
+    narrow fold over each document's own bigram buckets — nothing
+    doc-level crosses the wire, no join on doc_id, no second shuffle."""
+    from tomixpanel_spark.functions.text import bigrams
+
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    bucket_of = lambda bg: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(bg), 1, 8), 16, 10).cast("long"),
+        F.lit(DSIR_BUCKETS),
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.transform(bigrams(tokens("text")), bucket_of).alias("bks"),
+    )
+    ex = base.select("lang", F.explode("bks").alias("bucket"))
+    # ONE corpus pass builds both feature tables: conditional count for
+    # the target side, then the totals fold over the 1024-row result —
+    # separate q/p/nq/np aggregates would re-explode the corpus 4x
+    stats = ex.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("qc"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("pc"),
+    )
+    tot = stats.agg(
+        F.sum("qc").alias("nq"), F.sum("pc").alias("np")
+    )
+    ratio = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            "(pc * 1000000000L div np) * 1000000L"
+            " div nullif(qc * 1000000000L div nq, 0L)"
+        ).alias("r_e6"),
+    )
+    rmap = F.broadcast(
+        ratio.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "r_e6"))
+            ).alias("rm")
+        )
+    )
+    scored = base.crossJoin(rmap).select(
+        "doc_id",
+        F.size("bks").cast("bigint").alias("n_bigrams"),
+        F.aggregate(
+            F.col("bks"),
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc
+            + F.coalesce(F.element_at(F.col("rm"), b), F.lit(0).cast("bigint")),
+        ).alias("dsir_weight_e6"),
+    )
+    return scored
+
+
+_DSIR_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang, {_SQL_WORDS} AS words FROM documents),
+bk AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(words[j] || ' ' || words[j + 1]), 1, 8))
+              AS BIGINT) % {DSIR_BUCKETS} AS bucket
+  FROM w, UNNEST(range(1, len(words))) AS t(j)),
+q AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS qc FROM bk GROUP BY 1),
+p AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS pc FROM bk
+      WHERE lang = 'en' GROUP BY 1),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bk),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bk WHERE lang = 'en'),
+ratio AS (
+  SELECT q.bucket,
+         (COALESCE(p.pc, 0) * 1000000000 // np.n) * 1000000
+           // NULLIF(q.qc * 1000000000 // nq.n, 0) AS r_e6
+  FROM q LEFT JOIN p USING (bucket), np, nq),
+score AS (
+  SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(COALESCE(r.r_e6, 0)) AS BIGINT) AS w
+  FROM bk JOIN ratio r USING (bucket) GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(s.w, 0) AS BIGINT) AS dsir_weight_e6
+FROM documents d LEFT JOIN score s ON d.doc_id = s.doc_id
+"""
+
+
 def mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture reporting: per (language bucket, length tier) document
     and token totals — the numbers a training-data pipeline balances
@@ -1619,6 +1724,11 @@ REGISTRY = {
     ),
     "chunk_documents": QuerySpec(
         chunk_documents, _CHUNK_DOCS_SQL, "ext:text chunking"
+    ),
+    "dsir_weights": QuerySpec(
+        dsir_weights,
+        _DSIR_SQL,
+        "ext:text DSIR-style hashed-bigram importance weights",
     ),
     "segment_dedup": QuerySpec(
         segment_dedup, _SEGMENT_DEDUP_SQL, "ext:text segment-level dedup"
