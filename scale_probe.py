@@ -178,8 +178,8 @@ def build_cc_dataset(src_sf: str, dst: str) -> None:
 ASOF_EVENT_REPLICAS = 60   # clicks 19.9k -> 1.19M > TOMIX_ASOF_BCAST_ROWS
 ASOF_ORDER_REPLICAS = 10   # orders 150k -> 1.5M  > TOMIX_ASOF_BCAST_ROWS
 
-PROBE_ASOF_NAMES = ["asof_latest_order", "attribution_last_touch",
-                    "range_join_active_windows"]
+PROBE_ASOF_NAMES = ["asof_latest_order", "asof_next_order",
+                    "attribution_last_touch", "range_join_active_windows"]
 
 
 def build_asof_dataset(src_sf: str, dst: str) -> None:

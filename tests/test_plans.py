@@ -433,6 +433,23 @@ def test_rotation_changed_code_outranks_staleness():
     assert order2[:3] == ["brand_new", "old3", "rewritten"]
 
 
+def test_dsir_scoring_pass_has_no_doc_level_shuffle(spark):
+    """dsir_weights' scale contract: the per-document scoring pass is a
+    narrow fold against one broadcast ratio map — no exchange keyed on
+    doc_id anywhere in the plan (the bucket-table aggregates are the
+    only shuffles, and they carry <= 1024-row bucket ids)."""
+    import re
+
+    df = REG["dsir_weights"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every doc_id exchange must be ensure_parallel's defensive
+    # REPARTITION_BY_NUM of the 1-partition toy scan — never a
+    # computation shuffle (ENSURE_REQUIREMENTS) keyed on doc_id
+    for m in re.finditer(r"hashpartitioning\(doc_id[^\n]*", plan):
+        assert "REPARTITION_BY_NUM" in m.group(0), m.group(0)
+    assert "BroadcastExchange" in plan  # the ratio map rides a broadcast
+
+
 def test_streaming_family_bench_guard():
     """The bench JSON must carry a streaming-family verdict against the
     12 s idle-host budget (round-11 verdict #6): pass under budget,

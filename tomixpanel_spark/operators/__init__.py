@@ -51,6 +51,7 @@ _LAST_EXTERNAL = {
     "bpe_encode": 0,
     "chunk_by_bpe": 0,
     "dsir_weights": 0,
+    "asof_next_order": 0,
     # -- last green r9 ---------------------------------------------
     "simhash": 9,
     "simhash_pairs": 9,

@@ -464,7 +464,56 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts_c
 """
 
 
+def asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each event joined to the user's EARLIEST order
+    at-or-after the event time — the next-reading / next-quote shape
+    (``direction='forward'``), which until now only library tests
+    exercised. Same derived right side as ``asof_latest_order``; ties
+    per (user, time) resolve to the max orderkey exactly like the
+    backward query, proved against the oracle's max_by pre-aggregation
+    + min_by(ts) pick."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = table(spark, sf_dir, "orders")
+    r = orders.select(
+        F.pmod("o_custkey", F.lit(150)).cast("bigint").alias("user_id"),
+        F.expr(
+            "timestampadd(HOUR, cast(o_orderkey % 720 as int), "
+            "timestamp'2024-01-01 00:00:00')"
+        ).alias("ts_r"),
+        F.col("o_orderkey").alias("order_key"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_c"),
+    )
+    return asof_join(
+        ev, r, on="user_id", left_time="ts", right_time="ts_r",
+        right_tiebreak=("order_key",), direction="forward", strategy="auto",
+    ).select("event_id", "user_id", "order_key", "total_c")
+
+
+_ASOF_FWD_SQL = """
+WITH r AS (
+  SELECT user_id, ts_r, max(o_orderkey) AS order_key,
+         CAST(round(max_by(o_totalprice, o_orderkey) * 100) AS BIGINT) AS total_c
+  FROM (
+    SELECT o_custkey % 150 AS user_id,
+           TIMESTAMP '2024-01-01 00:00:00' + (o_orderkey % 720) * INTERVAL 1 HOUR AS ts_r,
+           o_orderkey, o_totalprice
+    FROM orders)
+  GROUP BY user_id, ts_r)
+SELECT e.event_id, e.user_id,
+       min_by(r.order_key, r.ts_r) AS order_key,
+       min_by(r.total_c, r.ts_r) AS total_c
+FROM events e LEFT JOIN r
+  ON e.user_id = r.user_id AND r.ts_r >= e.ts
+GROUP BY e.event_id, e.user_id
+"""
+
+
 REGISTRY = {
+    "asof_next_order": QuerySpec(
+        asof_next_order,
+        _ASOF_FWD_SQL,
+        "custom operator: FORWARD as-of join (next order at-or-after)",
+    ),
     "asof_latest_order": QuerySpec(
         asof_latest_order,
         _ASOF_SQL,
