@@ -93,11 +93,12 @@ def _collect_top_pairs(words: DataFrame, m: int) -> list[tuple[str, str, int]]:
     lexicographic struct ordering makes min() pick the highest count,
     then the lexicographically smallest (l, r), with map-side partial
     min, so the whole step is one aggregate job and one collected row.
-    m>1 collects a bounded top-(3m) candidate slate (greedy disjoint
-    filtering needs to skip conflicts, and each kept pair can conflict
-    out at most two later candidates — so 3m candidates always yield m
-    disjoint pairs when they exist) and greedily keeps pairs sharing no
-    symbol with an earlier kept pair."""
+    m>1 collects a bounded top-(3m) candidate slate and greedily keeps
+    pairs sharing no symbol with an earlier kept pair. The slate bound
+    does NOT guarantee m disjoint pairs (one hot symbol can conflict out
+    arbitrarily many candidates) — but the slate's first pair is always
+    kept, so every round makes progress, and a short round just leaves
+    the remaining merges to the next re-count."""
     pairs = _pair_counts(words)
     if m == 1:
         row = pairs.agg(
