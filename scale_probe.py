@@ -2,7 +2,7 @@
 size-adaptive gates so the DISTRIBUTED plans get wall-clock + value
 signal on real above-gate inputs, not just forced-off gates.
 
-Four probe families (select with argv, default all):
+Five probe families (select with argv, default all):
 
 * ``text`` — documents 10x (5k -> 50k docs, doc_id-offset, per-replica
   text suffix on 2/3 of docs so duplicate structure stays rich): flips
@@ -32,7 +32,12 @@ Four probe families (select with argv, default all):
   side-by-side, natural-vs-forced-broadcast paths-agree checksums, and
   range-join bin-width invariance (1-day vs 6-hour bins).
 
-Usage: ``python scale_probe.py [text|emb|cc|asof ...]`` (writes probe
+* ``bpe`` — vocab-rich corpus (words salted by doc_id -> ~1.5M distinct
+  words >> TOMIX_BPE_LOCAL_WORDS) so the fully distributed BPE merge
+  iteration engages NATURALLY (asserted via bpe.LAST_TIER), hash-checked
+  against the recursive DuckDB oracle at the same vocabulary size.
+
+Usage: ``python scale_probe.py [text|emb|cc|asof|bpe ...]`` (writes probe
 datasets under $TOMIX_PROBE_DIR, default /tmp/sfx10, then prints
 name,spark_s,duckdb_s,ratio,rows,match per query). Results are recorded
 in ARCHITECTURE.md rounds 10-11.
@@ -326,6 +331,70 @@ def probe_asof(spark, src_sf: str, probe_root: str) -> None:
     )
 
 
+def build_bpe_vocab_dataset(src_sf: str, dst: str) -> None:
+    """Vocab-rich corpus for the BPE word-fold gate's NATURAL flip: 10x
+    documents with every word salted by its doc_id ('word_12345'), so
+    the distinct-word table is ~1.5M rows (>> TOMIX_BPE_LOCAL_WORDS=200k
+    — corpus text no longer compresses into a toy vocabulary) and the
+    FULLY DISTRIBUTED merge iteration engages naturally with real
+    per-step work to amortize its floors."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT d.doc_id + rr.r * 1000000 AS doc_id,
+                 array_to_string(list_transform(
+                   list_filter(string_split(translate(d.text,
+                     chr(9)||chr(10)||chr(13)||chr(11)||chr(12), '     '),
+                     ' '), t -> t <> ''),
+                   w -> w || '_' || CAST(d.doc_id + rr.r * 1000000 AS VARCHAR)),
+                   ' ') AS text,
+                 d.lang, d.source, d.n_chars
+          FROM read_parquet('{src_sf}/documents.parquet') d,
+               (SELECT unnest(range(10)) AS r) rr
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
+def probe_bpe_vocab(spark, src_sf: str, probe_root: str) -> None:
+    """Natural above-gate leg for TOMIX_BPE_LOCAL_WORDS: the salted
+    corpus trains through the fully distributed iteration (asserted via
+    bpe.LAST_TIER) and is hash-compared against the DuckDB recursive
+    oracle over the same 1.5M-word vocabulary."""
+    import duckdb
+
+    from tomixpanel_spark.operators import bpe as B
+    from tomixpanel_spark.operators import registry
+
+    reg = registry()
+    dst = probe_root + "_bpevocab"
+    if not os.path.exists(f"{dst}/_probe_bpevocab_v1"):
+        build_bpe_vocab_dataset(src_sf, dst)
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "embeddings"
+        ).split():
+            if not os.path.exists(f"{dst}/{t}.parquet"):
+                shutil.copyfile(f"{src_sf}/{t}.parquet", f"{dst}/{t}.parquet")
+        open(f"{dst}/_probe_bpevocab_v1", "w").close()
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 4}")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'")
+    run_queries(spark, con, reg, dst, ["bpe_merges", "bpe_token_count"])
+    assert B.LAST_TIER == "distributed", (
+        f"word gate did not flip naturally (LAST_TIER={B.LAST_TIER}) — "
+        "probe is mis-sized"
+    )
+
+
 def _canon_hash(pdf) -> str:
     """Order-free value hash over a pandas frame: sort columns by name,
     stringify cells (repr for floats, the oracle-parity convention),
@@ -553,7 +622,7 @@ def main() -> None:
     os.environ.setdefault("TOMIX_CACHE_TABLES", "1")
     os.environ.setdefault("TOMIX_CACHE_PARTS", "8")
     os.environ.setdefault("TOMIX_CACHE_PARTS_MIN_MB", "0.4")
-    families = set(sys.argv[1:]) or {"text", "emb", "cc", "asof"}
+    families = set(sys.argv[1:]) or {"text", "emb", "cc", "asof", "bpe"}
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dst = os.environ.get("TOMIX_PROBE_DIR", "/tmp/sfx10")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -594,6 +663,8 @@ def main() -> None:
         probe_cc(spark, src, dst)
     if "asof" in families:
         probe_asof(spark, src, dst)
+    if "bpe" in families:
+        probe_bpe_vocab(spark, src, dst)
 
 
 if __name__ == "__main__":

@@ -36,7 +36,8 @@ Scale shape — THREE adaptive tiers, gated by measured size:
   pair aggregate per step (round-11 verdict #3, lever a);
 * ONE job: a PURE-CATALYST left-to-right merge — ``F.aggregate`` folds
   each word's symbol array with (out, pending) state, the chosen pairs
-  baked in as LITERALS (no join at all) — checkpointed
+  riding as a broadcast 1-row MAP literal DataFrame (stable codegen
+  across steps — see ``_merge_step``) — checkpointed
   (``stage_checkpoint``) so step k+1 reads materialized symbols instead
   of re-deriving k layers of folds.
 
@@ -68,6 +69,10 @@ from pyspark.sql import functions as F
 from tomixpanel_spark.operators.base import QuerySpec, stage_checkpoint, table
 
 N_MERGES = 6
+
+# probe/test observable: which adaptive tier the last training run took
+# (the asof.LAST_STRATEGY / identity.LAST_DISTRIBUTED_ROUNDS precedent)
+LAST_TIER: str | None = None
 
 _OUT_SCHEMA = (
     "step long, left string, right string, merged string, pair_count long"
@@ -292,8 +297,10 @@ def _train_distributed(
     # next job needed anyway — and it is the post-aggregate VOCAB size,
     # not the corpus.
     n_words = cur.count()
+    global LAST_TIER
     if merges_per_round == 1:
         if n_words <= _bpe_local_words_cap():
+            LAST_TIER = "word-fold"
             wc = {r["word"]: r["freq"] for r in
                   cur.select("word", "freq").collect()}
             rows, vocab = _sennrich_loop(wc, n_merges)
@@ -304,6 +311,7 @@ def _train_distributed(
                     schema="word string, freq long, syms array<string>",
                 )
             return rows, final
+    LAST_TIER = "distributed"
     rows: list[tuple] = []
     while len(rows) < n_merges:
         m = min(merges_per_round, n_merges - len(rows))
@@ -341,8 +349,10 @@ def _under_fold_cap(spark: SparkSession, sf_dir: str, docs: DataFrame) -> bool:
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tomixpanel_spark.operators.base import ensure_parallel
 
+    global LAST_TIER
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
     if _under_fold_cap(spark, sf_dir, docs):
+        LAST_TIER = "corpus-fold"
         rows, _vocab = _fold_train(docs, N_MERGES)
         return spark.createDataFrame(rows, schema=_OUT_SCHEMA)
     rows, _final = _train_distributed(spark, docs, N_MERGES, need_final=False)
