@@ -54,6 +54,7 @@ DISTRIBUTED_TIER = (
     "bpe_token_count",
     "bpe_encode",
     "chunk_by_bpe",
+    "seeded_shuffle",
 )
 
 

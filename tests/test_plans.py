@@ -873,19 +873,32 @@ def test_seeded_shuffle_rank_windows_are_bucket_parallel(spark):
         assert "bucket" in m.group(1), f"rank window partitioned by {m.group(1)}"
 
 
-def test_seeded_shuffle_single_corpus_pass(spark):
-    """The ranked stream must be materialized ONCE for its two consumers
-    (offsets aggregate + final join): the composed plan reads the
-    checkpoint (ExistingRDD), never re-scans the parquet (the
-    un-checkpointed form scanned AND shuffled the corpus twice — the
-    subtrees don't ReuseExchange-collapse because only the join side
+def test_seeded_shuffle_single_corpus_pass(spark, monkeypatch):
+    """The DISTRIBUTED plan's ranked stream must be materialized ONCE
+    for its two consumers (offsets aggregate + final join): the composed
+    plan reads the checkpoint (ExistingRDD), never re-scans the parquet
+    (the un-checkpointed form scanned AND shuffled the corpus twice —
+    the subtrees don't ReuseExchange-collapse because only the join side
     pushes isnotnull(bucket) into its scan), and the 256-row offsets
-    side comes back as a broadcast."""
+    side comes back as a broadcast. Gate forced off — the registered
+    query driver-folds at this corpus size."""
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
     df = REG["seeded_shuffle"].fn(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FileScan parquet" not in plan, "corpus re-scanned outside the checkpoint"
     assert "hashpartitioning(bucket" not in plan, "corpus re-shuffled after the checkpoint"
     assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_seeded_shuffle_paths_agree(spark, monkeypatch):
+    """Driver fold (Python md5 + one sort) and the two-level-rank
+    distributed plan emit the IDENTICAL permutation — md5 hex digests
+    agree byte-for-byte across engines and languages."""
+    fold = sorted(map(tuple, REG["seeded_shuffle"].fn(spark, SF_ORACLE).collect()))
+    assert len(fold) > 0
+    monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
+    dist = sorted(map(tuple, REG["seeded_shuffle"].fn(spark, SF_ORACLE).collect()))
+    assert fold == dist
 
 
 def test_bpe_paths_agree(spark, monkeypatch):

@@ -245,8 +245,41 @@ def seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
       broadcast-joined back.
 
     The oracle declares the naive single-window form; both produce
-    identical rows (the plan test pins the 256-way partitioning)."""
+    identical rows (the plan test pins the 256-way partitioning).
+
+    SIZE-ADAPTIVE like the rest of the text family: under the shared
+    corpus cap (TOMIX_TFIDF_DRIVER_FOLD_DOCS) the permutation folds on
+    the driver — one bounded doc_id collect, Python md5 (hex-identical
+    to Spark's), one sort — because at toy scale the two-level-rank
+    machinery is pure stage floors (the round-11 verdict's 'starkest
+    floor row': 0.45 s vs a 7 ms oracle). The 50k-doc probe still runs
+    the distributed plan NATURALLY, and the bench distributed tier
+    hash-checks it with the gate forced off."""
+    from tomixpanel_spark.operators.textops import (
+        _corpus_count,
+        _tfidf_driver_fold_cap,
+    )
+
     docs = table(spark, sf_dir, "documents")
+    if _corpus_count(spark, sf_dir, docs) <= _tfidf_driver_fold_cap():
+        import hashlib
+
+        ranked = sorted(
+            (
+                hashlib.md5(
+                    f"{SHUFFLE_SEED}:{r['doc_id']}".encode()
+                ).hexdigest(),
+                int(r["doc_id"]),
+            )
+            for r in docs.select("doc_id").collect()
+        )
+        n_pos: dict = {}
+        out = []
+        for h, d in ranked:
+            shard = ((_HEX.index(h[0]) * 16) + _HEX.index(h[1])) % N_SHARDS
+            n_pos[shard] = n_pos.get(shard, 0) + 1
+            out.append((d, shard, n_pos[shard]))
+        return spark.createDataFrame(out, "doc_id long, shard long, pos long")
     local = stage_checkpoint(_seeded_ranked(docs))
     # bucket counts as max(rn) over the ranked stream — the shuffle
     # carries <=256 partial rows per input partition, never the corpus
