@@ -44,6 +44,19 @@ def _canon_rows(cols, rows):
 def test_query_matches_oracle(name, spark, duck):
     spec = REG[name]
     sdf = spec.fn(spark, SF_ORACLE)
+
+    # Driver output contract FIRST: the external gate pandas-sorts the
+    # result, which cannot hash array/map/struct cells — a query that
+    # passes the str()-canonicalized value compare below can still
+    # red-flag at the real driver (round-12 verdict #1: bpe_encode).
+    from tomixpanel_spark.operators.base import driver_hashable_violations
+
+    bad = driver_hashable_violations(sdf.schema)
+    assert not bad, (
+        f"{name}: non-scalar output columns break the driver's pandas "
+        f"canonicalization: {bad}"
+    )
+
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
 
@@ -75,3 +88,29 @@ def test_query_matches_oracle(name, spark, duck):
             f"{name}: {len(mismatches)}/{len(s_canon)} canonical rows differ; "
             f"first diff -> {'; '.join(detail)}"
         )
+
+
+def test_driver_hashable_contract_rejects_arrays(spark):
+    """The contract check actually catches the round-12 failure class: a
+    synthetic query emitting array/map/struct columns is flagged, scalar
+    schemas are not."""
+    from tomixpanel_spark.operators.base import driver_hashable_violations
+
+    bad = spark.createDataFrame(
+        [(1, ["a", "b"], {"k": 1}, (1, 2))],
+        schema="id long, pieces array<string>, m map<string,int>, "
+               "s struct<a:int,b:int>",
+    )
+    v = driver_hashable_violations(bad.schema)
+    assert [x.split(":")[0] for x in v] == ["pieces", "m", "s"]
+
+    ok = spark.createDataFrame([(1, "x", 1.5)], schema="id long, t string, f double")
+    assert driver_hashable_violations(ok.schema) == []
+
+    # and the driver's own mechanics really do choke on the array cell
+    import pandas as pd
+    import pytest as _pt
+
+    pdf = pd.DataFrame([(1, ["a", "b"])], columns=["id", "pieces"])
+    with _pt.raises(TypeError):
+        pdf.sort_values(by=["id", "pieces"])

@@ -936,20 +936,32 @@ def test_bpe_token_count_paths_agree(spark, monkeypatch):
 
 def test_bpe_encode_paths_agree(spark, monkeypatch):
     """Fold and distributed piece emission agree cell-for-cell (including
-    in-array order — the sort_array(collect_list(struct(pos, syms)))
-    order-rebuild against the driver loop's natural order), and the
-    distributed vocab join broadcasts under the shared vocab gate."""
-    fold = {r["doc_id"]: r["pieces"] for r in
-            REG["bpe_encode"].fn(spark, SF_ORACLE).collect()}
-    assert fold and any(len(v) > 0 for v in fold.values())
+    piece_idx — the running-offset window + inner posexplode against the
+    driver loop's natural enumeration order), and the distributed vocab
+    join broadcasts under the shared vocab gate. Output is one SCALAR
+    row per piece (round-12 verdict #1: the driver cannot hash array
+    cells)."""
+    def rows(df):
+        return sorted((r["doc_id"], r["piece_idx"], r["piece"])
+                      for r in df.collect())
+
+    fold = rows(REG["bpe_encode"].fn(spark, SF_ORACLE))
+    assert len(fold) > 0
+    # piece_idx is a dense 0..n-1 stream per doc
+    from collections import Counter
+    per_doc = Counter(d for d, _, _ in fold)
+    idx = {}
+    for d, i, _ in fold:
+        idx.setdefault(d, []).append(i)
+    assert all(sorted(v) == list(range(per_doc[d]))
+               for d, v in idx.items())
     monkeypatch.setenv("TOMIX_TFIDF_DRIVER_FOLD_DOCS", "0")
-    word_fold = {r["doc_id"]: r["pieces"] for r in
-                 REG["bpe_encode"].fn(spark, SF_ORACLE).collect()}
+    word_fold = rows(REG["bpe_encode"].fn(spark, SF_ORACLE))
     assert fold == word_fold
     monkeypatch.setenv("TOMIX_BPE_LOCAL_WORDS", "0")
     df = REG["bpe_encode"].fn(spark, SF_ORACLE)
     assert "BroadcastHashJoin" in join_strategies(df)
-    dist = {r["doc_id"]: r["pieces"] for r in df.collect()}
+    dist = rows(df)
     assert fold == dist
 
 

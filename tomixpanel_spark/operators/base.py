@@ -284,6 +284,24 @@ class QuerySpec:
     doc: str = ""
 
 
+def driver_hashable_violations(schema) -> list[str]:
+    """Driver output contract: the external correctness gate pandas-sorts
+    each result (sort_values -> factorize), which raises TypeError on
+    unhashable cells — so a registered query must emit SCALAR columns
+    only. Round 12 shipped ``bpe_encode`` with ``pieces array<string>``
+    and the driver red-flagged the row while the local harnesses (which
+    str()-canonicalized cells) stayed green (round-12 verdict #1/#2).
+    Returns ["col: type", ...] for every ArrayType/MapType/StructType
+    top-level column; empty means driver-safe."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def collect_registry(*modules) -> dict[str, QuerySpec]:
     reg: dict[str, QuerySpec] = {}
     for m in modules:

@@ -359,13 +359,22 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema=_OUT_SCHEMA)
 
 
-def _distributed_vocab(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def _distributed_vocab(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> DataFrame:
     """Final word -> syms table after N_MERGES, broadcast when under the
-    shared vocab gate (TOMIX_TFIDF_BCAST_VOCAB; shuffle join above)."""
+    shared vocab gate (TOMIX_TFIDF_BCAST_VOCAB; shuffle join above).
+
+    The memo key is (applicationId, sf_dir) — NOT id(docs): object ids
+    never repeat across calls with caching off (an extra count job per
+    call), and CPython address reuse could serve a stale count for a
+    DIFFERENT sf_dir's docs in the same app (scale_probe runs several
+    probe dirs per session), mis-gating the broadcast decision
+    (round-12 advice, medium)."""
     from tomixpanel_spark.operators.textops import _tfidf_vocab_cap, _vocab_count
 
     _rows, final = _train_distributed(spark, docs, N_MERGES, need_final=True)
-    key = (spark.sparkContext.applicationId, id(docs), "bpe_vocab")
+    key = (spark.sparkContext.applicationId, sf_dir, "bpe_vocab")
     if _vocab_count(spark, key, final) <= _tfidf_vocab_cap():
         return F.broadcast(final)
     return final
@@ -406,7 +415,7 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
         return spark.createDataFrame(out, schema=schema)
-    wl = _distributed_vocab(spark, docs).select(
+    wl = _distributed_vocab(spark, sf_dir, docs).select(
         "word", F.size("syms").cast("bigint").alias("k")
     )
     doc_words = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
@@ -431,18 +440,25 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer-APPLY verb (round-11 verdict #4): per document, the
-    actual BPE piece sequence under the learned merges — (doc_id, pieces
-    ARRAY<STRING>), pieces in document word order, each word's symbols
-    in left-to-right order. This is what feeds chunk_documents /
-    balanced_shards when sharding by real subword budgets instead of
-    whitespace token counts.
+    actual BPE piece sequence under the learned merges, one row per
+    piece — (doc_id, piece_idx BIGINT, piece STRING), piece_idx the
+    0-based position in the document's full piece stream (document word
+    order, each word's symbols left-to-right). This is what feeds
+    chunk_documents / balanced_shards when sharding by real subword
+    budgets instead of whitespace token counts. Scalar columns only:
+    the driver's pandas canonicalization cannot hash array cells
+    (round-12 verdict #1), and the exploded shape is the natural
+    tokenizer-dump layout anyway. Docs with no tokens emit zero rows.
 
     Distributed: tokenize-with-position (posexplode), equi-join the
     vocab's final word -> syms table (broadcast under the shared vocab
-    gate), then ONE per-doc aggregate rebuilding order with
-    sort_array(collect_list(struct(pos, syms))) -> flatten — order
-    restored inside the aggregate, so no window or second shuffle. Docs
-    with no tokens emit an empty array."""
+    gate), then a running-offset window (sum of piece counts over
+    preceding words, same doc_id exchange the old per-doc aggregate
+    paid) and a second posexplode of each word's syms — piece_idx =
+    word offset + within-word position. No per-document array is ever
+    materialized, so a book-length document costs O(1) state instead of
+    one collect_list buffer holding its whole piece stream."""
+    from pyspark.sql import Window
     from pyspark.sql.functions import posexplode
 
     from tomixpanel_spark.functions.text import tokens
@@ -455,41 +471,32 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         _rows, vocab = _fold_train(docs, N_MERGES)
         pdf = docs_pdf(docs)
-        out = [
-            (
-                int(doc_id),
-                [p for w in _fold_tokenize(t) for p in vocab[w]],
-            )
-            for doc_id, t in zip(pdf["doc_id"], pdf["text"])
-        ]
+        out = []
+        for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+            i = 0
+            for w in _fold_tokenize(t):
+                for p in vocab[w]:
+                    out.append((int(doc_id), i, p))
+                    i += 1
         return spark.createDataFrame(
-            out, schema="doc_id long, pieces array<string>"
+            out, schema="doc_id long, piece_idx long, piece string"
         )
-    wl = _distributed_vocab(spark, docs)
+    wl = _distributed_vocab(spark, sf_dir, docs)
     doc_words = docs.select(
         "doc_id", posexplode(tokens("text")).alias("pos", "word")
     )
-    per_doc = (
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    offs = (
         doc_words.join(wl, "word")
-        .groupBy("doc_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
-                    lambda s: s["syms"],
-                )
-            ).alias("p")
-        )
+        .select("doc_id", "pos", "syms", F.size("syms").alias("k"))
+        .withColumn("off", F.sum("k").over(w) - F.col("k"))
     )
-    return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(
-                "p", F.array().cast("array<string>")
-            ).alias("pieces"),
-        )
+    return offs.select(
+        "doc_id", "off", posexplode("syms").alias("i", "piece")
+    ).select(
+        "doc_id",
+        (F.col("off") + F.col("i")).cast("bigint").alias("piece_idx"),
+        "piece",
     )
 
 
@@ -557,7 +564,7 @@ def chunk_by_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ):
                 out.append((int(doc_id), ci, text, nw, nb))
         return spark.createDataFrame(out, schema=out_schema)
-    wl = _distributed_vocab(spark, docs).select(
+    wl = _distributed_vocab(spark, sf_dir, docs).select(
         "word", F.size("syms").cast("bigint").alias("k")
     )
     dw = docs.select(
@@ -708,8 +715,8 @@ GROUP BY 1, 2""")
   SELECT dw.doc_id, flatten(list(f.syms ORDER BY dw.pos)) AS pieces
   FROM docw dw JOIN words{n_merges} f ON dw.word = f.word
   GROUP BY 1)
-SELECT d.doc_id, COALESCE(p.pieces, CAST([] AS VARCHAR[])) AS pieces
-FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""")
+SELECT p.doc_id, CAST(j - 1 AS BIGINT) AS piece_idx, p.pieces[j] AS piece
+FROM perdoc p, UNNEST(range(1, len(p.pieces) + 1)) AS t(j)""")
         return "\n".join(parts)
     selects = [
         f"SELECT CAST({i} AS BIGINT) AS step, l AS left, r AS right,"
