@@ -450,6 +450,68 @@ def test_dsir_scoring_pass_has_no_doc_level_shuffle(spark):
     assert "BroadcastExchange" in plan  # the ratio map rides a broadcast
 
 
+def test_dsir_bucket_formula_matches_word_hash_spec(spark):
+    """The per-occurrence word-hash compose (h_prev * P + h_cur) mod B
+    matches an independent Python mirror of the declared spec — h(w) =
+    int(md5(utf8(w))[:8 hex], 16), the same formula the DuckDB oracle
+    computes per DISTINCT word — on a handful of adversarial docs
+    (exotic whitespace, unicode, single-word, empty)."""
+    import hashlib
+
+    from tomixpanel_spark.operators.textops import (
+        DSIR_BUCKETS,
+        DSIR_HASH_PRIME,
+        _py_token_counts,  # noqa: F401  (spec anchor)
+    )
+    from tomixpanel_spark.functions.text import WHITESPACE_CHARS
+
+    texts = [
+        "the cat sat on the mat",
+        "café naïve 中文 words",
+        "one",
+        "",
+        "a\tb\nc\x0bd\x0ce f",
+    ]
+    tbl = str.maketrans(WHITESPACE_CHARS, " " * len(WHITESPACE_CHARS))
+
+    def py_buckets(t):
+        ws = [w for w in t.translate(tbl).split(" ") if w]
+        hs = [
+            int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16)
+            for w in ws
+        ]
+        return [
+            (a * DSIR_HASH_PRIME + b) % DSIR_BUCKETS
+            for a, b in zip(hs, hs[1:])
+        ]
+
+    import pyspark.sql.functions as F
+    from tomixpanel_spark.functions.text import tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    word_h = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c), 1, 8), 16, 10
+    ).cast("long")
+    hs = F.transform(tokens("text"), word_h)
+    n = F.size(hs)
+    bks = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(hs, F.lit(1), n - 1),
+            F.slice(hs, F.lit(2), n - 1),
+            lambda a, c: F.pmod(
+                a * F.lit(DSIR_HASH_PRIME).cast("long") + c,
+                F.lit(DSIR_BUCKETS).cast("long"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    got = {r["doc_id"]: r["b"] for r in df.select("doc_id", bks.alias("b")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == py_buckets(t), (i, t)
+
+
 def test_streaming_family_bench_guard():
     """The bench JSON must carry a streaming-family verdict against the
     12 s idle-host budget (round-11 verdict #6): pass under budget,

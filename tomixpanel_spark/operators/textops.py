@@ -447,6 +447,9 @@ WHERE h < least(n_tokens * 100, 9000)
 
 
 DSIR_BUCKETS = 1024  # hashed n-gram feature space (Xie et al. 2023 use 10k)
+# bigram bucket = (h(prev) * P + h(cur)) mod B; P prime > B keeps the
+# composition well-mixed while h(w)*P + h stays far under int64
+DSIR_HASH_PRIME = 1_000_003
 
 
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,63 +470,98 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts <= ~9e9 before the e9 scaling overflows int64, far past any
     single-corpus bucket at B=1024).
 
-    Scale shape: the two feature tables are BUCKET-sized (<= 1024 rows
-    each — two map-side-partial aggregates whose shuffles carry bucket
-    ids), folded into ONE broadcast map; the scoring pass is then a pure
-    narrow fold over each document's own bigram buckets — nothing
-    doc-level crosses the wire, no join on doc_id, no second shuffle."""
-    from tomixpanel_spark.functions.text import bigrams
+    Bucketing (round-12 verdict #4 — the old md5-PER-BIGRAM was this
+    query's whole cost, 1.7-3x the oracle at the probe): each WORD
+    occurrence is hashed — h(w) = first 8 md5 hex digits as a 32-bit
+    int — and a bigram's bucket is (h_prev * P + h_cur) mod B with P
+    prime. Halving the md5 input length (words, not 'w1 w2' concats)
+    and dropping the concat allocation measured 0.97s vs 1.47s for the
+    bucketing pass at the 50k-doc probe. The verdict's broadcast
+    word->h MAP variant was built and measured SLOWER (1.48s + two
+    extra jobs): Spark's MapType element_at is a LINEAR scan, so a
+    vocab-sized map literal degrades with vocabulary growth, and the
+    O(1)-lookup alternative (broadcast hash JOIN on word) needs a
+    doc-level window to reassemble adjacency — the one exchange this
+    plan promises not to pay. Same formula in the DuckDB oracle
+    (which hashes each DISTINCT word once and joins — the natural
+    columnar formulation there) -> bit-identical buckets.
 
+    Scale shape: ONE narrow tokenize+hash+compose pass materialized as
+    compact long arrays (lazy stage_checkpoint — the stats job
+    materializes it, the scoring job re-reads it); the feature stats
+    are ONE map-side-partial aggregate whose shuffle carries bucket
+    ids, collected as a fixed-size <= B-row table (the bounded-collect
+    class of the CMS sketch merges — NOT corpus-sized); ratios are
+    computed exactly in arbitrary-precision Python ints (same integer
+    formula as the oracle) and ride back as ONE broadcast B-long ARRAY
+    so each scoring lookup is O(1) element_at by index — a map literal
+    is a LINEAR scan per lookup in Spark (GetMapValue), measured ~2x
+    the whole scoring pass at the probe. The scoring pass is a pure
+    narrow fold over each document's own bigram buckets — nothing
+    doc-level crosses the wire, no join on doc_id, no doc-level
+    shuffle. Two jobs total.
+
+    A fused-Arrow variant (tokenize_tf-style mapInPandas with
+    batch-distinct-word hashing) and the verdict's broadcast word->h
+    MAP were both built and measured: warm they tie the JVM pass
+    (~1.0s vs ~0.9s at 50k docs) but pay Python-worker spawn cold and
+    an extra vocab job respectively, so the pure-Catalyst form wins
+    (ARCHITECTURE §R13)."""
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
-    bucket_of = lambda bg: F.pmod(  # noqa: E731
-        F.conv(F.substring(F.md5(bg), 1, 8), 16, 10).cast("long"),
-        F.lit(DSIR_BUCKETS),
+    word_h = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c), 1, 8), 16, 10
+    ).cast("long")
+    p = F.lit(DSIR_HASH_PRIME).cast("long")
+    b = F.lit(DSIR_BUCKETS).cast("long")
+    hs_named = docs.select(
+        "doc_id", "lang", F.transform(tokens("text"), word_h).alias("hs")
     )
-    # materialize the bucketed-bigram arrays ONCE (stage_checkpoint):
-    # the md5-per-bigram hashing is this query's dominant cost, and both
-    # the feature aggregation and the scoring fold read bks — without
-    # the checkpoint each consumer re-tokenizes and re-hashes the corpus
-    # (measured ~2x the query at the 50k probe)
+    n = F.size(F.col("hs"))
+    bks_col = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("hs"), F.lit(1), n - 1),
+            F.slice(F.col("hs"), F.lit(2), n - 1),
+            lambda a, c: F.pmod(a * p + c, b),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     base = stage_checkpoint(
-        docs.select(
-            "doc_id",
-            "lang",
-            F.transform(bigrams(tokens("text")), bucket_of).alias("bks"),
+        hs_named.select("doc_id", "lang", bks_col.alias("bks"))
+    )
+    # ONE corpus pass builds both feature tables (conditional sum for
+    # the target side); the result is a fixed-size <= B-row table, so
+    # the totals and the exact integer ratio arithmetic run on the
+    # driver instead of as two more cluster jobs (the old
+    # stats -> agg-totals -> crossJoin chain re-evaluated the stats
+    # aggregate once per consumer)
+    stats = (
+        base.select("lang", F.explode("bks").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("qc"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("pc"),
         )
+        .collect()
     )
-    ex = base.select("lang", F.explode("bks").alias("bucket"))
-    # ONE corpus pass builds both feature tables: conditional count for
-    # the target side, then the totals fold over the 1024-row result —
-    # separate q/p/nq/np aggregates would re-explode the corpus 4x
-    stats = ex.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("qc"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("pc"),
+    nq = sum(r["qc"] for r in stats)
+    np_ = sum(r["pc"] for r in stats)
+    r_arr = [0] * DSIR_BUCKETS
+    for r in stats:
+        denom = r["qc"] * 1_000_000_000 // nq
+        if denom:
+            r_arr[r["bucket"]] = (
+                (r["pc"] * 1_000_000_000 // np_) * 1_000_000 // denom
+            )
+    rdf = F.broadcast(
+        spark.createDataFrame([(r_arr,)], schema="ra array<bigint>")
     )
-    tot = stats.agg(
-        F.sum("qc").alias("nq"), F.sum("pc").alias("np")
-    )
-    ratio = stats.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.expr(
-            "(pc * 1000000000L div np) * 1000000L"
-            " div nullif(qc * 1000000000L div nq, 0L)"
-        ).alias("r_e6"),
-    )
-    rmap = F.broadcast(
-        ratio.agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("bucket", "r_e6"))
-            ).alias("rm")
-        )
-    )
-    scored = base.crossJoin(rmap).select(
+    scored = base.crossJoin(rdf).select(
         "doc_id",
         F.size("bks").cast("bigint").alias("n_bigrams"),
         F.aggregate(
             F.col("bks"),
             F.lit(0).cast("bigint"),
-            lambda acc, b: acc
-            + F.coalesce(F.element_at(F.col("rm"), b), F.lit(0).cast("bigint")),
+            lambda acc, k: acc + F.element_at(F.col("ra"), (k + 1).cast("int")),
         ).alias("dsir_weight_e6"),
     )
     return scored
@@ -532,11 +570,15 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_SQL = f"""
 WITH w AS (
   SELECT doc_id, lang, {_SQL_WORDS} AS words FROM documents),
-bk AS (
-  SELECT doc_id, lang,
-         CAST(('0x' || substr(md5(words[j] || ' ' || words[j + 1]), 1, 8))
-              AS BIGINT) % {DSIR_BUCKETS} AS bucket
-  FROM w, UNNEST(range(1, len(words))) AS t(j)),
+wh AS MATERIALIZED (
+  SELECT word, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT DISTINCT unnest(words) AS word FROM w)),
+bk AS MATERIALIZED (
+  SELECT w.doc_id, w.lang,
+         (h1.h * {DSIR_HASH_PRIME} + h2.h) % {DSIR_BUCKETS} AS bucket
+  FROM w, UNNEST(range(1, len(words))) AS t(j)
+  JOIN wh h1 ON h1.word = w.words[j]
+  JOIN wh h2 ON h2.word = w.words[j + 1]),
 q AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS qc FROM bk GROUP BY 1),
 p AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS pc FROM bk
       WHERE lang = 'en' GROUP BY 1),
