@@ -259,11 +259,19 @@ def probe_asof(spark, src_sf: str, probe_root: str) -> None:
         "documents embeddings"
     ).split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'")
-    run_queries(spark, con, reg, dst, PROBE_ASOF_NAMES)
-    assert A.LAST_STRATEGY == "window", (
-        f"gate did not flip naturally (LAST_STRATEGY={A.LAST_STRATEGY}) — "
-        "probe is mis-sized"
-    )
+    def check_flip(name: str) -> None:
+        # only the asof_join-calling rows set LAST_STRATEGY;
+        # range_join_active_windows never does (round-12 advice: the old
+        # post-loop assert silently reflected whichever query ran last)
+        if name in ("asof_latest_order", "asof_next_order",
+                    "attribution_last_touch"):
+            assert A.LAST_STRATEGY == "window", (
+                f"{name}: gate did not flip naturally "
+                f"(LAST_STRATEGY={A.LAST_STRATEGY}) — probe is mis-sized"
+            )
+
+    run_queries(spark, con, reg, dst, PROBE_ASOF_NAMES,
+                after_query=check_flip)
 
     # paths-agree: the same query through the natural (window) and the
     # forced-broadcast strategies, order-free checksum equality
@@ -431,7 +439,7 @@ def _canon_hash(pdf) -> str:
     return h.hexdigest()
 
 
-def run_queries(spark, con, reg, dst, names) -> None:
+def run_queries(spark, con, reg, dst, names, after_query=None) -> None:
     print("name,spark_s,duckdb_s,ratio,rows,match")
     for n in names:
         if n not in reg:
@@ -440,6 +448,12 @@ def run_queries(spark, con, reg, dst, names) -> None:
             print(f"# running {n}", file=sys.stderr, flush=True)
             fn = reg[n].fn
             spdf = fn(spark, dst).toPandas()  # warm plan + codegen
+            if after_query is not None:
+                # per-query observable checks (e.g. asof.LAST_STRATEGY)
+                # must fire HERE, while the observable still reflects
+                # THIS query — a post-loop assert reads whichever query
+                # happened to run last (round-12 advice)
+                after_query(n)
             nrows = len(spdf)
             best = float("inf")
             for _ in range(2):

@@ -47,57 +47,9 @@ from tomixpanel_spark.sources import csv as csv_source
 # has local DuckDB parity in tests/test_oracle_parity.py every round.
 _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
-    # -- new in round 12: never externally checked -------------------
+    # -- never externally checked (r12 err: bpe_encode) ---------------
     "bpe_encode": 0,
-    "chunk_by_bpe": 0,
-    "dsir_weights": 0,
-    "asof_next_order": 0,
-    # -- last green r9 ---------------------------------------------
-    "simhash": 9,
-    "simhash_pairs": 9,
-    "streaming_dedup_parity": 9,
-    "streaming_incremental_parity": 9,
-    "streaming_sketch_parity": 9,
-    "streaming_stateful_parity": 9,
-    "streaming_windowed_parity": 9,
-    "substring_dedup_clean": 9,
-    "substring_dup_spans": 9,
-    "tfidf_keywords": 9,
-    "topk_per_group": 9,
-    "tpch_q1": 9,
-    "tpch_q3": 9,
-    # -- last green r10 --------------------------------------------
-    "amp_profiles": 10,
-    "ann_ivf_q": 10,
-    "ann_lsh": 10,
-    "ann_pq_q": 10,
-    "asof_latest_order": 10,
-    "attribution_last_touch": 10,
-    "balanced_shards": 10,
-    "bm25_topk": 10,
-    "coalesce_id": 10,
-    "count_agg": 10,
-    "csv_scan": 10,
-    "dedup_by_key": 10,
-    "doc_fingerprint": 10,
-    "engage_reshape": 10,
-    "explode_hits": 10,
-    "filter_nonempty": 10,
-    "ga_profiles": 10,
-    "incremental_dedup": 10,
-    "insert_id_md5": 10,
-    "label_centroids": 10,
-    "lang_id": 10,
-    "map_merge": 10,
-    "media_audio_features": 10,
-    "media_image_resize": 10,
-    "media_meta": 10,
-    "media_neardup": 10,
-    "media_video_frames": 10,
-    "merge_pairs": 10,
-    "mixture_stats": 10,
-    "part_revenue": 10,
-    "pivot_status": 10,
+    # -- last green r10 ---------------------------------------------
     "project_drop": 10,
     "project_rename": 10,
     "pushdown_filter": 10,
@@ -115,8 +67,7 @@ _LAST_EXTERNAL = {
     "tpch_q5": 10,
     "value_quantiles": 10,
     "weighted_sample": 10,
-    # -- last green r11 --------------------------------------------
-    "amp_transform": 11,
+    # -- last green r11 ---------------------------------------------
     "bigram_lm_score": 11,
     "bpe_merges": 11,
     "bpe_token_count": 11,
@@ -136,7 +87,6 @@ _LAST_EXTERNAL = {
     "embedding_neardup": 11,
     "event_sequences": 11,
     "funnel": 11,
-    "ga_transform": 11,
     "gopher_quality": 11,
     "hist_quantiles": 11,
     "hypertable_rollup": 11,
@@ -166,6 +116,56 @@ _LAST_EXTERNAL = {
     "when_chain": 11,
     "window_running": 11,
     "word_freq": 11,
+    # -- last green r12 ---------------------------------------------
+    "amp_profiles": 12,
+    "amp_transform": 12,
+    "ann_ivf_q": 12,
+    "ann_lsh": 12,
+    "ann_pq_q": 12,
+    "asof_latest_order": 12,
+    "asof_next_order": 12,
+    "attribution_last_touch": 12,
+    "balanced_shards": 12,
+    "bm25_topk": 12,
+    "chunk_by_bpe": 12,
+    "coalesce_id": 12,
+    "count_agg": 12,
+    "csv_scan": 12,
+    "dedup_by_key": 12,
+    "doc_fingerprint": 12,
+    "dsir_weights": 12,
+    "engage_reshape": 12,
+    "explode_hits": 12,
+    "filter_nonempty": 12,
+    "ga_profiles": 12,
+    "ga_transform": 12,
+    "incremental_dedup": 12,
+    "insert_id_md5": 12,
+    "label_centroids": 12,
+    "lang_id": 12,
+    "map_merge": 12,
+    "media_audio_features": 12,
+    "media_image_resize": 12,
+    "media_meta": 12,
+    "media_neardup": 12,
+    "media_video_frames": 12,
+    "merge_pairs": 12,
+    "mixture_stats": 12,
+    "part_revenue": 12,
+    "pivot_status": 12,
+    "simhash": 12,
+    "simhash_pairs": 12,
+    "streaming_dedup_parity": 12,
+    "streaming_incremental_parity": 12,
+    "streaming_sketch_parity": 12,
+    "streaming_stateful_parity": 12,
+    "streaming_windowed_parity": 12,
+    "substring_dedup_clean": 12,
+    "substring_dup_spans": 12,
+    "tfidf_keywords": 12,
+    "topk_per_group": 12,
+    "tpch_q1": 12,
+    "tpch_q3": 12,
 }
 
 WINDOW_SIZE = 50  # the driver samples this many leading registry entries
@@ -180,72 +180,75 @@ WINDOW_SIZE = 50  # the driver samples this many leading registry entries
 # tools/update_rotation.py. Hash values are REPLACED below by the
 # generator; the mechanism (not the values) is what tests lock.
 _CHECKED_SRC: dict[str, str] = {
-    "amp_profiles": "14c7cbc98501",
-    "amp_transform": "14c7cbc98501",
-    "ann_ivf_q": "e5159defe882",
-    "ann_lsh": "e5159defe882",
-    "ann_pq_q": "e5159defe882",
-    "asof_latest_order": "f51fbac46fb4",
-    "attribution_last_touch": "f51fbac46fb4",
-    "balanced_shards": "233b810ecbeb",
+    "amp_profiles": "293d0cd6880d",
+    "amp_transform": "293d0cd6880d",
+    "ann_ivf_q": "1695ce43652c",
+    "ann_lsh": "1695ce43652c",
+    "ann_pq_q": "1695ce43652c",
+    "asof_latest_order": "eb169deaac05",
+    "asof_next_order": "eb169deaac05",
+    "attribution_last_touch": "eb169deaac05",
+    "balanced_shards": "05cd502b9ba7",
     "bigram_lm_score": "53520182f820",
-    "bm25_topk": "976e19637d6e",
+    "bm25_topk": "35135cf2accd",
     "bpe_merges": "c83db8df0ac3",
     "bpe_token_count": "c83db8df0ac3",
     "cagg_store_read": "0b60c9201178",
+    "chunk_by_bpe": "338212282bcf",
     "chunk_documents": "53520182f820",
     "cms_heavy_hitters": "53520182f820",
-    "coalesce_id": "bc4aae97b654",
+    "coalesce_id": "67628408c0b0",
     "containment_pairs": "46fe9bb1e675",
     "cosine_topk": "692822205f1e",
     "cosine_topk_partitioned": "692822205f1e",
-    "count_agg": "bc4aae97b654",
-    "csv_scan": "8d1418d439f8",
+    "count_agg": "67628408c0b0",
+    "csv_scan": "528b903a0c7d",
     "custom_dims": "14c7cbc98501",
     "decontam_overlap": "46fe9bb1e675",
-    "dedup_by_key": "bc4aae97b654",
+    "dedup_by_key": "67628408c0b0",
     "dedup_exact": "46fe9bb1e675",
     "dedup_index_probe": "0b60c9201178",
     "dedup_keep_list": "46fe9bb1e675",
-    "doc_fingerprint": "976e19637d6e",
+    "doc_fingerprint": "35135cf2accd",
+    "dsir_weights": "35135cf2accd",
     "embedding_decontam": "692822205f1e",
     "embedding_keep_list": "692822205f1e",
     "embedding_neardup": "692822205f1e",
-    "engage_reshape": "14c7cbc98501",
+    "engage_reshape": "293d0cd6880d",
     "event_sequences": "ae50a9a9c900",
-    "explode_hits": "976e19637d6e",
-    "filter_nonempty": "bc4aae97b654",
+    "explode_hits": "35135cf2accd",
+    "filter_nonempty": "67628408c0b0",
     "funnel": "ae50a9a9c900",
-    "ga_profiles": "14c7cbc98501",
-    "ga_transform": "14c7cbc98501",
+    "ga_profiles": "293d0cd6880d",
+    "ga_transform": "293d0cd6880d",
     "gopher_quality": "53520182f820",
     "hist_quantiles": "ae50a9a9c900",
     "hypertable_rollup": "ae50a9a9c900",
     "identity_components": "506713212010",
-    "incremental_dedup": "6403986a14bf",
-    "insert_id_md5": "bc4aae97b654",
+    "incremental_dedup": "1b8824f32218",
+    "insert_id_md5": "67628408c0b0",
     "kmv_distinct": "ae50a9a9c900",
-    "label_centroids": "e5159defe882",
-    "lang_id": "976e19637d6e",
+    "label_centroids": "1695ce43652c",
+    "lang_id": "35135cf2accd",
     "lsh_keep_list": "46fe9bb1e675",
-    "map_merge": "bc4aae97b654",
-    "media_audio_features": "87e8365bfcb0",
-    "media_image_resize": "87e8365bfcb0",
-    "media_meta": "87e8365bfcb0",
-    "media_neardup": "87e8365bfcb0",
-    "media_video_frames": "87e8365bfcb0",
-    "merge_pairs": "bc4aae97b654",
+    "map_merge": "67628408c0b0",
+    "media_audio_features": "8b4a183f8093",
+    "media_image_resize": "8b4a183f8093",
+    "media_meta": "8b4a183f8093",
+    "media_neardup": "8b4a183f8093",
+    "media_video_frames": "8b4a183f8093",
+    "merge_pairs": "67628408c0b0",
     "minhash_lsh_pairs": "46fe9bb1e675",
     "minhash_signature": "46fe9bb1e675",
     "mixture_rebalance": "53520182f820",
-    "mixture_stats": "976e19637d6e",
+    "mixture_stats": "35135cf2accd",
     "multimodal_meta": "a2979d9c8bfb",
     "neardup_components": "46fe9bb1e675",
     "neardup_keep_best": "46fe9bb1e675",
     "ngram_jaccard_pairs": "46fe9bb1e675",
-    "part_revenue": "1e54db3a40b3",
+    "part_revenue": "332637c7e0bf",
     "pii_redact": "53520182f820",
-    "pivot_status": "1e54db3a40b3",
+    "pivot_status": "332637c7e0bf",
     "project_drop": "1e54db3a40b3",
     "project_rename": "1e54db3a40b3",
     "pushdown_filter": "1e54db3a40b3",
@@ -263,26 +266,26 @@ _CHECKED_SRC: dict[str, str] = {
     "session_bounds": "bc4aae97b654",
     "sessionize": "ae50a9a9c900",
     "set_ops": "ae50a9a9c900",
-    "simhash": "1ef169362ddb",
-    "simhash_pairs": "1ef169362ddb",
+    "simhash": "1b8824f32218",
+    "simhash_pairs": "1b8824f32218",
     "stratified_sample": "976e19637d6e",
     "streaming_cagg_parity": "e0fdc30b337e",
-    "streaming_dedup_parity": "bea884306f4b",
-    "streaming_incremental_parity": "bea884306f4b",
-    "streaming_sketch_parity": "bea884306f4b",
-    "streaming_stateful_parity": "bea884306f4b",
-    "streaming_windowed_parity": "bea884306f4b",
-    "substring_dedup_clean": "1ef169362ddb",
-    "substring_dup_spans": "1ef169362ddb",
+    "streaming_dedup_parity": "44cf8607048b",
+    "streaming_incremental_parity": "44cf8607048b",
+    "streaming_sketch_parity": "44cf8607048b",
+    "streaming_stateful_parity": "44cf8607048b",
+    "streaming_windowed_parity": "44cf8607048b",
+    "substring_dedup_clean": "1b8824f32218",
+    "substring_dup_spans": "1b8824f32218",
     "substring_dup_stats": "6403986a14bf",
     "supplier_balance": "1e54db3a40b3",
-    "tfidf_keywords": "976e19637d6e",
+    "tfidf_keywords": "35135cf2accd",
     "time_normalize": "bc4aae97b654",
     "time_shift": "bc4aae97b654",
     "token_count": "53520182f820",
-    "topk_per_group": "1e54db3a40b3",
-    "tpch_q1": "1e54db3a40b3",
-    "tpch_q3": "1e54db3a40b3",
+    "topk_per_group": "332637c7e0bf",
+    "tpch_q1": "332637c7e0bf",
+    "tpch_q3": "332637c7e0bf",
     "tpch_q5": "1e54db3a40b3",
     "tpch_q6": "1e54db3a40b3",
     "union_all": "1e54db3a40b3",

@@ -30,6 +30,12 @@ from pyspark.sql import functions as F
 
 from tomixpanel_spark.operators.base import QuerySpec, table
 
+# probe/test observable: the strategy the last asof_join call took.
+# Initialized at module scope (the bpe.LAST_TIER precedent) so reading
+# it before any call returns None instead of raising AttributeError
+# (round-12 advice).
+LAST_STRATEGY: str | None = None
+
 
 def asof_join(
     left: DataFrame,

@@ -4,10 +4,11 @@ hash-compared against the equivalent batch SQL.
 
 Until round 8 the streaming layer (7 modules) was pytest-only — the one
 layer with no external correctness signal. This query closes that: it
-stages a bounded slice of ``events`` as THREE parquet files, streams them
-through ``readStream`` + ``foreachBatch`` (maxFilesPerTrigger=1, so the
-store merges three incremental generations exactly as a live pipeline
-would), then returns the store's hourly() read. The DuckDB oracle is the
+stages a bounded slice of ``events`` as N_STREAM_BATCHES parquet files,
+streams them through ``readStream`` + ``foreachBatch``
+(maxFilesPerTrigger=1, so the store merges incremental generations
+across micro-batch boundaries exactly as a live pipeline would), then
+returns the store's hourly() read. The DuckDB oracle is the
 plain batch aggregate over the same slice — so the driver's hash check
 proves stream-merge == batch for counts AND DECIMAL sums, across
 micro-batch boundaries, through the manifest commit protocol.
@@ -30,8 +31,15 @@ from pyspark.sql import functions as F
 
 from tomixpanel_spark.operators.base import QuerySpec, table
 
-N_STREAM_BATCHES = 3
-SLICE_DAYS = 3
+# TWO data micro-batches per parity stream (+ availableNow's one no-data
+# finalization trigger): the minimum that still proves CROSS-BATCH
+# incremental semantics — batch 1 creates store/state generations, batch
+# 2 merges into them — at ~0.5 s/trigger of Structured-Streaming floor
+# (WAL + state commit) per trigger. Round 12's 3+1 triggers x 6 queries
+# put the family at 13.4 s in the driver artifact against its own 12 s
+# budget (round-12 verdict #3); 2+1 sheds ~6 trigger floors for ~3 s.
+N_STREAM_BATCHES = 2
+SLICE_DAYS = 2
 STREAM_STATE_PARTS = "4"
 
 

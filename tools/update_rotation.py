@@ -44,15 +44,42 @@ def round_markers() -> dict[int, str]:
 
 
 def historical_hash(commit: str, relpaths: list[str]) -> str:
+    """md5 of the declared files AS OF ``commit``. A path genuinely
+    absent at that commit is skipped WITH a warning (a renamed module
+    would otherwise silently under-hash and pin changed_since_green
+    forever); any OTHER git failure (bad object, shallow clone, repo
+    corruption) raises instead of being folded into 'absent'
+    (round-12 advice)."""
     md5 = hashlib.md5()
     for rel in relpaths:
+        probe = subprocess.run(
+            ["git", "cat-file", "-e", f"{commit}:{rel}"],
+            cwd=REPO,
+            capture_output=True,
+        )
+        if probe.returncode != 0:
+            err = probe.stderr.decode(errors="replace").strip()
+            if "does not exist" in err:
+                print(
+                    f"WARN: {rel} not present at {commit[:12]} — skipped "
+                    "from the recorded hash (renamed rotation dep?)",
+                    file=sys.stderr,
+                )
+                continue
+            raise RuntimeError(
+                f"git cat-file failed for {commit}:{rel}: {err}"
+            )
         p = subprocess.run(
             ["git", "show", f"{commit}:{rel}"],
             cwd=REPO,
             capture_output=True,
         )
-        if p.returncode == 0:  # file may not exist at that commit
-            md5.update(p.stdout)
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"git show failed for {commit}:{rel}: "
+                f"{p.stderr.decode(errors='replace').strip()}"
+            )
+        md5.update(p.stdout)
     return md5.hexdigest()[:12]
 
 
