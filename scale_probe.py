@@ -2,7 +2,7 @@
 size-adaptive gates so the DISTRIBUTED plans get wall-clock + value
 signal on real above-gate inputs, not just forced-off gates.
 
-Five probe families (select with argv, default all):
+Six probe families (select with argv, default all):
 
 * ``text`` — documents 10x (5k -> 50k docs, doc_id-offset, per-replica
   text suffix on 2/3 of docs so duplicate structure stays rich): flips
@@ -37,7 +37,13 @@ Five probe families (select with argv, default all):
   iteration engages NATURALLY (asserted via bpe.LAST_TIER), hash-checked
   against the recursive DuckDB oracle at the same vocabulary size.
 
-Usage: ``python scale_probe.py [text|emb|cc|asof|bpe ...]`` (writes probe
+* ``media`` — the multimodal family on the same 10x corpus (the media
+  queries synthesize their PNG payloads FROM documents, so 50k docs =
+  50k real encode->decode->dHash round trips); ``media_neardup``'s
+  banded-Hamming pairing is the scale-risk row (bucketed, never
+  all-pairs), hash-checked against the arithmetic DuckDB oracle.
+
+Usage: ``python scale_probe.py [text|emb|cc|asof|bpe|media ...]`` (writes probe
 datasets under $TOMIX_PROBE_DIR, default /tmp/sfx10, then prints
 name,spark_s,duckdb_s,ratio,rows,match per query). Results are recorded
 in ARCHITECTURE.md rounds 10-11.
@@ -77,6 +83,18 @@ PROBE_EMB_NAMES = [
     "label_centroids", "cosine_topk", "cosine_topk_partitioned",
     "ann_lsh", "ann_ivf_q", "ann_pq_q", "embedding_decontam",
     "embedding_neardup",
+]
+
+# Multimodal family (round-12 verdict #8 — the last extension family
+# with no above-gate scale evidence). The media queries synthesize
+# their PNG/JPEG payloads FROM the documents table, so the same 10x
+# replicated corpus drives a 10x media corpus (50k real PNG payloads
+# encoded, decoded, dHashed, banded); perceptual dedup stays bucketed
+# (banded Hamming, never all-pairs) and the DuckDB oracles recompute
+# the pixel formula arithmetically for HASH_OK rows.
+PROBE_MEDIA_NAMES = [
+    "media_meta", "media_neardup", "media_image_resize",
+    "multimodal_meta", "media_video_frames",
 ]
 
 
@@ -636,7 +654,8 @@ def main() -> None:
     os.environ.setdefault("TOMIX_CACHE_TABLES", "1")
     os.environ.setdefault("TOMIX_CACHE_PARTS", "8")
     os.environ.setdefault("TOMIX_CACHE_PARTS_MIN_MB", "0.4")
-    families = set(sys.argv[1:]) or {"text", "emb", "cc", "asof", "bpe"}
+    families = set(sys.argv[1:]) or {"text", "emb", "cc", "asof", "bpe",
+                                     "media"}
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dst = os.environ.get("TOMIX_PROBE_DIR", "/tmp/sfx10")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -673,6 +692,8 @@ def main() -> None:
         run_queries(spark, con, reg, dst, pick(PROBE_EMB_NAMES))
         if not only:  # the extras are whole-family legs, not per-query rows
             probe_emb_extras(spark, src, dst)
+    if "media" in families:
+        run_queries(spark, con, reg, dst, pick(PROBE_MEDIA_NAMES))
     if "cc" in families:
         probe_cc(spark, src, dst)
     if "asof" in families:

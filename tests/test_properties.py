@@ -1676,25 +1676,30 @@ class TestJpegCodec:
 
     def test_progressive_alloc_bound_is_payload_proportional(self):
         """DoS amplification bound: a few-hundred-byte progressive
-        payload whose SOF geometry passes the pixel/cell caps but claims
-        >max(64 MB, 1024 x payload) of coefficient buffers must raise
+        payload whose SOF geometry passes the pixel/byte caps but claims
+        >max(16 MB, 1024 x payload) of coefficient buffers must raise
         BEFORE np.zeros (EOB runs make block-count-vs-entropy floors
         inapplicable in progressive mode, so the allocation is bounded
-        against the payload size instead)."""
+        against the payload size instead). Round-12 verdict #7 tightened
+        the floor 64 MB -> 16 MB and re-denominated the geometry bound
+        in bytes: both the 8192x8192 (537 MB of buffers) and a
+        2048x2048 (34 MB — under the OLD floor, over the new one)
+        crafted payload must raise."""
         import pytest
 
         from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
 
-        payload = (
-            b"\xff\xd8" + self._dqt_flat16() + self._sof2_gray(8192, 8192)
-            + self._dht_annexk()
-            + self._sos_prog([(1, 0x00)], 0, 0, 0, 0)
-            + self._entropy("00")
-            + b"\xff\xd9"
-        )
-        assert len(payload) < 1024  # the amplification premise
-        with pytest.raises(ValueError, match="allocation bound"):
-            decode_jpeg_gray(payload)
+        for dim in (8192, 2048):
+            payload = (
+                b"\xff\xd8" + self._dqt_flat16() + self._sof2_gray(dim, dim)
+                + self._dht_annexk()
+                + self._sos_prog([(1, 0x00)], 0, 0, 0, 0)
+                + self._entropy("00")
+                + b"\xff\xd9"
+            )
+            assert len(payload) < 1024  # the amplification premise
+            with pytest.raises(ValueError, match="allocation bound"):
+                decode_jpeg_gray(payload)
 
     def test_progressive_color_payload_through_spark_pipeline(self, spark):
         """A hand-assembled PROGRESSIVE interleaved-color payload runs
