@@ -374,10 +374,12 @@ def main() -> None:
         raise SystemExit(1)
 
 
-# idle-host budget for the 6 streaming parity rows: the r11 floor
-# decomposition (~0.5 s/trigger x ~3.3 triggers x 6 queries ≈ 10-11 s,
-# ARCHITECTURE §R11) plus headroom below the 15.85 s pre-rewrite level —
-# a regression to the old shapes trips it, host noise does not
+# idle-host budget for the 6 streaming parity rows. Floor decomposition
+# at the round-13 shape: ~0.5 s/trigger x 3 triggers (2 data
+# micro-batches + availableNow's no-data finalization) x 6 queries
+# ≈ 8-9 s measured best-of-3 (ARCHITECTURE §R13; r11-r12 ran 3+1
+# triggers and sat at 10.75-13.4 s against this same budget) — a
+# regression to the old shapes trips it, host noise does not
 STREAMING_FAMILY_BUDGET_S = 12.0
 STREAMING_FAMILY = (
     "streaming_stateful_parity",
