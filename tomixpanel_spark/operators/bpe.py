@@ -450,14 +450,18 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round-12 verdict #1), and the exploded shape is the natural
     tokenizer-dump layout anyway. Docs with no tokens emit zero rows.
 
-    Distributed: tokenize-with-position (posexplode), equi-join the
-    vocab's final word -> syms table (broadcast under the shared vocab
-    gate), then a running-offset window (sum of piece counts over
-    preceding words, same doc_id exchange the old per-doc aggregate
-    paid) and a second posexplode of each word's syms — piece_idx =
-    word offset + within-word position. No per-document array is ever
-    materialized, so a book-length document costs O(1) state instead of
-    one collect_list buffer holding its whole piece stream."""
+    Emission is ALWAYS distributed (both vocab tiers): tokenize-with-
+    position (posexplode), equi-join the vocab's final word -> syms
+    table (driver-trained + broadcast under the fold cap; distributed
+    train above it, broadcast under the shared vocab gate), then a
+    running-offset window (sum of piece counts over preceding words,
+    same doc_id exchange the old per-doc aggregate paid) and a second
+    posexplode of each word's syms — piece_idx = word offset +
+    within-word position. No per-document array is ever materialized
+    (a book-length document costs O(1) state, not one collect_list
+    buffer holding its whole piece stream), and no corpus-sized row
+    list ever crosses the driver boundary (a driver-built piece list
+    measured 3+ s of createDataFrame serialization at sf0.1)."""
     from pyspark.sql import Window
     from pyspark.sql.functions import posexplode
 
@@ -466,22 +470,20 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
     if _under_fold_cap(spark, sf_dir, docs):
-        from tomixpanel_spark.operators.dedup import _fold_tokenize
-        from tomixpanel_spark.operators.textops import docs_pdf
-
+        # fold tier trains on the driver but EMITS distributed: the
+        # output is corpus-sized (one row per piece — ~1M rows at
+        # sf0.1), and createDataFrame over a driver-built piece list
+        # measured 3+ s of row serialization alone. Only the VOCAB
+        # (Heaps-sublinear) crosses the driver boundary.
         _rows, vocab = _fold_train(docs, N_MERGES)
-        pdf = docs_pdf(docs)
-        out = []
-        for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
-            i = 0
-            for w in _fold_tokenize(t):
-                for p in vocab[w]:
-                    out.append((int(doc_id), i, p))
-                    i += 1
-        return spark.createDataFrame(
-            out, schema="doc_id long, piece_idx long, piece string"
+        wl = F.broadcast(
+            spark.createDataFrame(
+                [(w, syms) for w, syms in vocab.items()],
+                schema="word string, syms array<string>",
+            )
         )
-    wl = _distributed_vocab(spark, sf_dir, docs)
+    else:
+        wl = _distributed_vocab(spark, sf_dir, docs)
     doc_words = docs.select(
         "doc_id", posexplode(tokens("text")).alias("pos", "word")
     )
