@@ -495,8 +495,10 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed exactly in arbitrary-precision Python ints (same integer
     formula as the oracle) and ride back as ONE broadcast B-long ARRAY
     so each scoring lookup is O(1) element_at by index — a map literal
-    is a LINEAR scan per lookup in Spark (GetMapValue), measured ~2x
-    the whole scoring pass at the probe. The scoring pass is a pure
+    is a LINEAR scan per lookup in Spark (GetMapValue). Swapping the
+    stats->totals->crossJoin map chain for the collected stats + array
+    lookup took the full probe query 2.53 s -> 1.47 s. The scoring
+    pass is a pure
     narrow fold over each document's own bigram buckets — nothing
     doc-level crosses the wire, no join on doc_id, no doc-level
     shuffle. Two jobs total.
