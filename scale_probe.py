@@ -74,7 +74,8 @@ PROBE_TEXT_NAMES = [
     "substring_dedup_clean", "minhash_signature", "minhash_lsh_pairs",
     "lsh_keep_list", "ngram_jaccard_pairs", "dedup_keep_list",
     "neardup_components", "neardup_keep_best", "lang_id", "quality_score",
-    "gopher_quality", "chunk_documents", "bigram_lm_score", "seeded_shuffle",
+    "gopher_quality", "gopher_repetition", "chunk_documents",
+    "bigram_lm_score", "seeded_shuffle",
     "bpe_merges", "bpe_token_count", "bpe_encode", "chunk_by_bpe",
     "dsir_weights",
 ]

@@ -607,6 +607,42 @@ def test_stratified_sample_is_narrow(spark):
     assert exchange_count(df) == 0
 
 
+def test_gopher_repetition_is_narrow_and_matches_spec(spark):
+    """The top n-gram repetition features are pure narrow folds (no
+    join, no exchange beyond ensure_parallel's defensive repartition —
+    the gopher_quality shape), and the fold's tie rule matches the
+    declared spec (lexicographically smallest max-count gram) on a
+    crafted tie: 'b b a a' has bigram counts {'b b':1, 'b a':1,
+    'a a':1} — top bigram must be 'a a'."""
+    import re
+
+    df = REG["gopher_repetition"].fn(spark, SF_ORACLE)
+    assert join_strategies(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"hashpartitioning\(doc_id[^\n]*", plan):
+        assert "REPARTITION_BY_NUM" in m.group(0), m.group(0)
+    assert "Window" not in plan
+
+    from tomixpanel_spark.operators.textops import gopher_repetition  # noqa: F401
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    tie = spark.createDataFrame(
+        [(1, "b b a a", "en")], "doc_id long, text string, lang string"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="gopher_rep_tie_")
+    tie.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    [row] = REG["gopher_repetition"].fn(spark, d).collect()
+    # top bigram 'a a': 1 occurrence x 2 chars / 4 total chars = 0.5
+    assert row["top2_char_frac_e6"] == 500_000
+    # top trigram: all counts 1, smallest gram 'a a a'? grams are
+    # 'b b a','b a a' -> smallest 'b a a', 3 chars -> 3/4
+    assert row["top3_char_frac_e6"] == 750_000
+    assert row["top4_char_frac_e6"] == 1_000_000
+    assert not row["keep"]  # 1.0 > 0.16 on the 4-gram
+
+
 def test_segment_dedup_no_window_over_hash(spark):
     """First occurrence MUST be the min(struct) hash aggregate, never a
     window over the segment hash: a boilerplate segment repeated in

@@ -47,8 +47,10 @@ from tomixpanel_spark.sources import csv as csv_source
 # has local DuckDB parity in tests/test_oracle_parity.py every round.
 _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
-    # -- never externally checked (r12 err: bpe_encode) ---------------
+    # -- never externally checked (r12 err: bpe_encode; new r13:
+    # gopher_repetition) ----------------------------------------------
     "bpe_encode": 0,
+    "gopher_repetition": 0,
     # -- last green r10 ---------------------------------------------
     "project_drop": 10,
     "project_rename": 10,

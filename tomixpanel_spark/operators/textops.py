@@ -746,6 +746,164 @@ FROM narrow n LEFT JOIN top USING (doc_id)
 """
 
 
+# Gopher repetition-filter thresholds (Rae et al. 2021, Table A1): drop
+# a document when the single most frequent word n-gram covers more than
+# this fraction of its characters (e6-scaled integers — the engine's
+# libm-free exactness discipline).
+GOPHER_TOP2_MAX_E6 = 200_000
+GOPHER_TOP3_MAX_E6 = 180_000
+GOPHER_TOP4_MAX_E6 = 160_000
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's repetition filters (Rae et al. 2021 Table A1): per
+    document, the fraction of characters covered by the single most
+    frequent word n-gram for n = 2, 3, 4, plus the keep/drop gate at
+    the paper's thresholds (0.20 / 0.18 / 0.16). Complements
+    ``gopher_quality`` (word-count/length/dup-word features) — together
+    they are the full cheap-feature Gopher gate a pretraining pipeline
+    runs before expensive scoring. (The paper's duplicate-LINE features
+    are omitted: this corpus is single-line, so they are identically
+    zero.)
+
+    Declared spec, mirrored exactly by the oracle: characters of an
+    n-gram occurrence = sum of its words' lengths (separators excluded;
+    occurrences counted with multiplicity, overlapping included);
+    denominator = total word characters in the document; ties on the
+    max count resolve to the lexicographically smallest n-gram;
+    fractions are e6-scaled integer division (exact cross-engine).
+
+    Scale shape: like gopher_quality, EVERY feature is a pure narrow
+    codegen projection — the top n-gram is the longest equal-run in the
+    per-doc SORTED n-gram array (one O(k log k) fold per n), not an
+    explode -> hash-agg -> window -> join-back (which would shuffle one
+    row per distinct (doc, gram) three times). Zero exchanges; nothing
+    crosses the wire but the 6-column feature row."""
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    base = docs.select("doc_id", tokens("text").alias("words"))
+    k = F.size("words")
+    tot_chars = F.aggregate(
+        F.col("words"),
+        F.lit(0).cast("long"),
+        lambda a, w: a + F.length(w).cast("long"),
+    )
+
+    def top_ngram(n: int):
+        grams = F.when(
+            k >= n,
+            F.transform(
+                F.sequence(F.lit(1), k - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(F.col("words"), i + j)
+                        for j in range(n)
+                    ],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        init = F.named_struct(
+            F.lit("prev"), F.lit(""),
+            F.lit("run"), F.lit(0).cast("long"),
+            F.lit("best"), F.lit(0).cast("long"),
+            F.lit("bestg"), F.lit(""),
+        )
+
+        def step(acc, x):
+            run2 = F.when(x == acc.prev, acc.run + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            return F.named_struct(
+                F.lit("prev"), x,
+                F.lit("run"), run2,
+                F.lit("best"), F.greatest(acc.best, run2),
+                # strict > keeps the FIRST max in ascending sort order =
+                # the lexicographically smallest max-count gram (the
+                # oracle's ORDER BY c DESC, gram)
+                F.lit("bestg"), F.when(run2 > acc.best, x).otherwise(acc.bestg),
+            )
+
+        return F.aggregate(
+            F.array_sort(grams),
+            init,
+            step,
+            lambda acc: F.named_struct(
+                F.lit("c"), acc.best, F.lit("g"), acc.bestg
+            ),
+        )
+
+    sel = base.select(
+        "doc_id",
+        k.cast("bigint").alias("n_words"),
+        tot_chars.alias("tot"),
+        top_ngram(2).alias("t2"),
+        top_ngram(3).alias("t3"),
+        top_ngram(4).alias("t4"),
+    )
+    fr = lambda n: F.expr(  # noqa: E731
+        f"coalesce((t{n}.c * (length(t{n}.g) - {n - 1}) * 1000000L)"
+        f" div nullif(tot, 0L), 0L)"
+    )
+    out = sel.select(
+        "doc_id",
+        "n_words",
+        fr(2).alias("top2_char_frac_e6"),
+        fr(3).alias("top3_char_frac_e6"),
+        fr(4).alias("top4_char_frac_e6"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top2_char_frac_e6") <= GOPHER_TOP2_MAX_E6)
+        & (F.col("top3_char_frac_e6") <= GOPHER_TOP3_MAX_E6)
+        & (F.col("top4_char_frac_e6") <= GOPHER_TOP4_MAX_E6),
+    )
+
+
+def _gopher_repetition_sql() -> str:
+    grams = {
+        2: "words[i] || ' ' || words[i + 1]",
+        3: "words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]",
+        4: "words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3]",
+    }
+    parts = [
+        f"""WITH t AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+base AS (
+  SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_aggregate(list_transform(words, w -> len(w)), 'sum'), 0)
+         AS BIGINT) AS tot
+  FROM t)"""
+    ]
+    for n, g in grams.items():
+        parts.append(f""", g{n} AS (
+  SELECT doc_id, {g} AS gram
+  FROM base, UNNEST(range(1, len(words) - {n} + 2)) AS u(i)),
+top{n} AS (
+  SELECT doc_id, c, gram FROM (
+    SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY COUNT(*) DESC, gram) AS rn
+    FROM g{n} GROUP BY doc_id, gram)
+  WHERE rn = 1)""")
+    fr = lambda n: (  # noqa: E731
+        f"COALESCE(top{n}.c * (length(top{n}.gram) - {n - 1}) * 1000000"
+        f" // NULLIF(b.tot, 0), 0)"
+    )
+    parts.append(f"""
+SELECT b.doc_id, b.n_words,
+  CAST({fr(2)} AS BIGINT) AS top2_char_frac_e6,
+  CAST({fr(3)} AS BIGINT) AS top3_char_frac_e6,
+  CAST({fr(4)} AS BIGINT) AS top4_char_frac_e6,
+  (CAST({fr(2)} AS BIGINT) <= {GOPHER_TOP2_MAX_E6}
+   AND CAST({fr(3)} AS BIGINT) <= {GOPHER_TOP3_MAX_E6}
+   AND CAST({fr(4)} AS BIGINT) <= {GOPHER_TOP4_MAX_E6}) AS keep
+FROM base b
+LEFT JOIN top2 ON top2.doc_id = b.doc_id
+LEFT JOIN top3 ON top3.doc_id = b.doc_id
+LEFT JOIN top4 ON top4.doc_id = b.doc_id""")
+    return "\n".join(parts)
+
+
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction over document text. The synthetic corpus
     carries no organic PII, so the query appends a deterministic contact
@@ -1767,6 +1925,11 @@ REGISTRY = {
     ),
     "gopher_quality": QuerySpec(
         gopher_quality, _GOPHER_QUALITY_SQL, "ext:text quality filter"
+    ),
+    "gopher_repetition": QuerySpec(
+        gopher_repetition,
+        _gopher_repetition_sql(),
+        "ext:text Gopher top n-gram repetition filters (n=2,3,4)",
     ),
     "pii_redact": QuerySpec(pii_redact, _PII_REDACT_SQL, "ext:text PII scrub"),
     "tfidf_keywords": QuerySpec(tfidf_keywords, _TFIDF_SQL, "ext:text tf-idf"),
