@@ -451,19 +451,22 @@ def test_dsir_scoring_pass_has_no_doc_level_shuffle(spark):
 
 
 def test_dsir_bucket_formula_matches_word_hash_spec(spark):
-    """The per-occurrence word-hash compose (h_prev * P + h_cur) mod B
-    matches an independent Python mirror of the declared spec — h(w) =
-    int(md5(utf8(w))[:8 hex], 16), the same formula the DuckDB oracle
-    computes per DISTINCT word — on a handful of adversarial docs
-    (exotic whitespace, unicode, single-word, empty)."""
+    """dsir_weights' PRODUCTION bucket expression (_dsir_word_hashes +
+    _dsir_bucket_col — the exact columns the query builds) matches an
+    independent Python mirror of the declared spec — h(w) =
+    int(md5(utf8(w))[:8 hex], 16), compose (h_prev * P + h_cur) mod B,
+    the same formula the DuckDB oracle computes per DISTINCT word — on
+    a handful of adversarial docs (exotic whitespace, unicode,
+    single-word, empty)."""
     import hashlib
 
     from tomixpanel_spark.operators.textops import (
         DSIR_BUCKETS,
         DSIR_HASH_PRIME,
-        _py_token_counts,  # noqa: F401  (spec anchor)
+        _dsir_bucket_col,
+        _dsir_word_hashes,
     )
-    from tomixpanel_spark.functions.text import WHITESPACE_CHARS
+    from tomixpanel_spark.functions.text import WHITESPACE_CHARS, tokens
 
     texts = [
         "the cat sat on the mat",
@@ -485,28 +488,10 @@ def test_dsir_bucket_formula_matches_word_hash_spec(spark):
             for a, b in zip(hs, hs[1:])
         ]
 
-    import pyspark.sql.functions as F
-    from tomixpanel_spark.functions.text import tokens
-
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    word_h = lambda c: F.conv(  # noqa: E731
-        F.substring(F.md5(c), 1, 8), 16, 10
-    ).cast("long")
-    hs = F.transform(tokens("text"), word_h)
-    n = F.size(hs)
-    bks = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(hs, F.lit(1), n - 1),
-            F.slice(hs, F.lit(2), n - 1),
-            lambda a, c: F.pmod(
-                a * F.lit(DSIR_HASH_PRIME).cast("long") + c,
-                F.lit(DSIR_BUCKETS).cast("long"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    bks = _dsir_bucket_col(_dsir_word_hashes(tokens("text")))
     got = {r["doc_id"]: r["b"] for r in df.select("doc_id", bks.alias("b")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == py_buckets(t), (i, t)
@@ -607,7 +592,7 @@ def test_stratified_sample_is_narrow(spark):
     assert exchange_count(df) == 0
 
 
-def test_gopher_repetition_is_narrow_and_matches_spec(spark):
+def test_gopher_repetition_is_narrow_and_matches_spec(spark, tmp_path):
     """The top n-gram repetition features are pure narrow folds (no
     join, no exchange beyond ensure_parallel's defensive repartition —
     the gopher_quality shape), and the fold's tie rule matches the
@@ -630,10 +615,8 @@ def test_gopher_repetition_is_narrow_and_matches_spec(spark):
     tie = spark.createDataFrame(
         [(1, "b b a a", "en")], "doc_id long, text string, lang string"
     )
-    import tempfile, os
-    d = tempfile.mkdtemp(prefix="gopher_rep_tie_")
-    tie.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
-    [row] = REG["gopher_repetition"].fn(spark, d).collect()
+    tie.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    [row] = REG["gopher_repetition"].fn(spark, str(tmp_path)).collect()
     # top bigram 'a a': 1 occurrence x 2 chars / 4 total chars = 0.5
     assert row["top2_char_frac_e6"] == 500_000
     # top trigram: all counts 1, smallest gram 'a a a'? grams are

@@ -1211,17 +1211,26 @@ def _decode_jpeg_progressive(
     # subsampled/MCU-padded components of any legal sampling + slack —
     # x 8-byte int64 cells); and the buffer bytes are additionally
     # capped relative to the payload size (amplification <= 1024x,
-    # 16 MB floor), because EOB runs let a tiny progressive payload
-    # legally claim multi-GB int64 buffers under the geometry bound
-    # alone — a few-hundred-byte payload can now demand at most 16 MB,
-    # not the 64 MB the old floor admitted
+    # TOMIX_JPEG_PROG_ALLOC_FLOOR_MB floor, default 16), because EOB
+    # runs let a tiny progressive payload legally claim multi-GB int64
+    # buffers under the geometry bound alone — a few-hundred-byte
+    # payload can now demand at most the floor, not the 64 MB the old
+    # floor admitted. DELIBERATE tradeoff: a LEGITIMATE but extremely
+    # compressible progressive image (blank scanned page, test chart)
+    # whose coefficient buffers land between the floor and 1024x its
+    # payload is rejected too — e.g. a few-KB 2048x2048 blank gray
+    # needs 33.5 MB of buffers. That is the zip-bomb-guard posture
+    # (amplification itself is the threat signature); deployments that
+    # ingest large flat scans raise the floor explicitly instead of
+    # the guard silently admitting crafted payloads of the same shape.
     luma_px = (geo[0][5] * 8) * (geo[0][4] * 8)
     buf_bytes = total_blocks * 64 * 8  # int64 coefficient cells
     if luma_px > max_px or buf_bytes > 32 * max_px:
         raise ValueError(
             f"JPEG dimensions {h}x{w} exceed TOMIX_IMG_MAX_PIXELS={max_px}"
         )
-    if buf_bytes > max(16 << 20, 1024 * len(payload)):
+    floor_mb = int(os.environ.get("TOMIX_JPEG_PROG_ALLOC_FLOOR_MB", "16"))
+    if buf_bytes > max(floor_mb << 20, 1024 * len(payload)):
         raise ValueError(
             "progressive JPEG coefficient buffers exceed the payload-"
             f"proportional allocation bound ({buf_bytes} bytes from a "

@@ -13,11 +13,11 @@ plain batch aggregate over the same slice — so the driver's hash check
 proves stream-merge == batch for counts AND DECIMAL sums, across
 micro-batch boundaries, through the manifest commit protocol.
 
-Slice bound: the first 3 days of events (ts < min(ts) + 3 days, both
-engines compute the bound from the data) — keeps the per-batch day-
-partition rewrites proportional to the slice, not the table's full time
-span; the semantics under test (incremental exactly-once merge) don't
-depend on span.
+Slice bound: the first SLICE_DAYS days of events (ts < min(ts) +
+SLICE_DAYS days, both engines compute the bound from the data) — keeps
+the per-batch day-partition rewrites proportional to the slice, not the
+table's full time span; the semantics under test (incremental
+exactly-once merge) don't depend on span.
 """
 
 from __future__ import annotations

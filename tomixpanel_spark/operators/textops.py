@@ -452,6 +452,36 @@ DSIR_BUCKETS = 1024  # hashed n-gram feature space (Xie et al. 2023 use 10k)
 DSIR_HASH_PRIME = 1_000_003
 
 
+def _dsir_word_hashes(words_col) -> "F.Column":
+    """h(w) per word occurrence: first 8 md5 hex digits as a 32-bit int —
+    the declared hash the DuckDB oracle computes per DISTINCT word
+    (CAST('0x' || substr(md5(word), 1, 8) AS BIGINT)). Exposed as the
+    single production definition so the spec test pins THIS code, not a
+    copy of it."""
+    return F.transform(
+        words_col,
+        lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
+    )
+
+
+def _dsir_bucket_col(hs_col) -> "F.Column":
+    """Adjacent-pair bucket composition over a word-hash array:
+    (h_prev * P + h_cur) mod B, empty for docs shorter than 2 tokens.
+    The single production definition shared by dsir_weights and its
+    spec test."""
+    p = F.lit(DSIR_HASH_PRIME).cast("long")
+    b = F.lit(DSIR_BUCKETS).cast("long")
+    n = F.size(hs_col)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(hs_col, F.lit(1), n - 1),
+            F.slice(hs_col, F.lit(2), n - 1),
+            lambda a, c: F.pmod(a * p + c, b),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every raw
@@ -510,25 +540,13 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     an extra vocab job respectively, so the pure-Catalyst form wins
     (ARCHITECTURE §R13)."""
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
-    word_h = lambda c: F.conv(  # noqa: E731
-        F.substring(F.md5(c), 1, 8), 16, 10
-    ).cast("long")
-    p = F.lit(DSIR_HASH_PRIME).cast("long")
-    b = F.lit(DSIR_BUCKETS).cast("long")
     hs_named = docs.select(
-        "doc_id", "lang", F.transform(tokens("text"), word_h).alias("hs")
+        "doc_id", "lang", _dsir_word_hashes(tokens("text")).alias("hs")
     )
-    n = F.size(F.col("hs"))
-    bks_col = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(F.col("hs"), F.lit(1), n - 1),
-            F.slice(F.col("hs"), F.lit(2), n - 1),
-            lambda a, c: F.pmod(a * p + c, b),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
     base = stage_checkpoint(
-        hs_named.select("doc_id", "lang", bks_col.alias("bks"))
+        hs_named.select(
+            "doc_id", "lang", _dsir_bucket_col(F.col("hs")).alias("bks")
+        )
     )
     # ONE corpus pass builds both feature tables (conditional sum for
     # the target side); the result is a fixed-size <= B-row table, so
@@ -548,12 +566,17 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     nq = sum(r["qc"] for r in stats)
     np_ = sum(r["pc"] for r in stats)
     r_arr = [0] * DSIR_BUCKETS
-    for r in stats:
-        denom = r["qc"] * 1_000_000_000 // nq
-        if denom:
-            r_arr[r["bucket"]] = (
-                (r["pc"] * 1_000_000_000 // np_) * 1_000_000 // denom
-            )
+    # np_ == 0 (no target-language bigrams anywhere) leaves every ratio
+    # 0 — the oracle's `pc * 1e9 // 0` is NULL in DuckDB and its score
+    # coalesces to 0, and the old all-Spark plan's `div` returned the
+    # same null-safe zeros (a bare // here raised ZeroDivisionError)
+    if np_:
+        for r in stats:
+            denom = r["qc"] * 1_000_000_000 // nq
+            if denom:
+                r_arr[r["bucket"]] = (
+                    (r["pc"] * 1_000_000_000 // np_) * 1_000_000 // denom
+                )
     rdf = F.broadcast(
         spark.createDataFrame([(r_arr,)], schema="ra array<bigint>")
     )

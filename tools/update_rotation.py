@@ -43,13 +43,38 @@ def round_markers() -> dict[int, str]:
     return markers
 
 
+_COMMIT_OK: set[str] = set()
+
+
+def _require_commit(commit: str) -> None:
+    """Raise on a bad/unreachable commit object BEFORE any per-path
+    probe: git's path-level error message for a nonexistent SHA is the
+    SAME "exists on disk, but not in '<sha>'" it emits for a genuinely
+    absent path (verified against this repo's git), so commit validity
+    must be established separately or a corrupt/shallow repo silently
+    under-hashes every file as 'absent' (round-12 advice)."""
+    if commit in _COMMIT_OK:
+        return
+    p = subprocess.run(
+        ["git", "cat-file", "-e", f"{commit}^{{commit}}"],
+        cwd=REPO,
+        capture_output=True,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(
+            f"bad or unreachable commit {commit}: "
+            f"{p.stderr.decode(errors='replace').strip()}"
+        )
+    _COMMIT_OK.add(commit)
+
+
 def historical_hash(commit: str, relpaths: list[str]) -> str:
-    """md5 of the declared files AS OF ``commit``. A path genuinely
-    absent at that commit is skipped WITH a warning (a renamed module
-    would otherwise silently under-hash and pin changed_since_green
-    forever); any OTHER git failure (bad object, shallow clone, repo
-    corruption) raises instead of being folded into 'absent'
-    (round-12 advice)."""
+    """md5 of the declared files AS OF ``commit``. The commit object is
+    validated first (bad object / shallow clone raises); a path then
+    absent at that VALID commit is skipped WITH a warning (a renamed
+    module would otherwise silently under-hash and pin
+    changed_since_green forever) instead of crashing the generator."""
+    _require_commit(commit)
     md5 = hashlib.md5()
     for rel in relpaths:
         probe = subprocess.run(
@@ -58,17 +83,13 @@ def historical_hash(commit: str, relpaths: list[str]) -> str:
             capture_output=True,
         )
         if probe.returncode != 0:
-            err = probe.stderr.decode(errors="replace").strip()
-            if "does not exist" in err:
-                print(
-                    f"WARN: {rel} not present at {commit[:12]} — skipped "
-                    "from the recorded hash (renamed rotation dep?)",
-                    file=sys.stderr,
-                )
-                continue
-            raise RuntimeError(
-                f"git cat-file failed for {commit}:{rel}: {err}"
+            # commit already validated -> this is a path-level absence
+            print(
+                f"WARN: {rel} not present at {commit[:12]} — skipped "
+                "from the recorded hash (renamed rotation dep?)",
+                file=sys.stderr,
             )
+            continue
         p = subprocess.run(
             ["git", "show", f"{commit}:{rel}"],
             cwd=REPO,
