@@ -433,6 +433,52 @@ def test_rotation_changed_code_outranks_staleness():
     assert order2[:3] == ["brand_new", "old3", "rewritten"]
 
 
+def test_dsir_weights_zero_target_corpus(spark, tmp_path):
+    """A corpus with NO target-language (lang='en') bigrams must yield
+    all-zero weights, not ZeroDivisionError: the driver-side exact
+    ratio arithmetic divides by the target total, which the old
+    all-Spark `div` (and the DuckDB oracle's NULL-on-div-zero +
+    coalesce) turned into zero weights."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", "fr"), (2, "delta epsilon", "de")],
+        "doc_id long, text string, lang string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in
+            REG["dsir_weights"].fn(spark, str(tmp_path)).collect()}
+    assert rows[1]["dsir_weight_e6"] == 0
+    assert rows[2]["dsir_weight_e6"] == 0
+    assert rows[1]["n_bigrams"] == 2 and rows[2]["n_bigrams"] == 1
+
+
+def test_jpeg_prog_alloc_floor_is_tunable(monkeypatch):
+    """The progressive allocation floor dial: a VALID blank 2048x2048
+    progressive grayscale (one DC scan, 65536 size-0 units — a real
+    ~16.7 KB flat-scan payload needing 33.5 MB of coefficient buffers)
+    raises at the default 16 MB floor and FULLY DECODES when the
+    deployment raises the floor to 64 MB — the documented
+    legitimate-flat-scan escape hatch and its false-positive zone."""
+    import pytest as _pt
+
+    from tests.test_properties import TestJpegCodec as T
+    from tomixpanel_spark.operators.multimodal import decode_jpeg_gray
+
+    payload = (
+        b"\xff\xd8" + T._dqt_flat16() + T._sof2_gray(2048, 2048)
+        + T._dht_annexk()
+        + T._sos_prog([(1, 0x00)], 0, 0, 0, 0)
+        + T._entropy("00" * (256 * 256))  # DC size-0 for every data unit
+        + b"\xff\xd9"
+    )
+    assert len(payload) < 20_000  # still far under 33.5 MB / 1024
+    with _pt.raises(ValueError, match="allocation bound"):
+        decode_jpeg_gray(payload)
+    monkeypatch.setenv("TOMIX_JPEG_PROG_ALLOC_FLOOR_MB", "64")
+    px = decode_jpeg_gray(payload)
+    assert px.shape == (2048, 2048)
+    assert (px == px[0, 0]).all()  # flat image
+
+
 def test_dsir_scoring_pass_has_no_doc_level_shuffle(spark):
     """dsir_weights' scale contract: the per-document scoring pass is a
     narrow fold against one broadcast ratio map — no exchange keyed on
