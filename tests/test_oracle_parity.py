@@ -114,3 +114,52 @@ def test_driver_hashable_contract_rejects_arrays(spark):
     pdf = pd.DataFrame([(1, ["a", "b"])], columns=["id", "pieces"])
     with _pt.raises(TypeError):
         pdf.sort_values(by=["id", "pieces"])
+
+
+def test_driver_hashable_contract_rejects_binary(spark):
+    """BinaryType collects as bytearray — unhashable under pandas
+    factorize exactly like a list — so the contract check must flag it
+    (round-13 advice: an Array/Map-only check would pass a
+    binary-emitting query that the real driver then red-flags)."""
+    from tomixpanel_spark.operators.base import driver_hashable_violations
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x01"))], schema="id long, payload binary"
+    )
+    v = driver_hashable_violations(bad.schema)
+    assert [x.split(":")[0] for x in v] == ["payload"]
+
+    # the driver mechanic this guards: factorize on bytearray cells raises
+    import pandas as pd
+    import pytest as _pt
+
+    with _pt.raises(TypeError):
+        pd.factorize(pd.Series([bytearray(b"\x00"), bytearray(b"\x01")]))
+
+
+def test_driver_canon_check_catches_single_column_lists():
+    """The verify-sim must force the factorize path per column: a
+    single-column list result sorts fine under sort_values (lists are
+    orderable) yet the real driver's factorize raises — the width-1
+    blind spot from round-13 advice."""
+    import os
+
+    import pytest as _pt
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(
+        os.path.join(repo, ".claude", "skills", "verify", "verify_driver.py")
+    ).read()
+    # Exec only the function def in isolation — importing the module
+    # would build a SparkSession at module scope. It imports pandas
+    # inside its own body, so no surrounding context is needed.
+    start = src.index("def driver_canon_check")
+    end = src.index("\nonly = ")
+    ns: dict = {}
+    exec(src[start:end], ns)
+    check = ns["driver_canon_check"]
+
+    with _pt.raises(TypeError):
+        check(["pieces"], [(["a", "b"],), (["c"],)])
+    # scalar single column passes
+    check(["id"], [(1,), (2,)])

@@ -581,6 +581,39 @@ def test_rotation_recorded_hashes_regenerate_cleanly():
     assert p.returncode == 0, f"rotation hash drift:\n{p.stdout}{p.stderr}"
 
 
+def test_rotation_historical_hash_fails_hard_on_missing_path():
+    """A path absent at a VALID commit is a hard error by default — a
+    renamed rotation dependency must not silently under-hash and pin
+    changed_since_green (round-13 advice); --allow-missing opts into the
+    old warn-and-skip behavior explicitly."""
+    import os
+    import subprocess
+    import sys
+
+    import pytest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        import update_rotation as ur
+    finally:
+        sys.path.pop(0)
+
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=repo, capture_output=True, text=True
+    ).stdout.strip()
+    with pytest.raises(RuntimeError, match="not present at"):
+        ur.historical_hash(head, ["no/such/file.py"])
+    # explicit opt-in still hashes the remaining files
+    h = ur.historical_hash(
+        head, ["no/such/file.py", "bench.py"], allow_missing=True
+    )
+    assert h == ur.historical_hash(head, ["bench.py"])
+    # and a bad commit object is still commit-level, not path-level
+    with pytest.raises(RuntimeError, match="bad or unreachable commit"):
+        ur.historical_hash("0" * 40, ["bench.py"], allow_missing=True)
+
+
 def test_ensure_parallel_skips_already_split_sources(spark):
     """The defensive repartition must be CONDITIONAL: a 1-partition toy
     scan spreads to defaultParallelism, but an already-split source (any

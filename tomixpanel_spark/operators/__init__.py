@@ -47,67 +47,16 @@ from tomixpanel_spark.sources import csv as csv_source
 # has local DuckDB parity in tests/test_oracle_parity.py every round.
 _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
-    # -- never externally checked (r12 err: bpe_encode; new r13:
-    # gopher_repetition) ----------------------------------------------
-    "bpe_encode": 0,
-    "gopher_repetition": 0,
-    # -- last green r10 ---------------------------------------------
-    "project_drop": 10,
-    "project_rename": 10,
-    "pushdown_filter": 10,
-    "quality_score": 10,
-    "reverse_events": 10,
-    "rollup_orders": 10,
-    "schema_gate": 10,
-    "semi_join": 10,
-    "session_bounds": 10,
-    "stratified_sample": 10,
-    "streaming_cagg_parity": 10,
-    "substring_dup_stats": 10,
-    "supplier_balance": 10,
-    "time_normalize": 10,
-    "tpch_q5": 10,
-    "value_quantiles": 10,
-    "weighted_sample": 10,
     # -- last green r11 ---------------------------------------------
-    "bigram_lm_score": 11,
-    "bpe_merges": 11,
-    "bpe_token_count": 11,
-    "cagg_store_read": 11,
-    "chunk_documents": 11,
-    "cms_heavy_hitters": 11,
-    "containment_pairs": 11,
-    "cosine_topk": 11,
-    "cosine_topk_partitioned": 11,
-    "custom_dims": 11,
-    "decontam_overlap": 11,
-    "dedup_exact": 11,
-    "dedup_index_probe": 11,
-    "dedup_keep_list": 11,
-    "embedding_decontam": 11,
-    "embedding_keep_list": 11,
-    "embedding_neardup": 11,
     "event_sequences": 11,
     "funnel": 11,
-    "gopher_quality": 11,
     "hist_quantiles": 11,
     "hypertable_rollup": 11,
     "identity_components": 11,
     "kmv_distinct": 11,
-    "lsh_keep_list": 11,
-    "minhash_lsh_pairs": 11,
-    "minhash_signature": 11,
-    "mixture_rebalance": 11,
-    "multimodal_meta": 11,
-    "neardup_components": 11,
-    "neardup_keep_best": 11,
-    "ngram_jaccard_pairs": 11,
-    "pii_redact": 11,
     "range_join_active_windows": 11,
     "retention": 11,
     "rolling_active_users": 11,
-    "salted_join_stats": 11,
-    "seeded_shuffle": 11,
     "segment_dedup": 11,
     "sessionize": 11,
     "set_ops": 11,
@@ -120,7 +69,6 @@ _LAST_EXTERNAL = {
     "word_freq": 11,
     # -- last green r12 ---------------------------------------------
     "amp_profiles": 12,
-    "amp_transform": 12,
     "ann_ivf_q": 12,
     "ann_lsh": 12,
     "ann_pq_q": 12,
@@ -140,7 +88,6 @@ _LAST_EXTERNAL = {
     "explode_hits": 12,
     "filter_nonempty": 12,
     "ga_profiles": 12,
-    "ga_transform": 12,
     "incremental_dedup": 12,
     "insert_id_md5": 12,
     "label_centroids": 12,
@@ -168,6 +115,57 @@ _LAST_EXTERNAL = {
     "topk_per_group": 12,
     "tpch_q1": 12,
     "tpch_q3": 12,
+    # -- last green r13 ---------------------------------------------
+    "amp_transform": 13,
+    "bigram_lm_score": 13,
+    "bpe_encode": 13,
+    "bpe_merges": 13,
+    "bpe_token_count": 13,
+    "cagg_store_read": 13,
+    "chunk_documents": 13,
+    "cms_heavy_hitters": 13,
+    "containment_pairs": 13,
+    "cosine_topk": 13,
+    "cosine_topk_partitioned": 13,
+    "custom_dims": 13,
+    "decontam_overlap": 13,
+    "dedup_exact": 13,
+    "dedup_index_probe": 13,
+    "dedup_keep_list": 13,
+    "embedding_decontam": 13,
+    "embedding_keep_list": 13,
+    "embedding_neardup": 13,
+    "ga_transform": 13,
+    "gopher_quality": 13,
+    "gopher_repetition": 13,
+    "lsh_keep_list": 13,
+    "minhash_lsh_pairs": 13,
+    "minhash_signature": 13,
+    "mixture_rebalance": 13,
+    "multimodal_meta": 13,
+    "neardup_components": 13,
+    "neardup_keep_best": 13,
+    "ngram_jaccard_pairs": 13,
+    "pii_redact": 13,
+    "project_drop": 13,
+    "project_rename": 13,
+    "pushdown_filter": 13,
+    "quality_score": 13,
+    "reverse_events": 13,
+    "rollup_orders": 13,
+    "salted_join_stats": 13,
+    "schema_gate": 13,
+    "seeded_shuffle": 13,
+    "semi_join": 13,
+    "session_bounds": 13,
+    "stratified_sample": 13,
+    "streaming_cagg_parity": 13,
+    "substring_dup_stats": 13,
+    "supplier_balance": 13,
+    "time_normalize": 13,
+    "tpch_q5": 13,
+    "value_quantiles": 13,
+    "weighted_sample": 13,
 }
 
 WINDOW_SIZE = 50  # the driver samples this many leading registry entries
@@ -191,31 +189,32 @@ _CHECKED_SRC: dict[str, str] = {
     "asof_next_order": "eb169deaac05",
     "attribution_last_touch": "eb169deaac05",
     "balanced_shards": "05cd502b9ba7",
-    "bigram_lm_score": "53520182f820",
+    "bigram_lm_score": "858640781c09",
     "bm25_topk": "35135cf2accd",
-    "bpe_merges": "c83db8df0ac3",
-    "bpe_token_count": "c83db8df0ac3",
-    "cagg_store_read": "0b60c9201178",
+    "bpe_encode": "2d231f5053c6",
+    "bpe_merges": "2d231f5053c6",
+    "bpe_token_count": "2d231f5053c6",
+    "cagg_store_read": "05c6c330556d",
     "chunk_by_bpe": "338212282bcf",
-    "chunk_documents": "53520182f820",
-    "cms_heavy_hitters": "53520182f820",
+    "chunk_documents": "858640781c09",
+    "cms_heavy_hitters": "858640781c09",
     "coalesce_id": "67628408c0b0",
-    "containment_pairs": "46fe9bb1e675",
-    "cosine_topk": "692822205f1e",
-    "cosine_topk_partitioned": "692822205f1e",
+    "containment_pairs": "1b8824f32218",
+    "cosine_topk": "1695ce43652c",
+    "cosine_topk_partitioned": "1695ce43652c",
     "count_agg": "67628408c0b0",
     "csv_scan": "528b903a0c7d",
-    "custom_dims": "14c7cbc98501",
-    "decontam_overlap": "46fe9bb1e675",
+    "custom_dims": "293d0cd6880d",
+    "decontam_overlap": "1b8824f32218",
     "dedup_by_key": "67628408c0b0",
-    "dedup_exact": "46fe9bb1e675",
-    "dedup_index_probe": "0b60c9201178",
-    "dedup_keep_list": "46fe9bb1e675",
+    "dedup_exact": "1b8824f32218",
+    "dedup_index_probe": "05c6c330556d",
+    "dedup_keep_list": "1b8824f32218",
     "doc_fingerprint": "35135cf2accd",
     "dsir_weights": "35135cf2accd",
-    "embedding_decontam": "692822205f1e",
-    "embedding_keep_list": "692822205f1e",
-    "embedding_neardup": "692822205f1e",
+    "embedding_decontam": "1695ce43652c",
+    "embedding_keep_list": "1695ce43652c",
+    "embedding_neardup": "1695ce43652c",
     "engage_reshape": "293d0cd6880d",
     "event_sequences": "ae50a9a9c900",
     "explode_hits": "35135cf2accd",
@@ -223,7 +222,8 @@ _CHECKED_SRC: dict[str, str] = {
     "funnel": "ae50a9a9c900",
     "ga_profiles": "293d0cd6880d",
     "ga_transform": "293d0cd6880d",
-    "gopher_quality": "53520182f820",
+    "gopher_quality": "858640781c09",
+    "gopher_repetition": "858640781c09",
     "hist_quantiles": "ae50a9a9c900",
     "hypertable_rollup": "ae50a9a9c900",
     "identity_components": "506713212010",
@@ -232,7 +232,7 @@ _CHECKED_SRC: dict[str, str] = {
     "kmv_distinct": "ae50a9a9c900",
     "label_centroids": "1695ce43652c",
     "lang_id": "35135cf2accd",
-    "lsh_keep_list": "46fe9bb1e675",
+    "lsh_keep_list": "1b8824f32218",
     "map_merge": "67628408c0b0",
     "media_audio_features": "8b4a183f8093",
     "media_image_resize": "8b4a183f8093",
@@ -240,38 +240,38 @@ _CHECKED_SRC: dict[str, str] = {
     "media_neardup": "8b4a183f8093",
     "media_video_frames": "8b4a183f8093",
     "merge_pairs": "67628408c0b0",
-    "minhash_lsh_pairs": "46fe9bb1e675",
-    "minhash_signature": "46fe9bb1e675",
-    "mixture_rebalance": "53520182f820",
+    "minhash_lsh_pairs": "1b8824f32218",
+    "minhash_signature": "1b8824f32218",
+    "mixture_rebalance": "858640781c09",
     "mixture_stats": "35135cf2accd",
-    "multimodal_meta": "a2979d9c8bfb",
-    "neardup_components": "46fe9bb1e675",
-    "neardup_keep_best": "46fe9bb1e675",
-    "ngram_jaccard_pairs": "46fe9bb1e675",
+    "multimodal_meta": "3a138906be47",
+    "neardup_components": "1b8824f32218",
+    "neardup_keep_best": "1b8824f32218",
+    "ngram_jaccard_pairs": "1b8824f32218",
     "part_revenue": "332637c7e0bf",
-    "pii_redact": "53520182f820",
+    "pii_redact": "858640781c09",
     "pivot_status": "332637c7e0bf",
-    "project_drop": "1e54db3a40b3",
-    "project_rename": "1e54db3a40b3",
-    "pushdown_filter": "1e54db3a40b3",
-    "quality_score": "976e19637d6e",
+    "project_drop": "332637c7e0bf",
+    "project_rename": "332637c7e0bf",
+    "pushdown_filter": "332637c7e0bf",
+    "quality_score": "858640781c09",
     "range_join_active_windows": "b6ba9074d9cd",
     "retention": "ae50a9a9c900",
-    "reverse_events": "14c7cbc98501",
+    "reverse_events": "293d0cd6880d",
     "rolling_active_users": "ae50a9a9c900",
-    "rollup_orders": "1e54db3a40b3",
-    "salted_join_stats": "1e54db3a40b3",
-    "schema_gate": "bc4aae97b654",
-    "seeded_shuffle": "283a7841ff64",
+    "rollup_orders": "332637c7e0bf",
+    "salted_join_stats": "332637c7e0bf",
+    "schema_gate": "67628408c0b0",
+    "seeded_shuffle": "05cd502b9ba7",
     "segment_dedup": "53520182f820",
-    "semi_join": "1e54db3a40b3",
-    "session_bounds": "bc4aae97b654",
+    "semi_join": "332637c7e0bf",
+    "session_bounds": "67628408c0b0",
     "sessionize": "ae50a9a9c900",
     "set_ops": "ae50a9a9c900",
     "simhash": "1b8824f32218",
     "simhash_pairs": "1b8824f32218",
-    "stratified_sample": "976e19637d6e",
-    "streaming_cagg_parity": "e0fdc30b337e",
+    "stratified_sample": "858640781c09",
+    "streaming_cagg_parity": "05c6c330556d",
     "streaming_dedup_parity": "44cf8607048b",
     "streaming_incremental_parity": "44cf8607048b",
     "streaming_sketch_parity": "44cf8607048b",
@@ -279,20 +279,20 @@ _CHECKED_SRC: dict[str, str] = {
     "streaming_windowed_parity": "44cf8607048b",
     "substring_dedup_clean": "1b8824f32218",
     "substring_dup_spans": "1b8824f32218",
-    "substring_dup_stats": "6403986a14bf",
-    "supplier_balance": "1e54db3a40b3",
+    "substring_dup_stats": "1b8824f32218",
+    "supplier_balance": "332637c7e0bf",
     "tfidf_keywords": "35135cf2accd",
-    "time_normalize": "bc4aae97b654",
+    "time_normalize": "67628408c0b0",
     "time_shift": "bc4aae97b654",
     "token_count": "53520182f820",
     "topk_per_group": "332637c7e0bf",
     "tpch_q1": "332637c7e0bf",
     "tpch_q3": "332637c7e0bf",
-    "tpch_q5": "1e54db3a40b3",
+    "tpch_q5": "332637c7e0bf",
     "tpch_q6": "1e54db3a40b3",
     "union_all": "1e54db3a40b3",
-    "value_quantiles": "17d09302355e",
-    "weighted_sample": "976e19637d6e",
+    "value_quantiles": "ae50a9a9c900",
+    "weighted_sample": "858640781c09",
     "when_chain": "bc4aae97b654",
     "window_running": "1e54db3a40b3",
     "word_freq": "53520182f820",

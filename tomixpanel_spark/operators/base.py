@@ -291,14 +291,18 @@ def driver_hashable_violations(schema) -> list[str]:
     only. Round 12 shipped ``bpe_encode`` with ``pieces array<string>``
     and the driver red-flagged the row while the local harnesses (which
     str()-canonicalized cells) stayed green (round-12 verdict #1/#2).
-    Returns ["col: type", ...] for every ArrayType/MapType/StructType
-    top-level column; empty means driver-safe."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    BinaryType is in the list too: PySpark collects binary cells as
+    ``bytearray``, which is just as unhashable under pandas factorize as
+    a list — a binary-emitting query would pass an Array/Map-only check
+    yet red-flag at the real driver (round-13 advice).
+    Returns ["col: type", ...] for every such top-level column; empty
+    means driver-safe."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
 
     return [
         f"{f.name}: {f.dataType.simpleString()}"
         for f in schema.fields
-        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        if isinstance(f.dataType, (ArrayType, BinaryType, MapType, StructType))
     ]
 
 

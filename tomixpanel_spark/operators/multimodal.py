@@ -1231,10 +1231,13 @@ def _decode_jpeg_progressive(
         )
     floor_mb = int(os.environ.get("TOMIX_JPEG_PROG_ALLOC_FLOOR_MB", "16"))
     if buf_bytes > max(floor_mb << 20, 1024 * len(payload)):
+        need_mb = -(-buf_bytes // (1 << 20))  # ceil MB that would admit it
         raise ValueError(
             "progressive JPEG coefficient buffers exceed the payload-"
             f"proportional allocation bound ({buf_bytes} bytes from a "
-            f"{len(payload)}-byte payload)"
+            f"{len(payload)}-byte payload); a legitimate image of this "
+            f"geometry needs TOMIX_JPEG_PROG_ALLOC_FLOOR_MB>={need_mb} "
+            f"(current floor {floor_mb} MB)"
         )
     bufs = [
         np.zeros((g[5], g[4], 64), dtype=np.int64) for g in geo

@@ -447,8 +447,13 @@ WHERE h < least(n_tokens * 100, 9000)
 
 
 DSIR_BUCKETS = 1024  # hashed n-gram feature space (Xie et al. 2023 use 10k)
-# bigram bucket = (h(prev) * P + h(cur)) mod B; P prime > B keeps the
-# composition well-mixed while h(w)*P + h stays far under int64
+# bigram bucket = (h(prev) * P + h(cur)) mod B. Since B=1024 is a power
+# of two, the mod sees only the low 10 bits of (h_prev*P + h_cur) — the
+# bucket UNIFORMITY therefore comes from the md5 low bits of each word
+# hash being uniform, not from P's primality (P mod 1024 = 579; any odd
+# P gives the same distribution quality). P's actual jobs: keep
+# (prev, cur) and (cur, prev) in different buckets and keep
+# h(w)*P + h far under int64.
 DSIR_HASH_PRIME = 1_000_003
 
 

@@ -68,12 +68,17 @@ def _require_commit(commit: str) -> None:
     _COMMIT_OK.add(commit)
 
 
-def historical_hash(commit: str, relpaths: list[str]) -> str:
+def historical_hash(
+    commit: str, relpaths: list[str], allow_missing: bool = False
+) -> str:
     """md5 of the declared files AS OF ``commit``. The commit object is
-    validated first (bad object / shallow clone raises); a path then
-    absent at that VALID commit is skipped WITH a warning (a renamed
-    module would otherwise silently under-hash and pin
-    changed_since_green forever) instead of crashing the generator."""
+    validated first (bad object / shallow clone raises). A path absent
+    at that VALID commit is a HARD ERROR by default: a renamed rotation
+    dependency would otherwise produce a stable-but-wrong hash over the
+    remaining files and silently pin changed_since_green semantics (the
+    round-12/13 advice case). Pass ``allow_missing=True`` (CLI
+    ``--allow-missing``) only when the absence is expected — e.g. a dep
+    file genuinely introduced after that round's marker commit."""
     _require_commit(commit)
     md5 = hashlib.md5()
     for rel in relpaths:
@@ -84,9 +89,16 @@ def historical_hash(commit: str, relpaths: list[str]) -> str:
         )
         if probe.returncode != 0:
             # commit already validated -> this is a path-level absence
+            if not allow_missing:
+                raise RuntimeError(
+                    f"{rel} not present at {commit[:12]} — a renamed "
+                    "rotation dependency would silently under-hash; "
+                    "re-run with --allow-missing only if the absence "
+                    "is expected (file introduced after that round)"
+                )
             print(
                 f"WARN: {rel} not present at {commit[:12]} — skipped "
-                "from the recorded hash (renamed rotation dep?)",
+                "from the recorded hash (--allow-missing)",
                 file=sys.stderr,
             )
             continue
@@ -117,7 +129,9 @@ def main() -> int:
             print(f"WARN: no marker commit for round {rnd} ({q})")
             continue
         rels = ops.module_relpaths(reg[q].fn.__module__)
-        checked[q] = historical_hash(markers[rnd], rels)
+        checked[q] = historical_hash(
+            markers[rnd], rels, allow_missing="--allow-missing" in sys.argv
+        )
 
     if "--check" in sys.argv:
         drift = {
