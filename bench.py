@@ -128,23 +128,35 @@ def main() -> None:
         return execute(df) + (time.perf_counter() - t0)
 
     # Three tiers, reported separately and honestly:
-    #   * HEADLINE (`queries`/`value`): best of two FULL build+execute
-    #     passes — each pass constructs the DataFrame fresh, so Python
+    #   * HEADLINE (`queries`/`value`): best of three FULL build+execute
+    #     runs — each run constructs the DataFrame fresh, so Python
     #     expression building, Catalyst analysis, AQE planning, and every
     #     shuffle all re-run. Directly comparable across rounds and to the
     #     oracle's per-query runs.
-    #   * COLD (`cold_queries`/`cold_total`): the first of those passes.
+    #   * COLD (`cold_queries`/`cold_total`): the first of those runs.
     #   * PREPARED (`prepared_queries`/`prepared_total`): re-executing the
-    #     pass-2 DataFrame handle — the prepared-statement serving regime.
-    #     CAVEAT, and why this is NOT the headline: Spark registers a live
-    #     DataFrame's shuffle map outputs, so re-execution skips completed
-    #     map stages — it measures plan-cache + shuffle-reuse serving
-    #     throughput, not a from-scratch run.
+    #     last run's DataFrame handle — the prepared-statement serving
+    #     regime. CAVEAT, and why this is NOT the headline: Spark
+    #     registers a live DataFrame's shuffle map outputs, so
+    #     re-execution skips completed map stages — it measures
+    #     plan-cache + shuffle-reuse serving throughput, not a
+    #     from-scratch run.
+    #
+    # The three runs of a query are CONSECUTIVE, not suite-wise passes.
+    # Suite-wise passes put 115 foreign query shapes between each repeat
+    # of a query, which evicts its JIT-hot generated-class paths and
+    # turned sub-second rows into 2-7 s tiered-compilation churn in
+    # recorded artifacts (simhash_pairs 0.45-7.7 s interleaved vs
+    # 0.45-0.92 s back-to-back; amp_transform 1.10 s recorded vs 0.35 s
+    # controlled — ARCHITECTURE §R13.13, §R14). Back-to-back repeats keep
+    # the measurement regime the min-of-3 policy assumes while each run
+    # still builds a fresh plan instance (fresh shuffle IDs — no
+    # cross-run shuffle reuse; that regime is the PREPARED tier).
     second_pass_budget = float(os.environ.get("TOMIX_BENCH_BUDGET_S", "300"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     prepared: dict[str, float] = {}
-    handles: dict[str, object] = {}
+    budget_truncated = False
     t_start = time.perf_counter()
     for name in sorted(reg):
         t0 = time.perf_counter()
@@ -153,13 +165,14 @@ def main() -> None:
         exec_s = execute(df)
         cold[name] = round(built + exec_s, 4)
         timings[name] = built + exec_s
-    # passes 2..3: per-query best-of absorbs host-noise spikes (measured
-    # run-to-run swings of 30-40% on individual queries under invisible
-    # host contention; min-of-3 keeps the headline comparable across
-    # rounds). The budget still bounds total bench wall time.
-    budget_truncated = False
-    for _pass in (2, 3):
-        for name in sorted(reg):
+        # runs 2..3: per-query best-of absorbs host-noise spikes (measured
+        # run-to-run swings of 30-40% on individual queries under
+        # invisible host contention; min-of-3 keeps the headline
+        # comparable across rounds). The budget still bounds total bench
+        # wall time — late queries lose their repeats first, exactly as
+        # the old suite-wise passes truncated from a point onward.
+        handle = None
+        for _run in (2, 3):
             if time.perf_counter() - t_start > second_pass_budget:
                 budget_truncated = True
                 break
@@ -168,12 +181,9 @@ def main() -> None:
             built = time.perf_counter() - t0
             exec_s = execute(df)
             timings[name] = min(timings[name], built + exec_s)
-            handles[name] = df
-    for name in sorted(reg):
-        if name not in handles or time.perf_counter() - t_start > second_pass_budget:
-            continue
-        prepared[name] = round(execute(handles[name]), 4)
-    handles.clear()
+            handle = df
+        if handle is not None:
+            prepared[name] = round(execute(handle), 4)
     timings = {k: round(v, 4) for k, v in timings.items()}
 
     # Secondary numbers: the signature-sharing family re-timed with the

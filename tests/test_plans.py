@@ -581,6 +581,28 @@ def test_rotation_recorded_hashes_regenerate_cleanly():
     assert p.returncode == 0, f"rotation hash drift:\n{p.stdout}{p.stderr}"
 
 
+def test_rotation_hash_ignores_comments_tracks_code():
+    """The rotation hash must be comment-insensitive: a `#` comment edit
+    is not a rewrite and must not bump a module's queries ahead of
+    genuinely stale rows (it evicted 10 r11-stale rows from the r14
+    window before this fix). Any literal or structural change — including
+    docstrings and oracle SQL strings — must still flip it."""
+    from tomixpanel_spark.operators import normalized_source
+
+    base = b"X = 1\ndef f(a):\n    return a + X\n"
+    commented = b"# a comment\nX = 1\ndef f(a):  # trailing\n    return a + X\n"
+    reformatted = b"X = 1\n\n\ndef f(a):\n    return (a + X)\n"
+    assert normalized_source(base) == normalized_source(commented)
+    assert normalized_source(base) == normalized_source(reformatted)
+    assert normalized_source(base) != normalized_source(b"X = 2\ndef f(a):\n    return a + X\n")
+    # docstrings are literals -> they count as code
+    assert normalized_source(b"def f():\n    'spec A'\n") != normalized_source(
+        b"def f():\n    'spec B'\n"
+    )
+    # non-Python content falls back to raw bytes
+    assert normalized_source(b"\x00not python") == b"\x00not python"
+
+
 def test_rotation_historical_hash_fails_hard_on_missing_path():
     """A path absent at a VALID commit is a hard error by default — a
     renamed rotation dependency must not silently under-hash and pin

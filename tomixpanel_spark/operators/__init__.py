@@ -180,122 +180,122 @@ WINDOW_SIZE = 50  # the driver samples this many leading registry entries
 # tools/update_rotation.py. Hash values are REPLACED below by the
 # generator; the mechanism (not the values) is what tests lock.
 _CHECKED_SRC: dict[str, str] = {
-    "amp_profiles": "293d0cd6880d",
-    "amp_transform": "293d0cd6880d",
-    "ann_ivf_q": "1695ce43652c",
-    "ann_lsh": "1695ce43652c",
-    "ann_pq_q": "1695ce43652c",
-    "asof_latest_order": "eb169deaac05",
-    "asof_next_order": "eb169deaac05",
-    "attribution_last_touch": "eb169deaac05",
-    "balanced_shards": "05cd502b9ba7",
-    "bigram_lm_score": "858640781c09",
-    "bm25_topk": "35135cf2accd",
-    "bpe_encode": "2d231f5053c6",
-    "bpe_merges": "2d231f5053c6",
-    "bpe_token_count": "2d231f5053c6",
-    "cagg_store_read": "05c6c330556d",
-    "chunk_by_bpe": "338212282bcf",
-    "chunk_documents": "858640781c09",
-    "cms_heavy_hitters": "858640781c09",
-    "coalesce_id": "67628408c0b0",
-    "containment_pairs": "1b8824f32218",
-    "cosine_topk": "1695ce43652c",
-    "cosine_topk_partitioned": "1695ce43652c",
-    "count_agg": "67628408c0b0",
-    "csv_scan": "528b903a0c7d",
-    "custom_dims": "293d0cd6880d",
-    "decontam_overlap": "1b8824f32218",
-    "dedup_by_key": "67628408c0b0",
-    "dedup_exact": "1b8824f32218",
-    "dedup_index_probe": "05c6c330556d",
-    "dedup_keep_list": "1b8824f32218",
-    "doc_fingerprint": "35135cf2accd",
-    "dsir_weights": "35135cf2accd",
-    "embedding_decontam": "1695ce43652c",
-    "embedding_keep_list": "1695ce43652c",
-    "embedding_neardup": "1695ce43652c",
-    "engage_reshape": "293d0cd6880d",
-    "event_sequences": "ae50a9a9c900",
-    "explode_hits": "35135cf2accd",
-    "filter_nonempty": "67628408c0b0",
-    "funnel": "ae50a9a9c900",
-    "ga_profiles": "293d0cd6880d",
-    "ga_transform": "293d0cd6880d",
-    "gopher_quality": "858640781c09",
-    "gopher_repetition": "858640781c09",
-    "hist_quantiles": "ae50a9a9c900",
-    "hypertable_rollup": "ae50a9a9c900",
-    "identity_components": "506713212010",
-    "incremental_dedup": "1b8824f32218",
-    "insert_id_md5": "67628408c0b0",
-    "kmv_distinct": "ae50a9a9c900",
-    "label_centroids": "1695ce43652c",
-    "lang_id": "35135cf2accd",
-    "lsh_keep_list": "1b8824f32218",
-    "map_merge": "67628408c0b0",
-    "media_audio_features": "8b4a183f8093",
-    "media_image_resize": "8b4a183f8093",
-    "media_meta": "8b4a183f8093",
-    "media_neardup": "8b4a183f8093",
-    "media_video_frames": "8b4a183f8093",
-    "merge_pairs": "67628408c0b0",
-    "minhash_lsh_pairs": "1b8824f32218",
-    "minhash_signature": "1b8824f32218",
-    "mixture_rebalance": "858640781c09",
-    "mixture_stats": "35135cf2accd",
-    "multimodal_meta": "3a138906be47",
-    "neardup_components": "1b8824f32218",
-    "neardup_keep_best": "1b8824f32218",
-    "ngram_jaccard_pairs": "1b8824f32218",
-    "part_revenue": "332637c7e0bf",
-    "pii_redact": "858640781c09",
-    "pivot_status": "332637c7e0bf",
-    "project_drop": "332637c7e0bf",
-    "project_rename": "332637c7e0bf",
-    "pushdown_filter": "332637c7e0bf",
-    "quality_score": "858640781c09",
-    "range_join_active_windows": "b6ba9074d9cd",
-    "retention": "ae50a9a9c900",
-    "reverse_events": "293d0cd6880d",
-    "rolling_active_users": "ae50a9a9c900",
-    "rollup_orders": "332637c7e0bf",
-    "salted_join_stats": "332637c7e0bf",
-    "schema_gate": "67628408c0b0",
-    "seeded_shuffle": "05cd502b9ba7",
-    "segment_dedup": "53520182f820",
-    "semi_join": "332637c7e0bf",
-    "session_bounds": "67628408c0b0",
-    "sessionize": "ae50a9a9c900",
-    "set_ops": "ae50a9a9c900",
-    "simhash": "1b8824f32218",
-    "simhash_pairs": "1b8824f32218",
-    "stratified_sample": "858640781c09",
-    "streaming_cagg_parity": "05c6c330556d",
-    "streaming_dedup_parity": "44cf8607048b",
-    "streaming_incremental_parity": "44cf8607048b",
-    "streaming_sketch_parity": "44cf8607048b",
-    "streaming_stateful_parity": "44cf8607048b",
-    "streaming_windowed_parity": "44cf8607048b",
-    "substring_dedup_clean": "1b8824f32218",
-    "substring_dup_spans": "1b8824f32218",
-    "substring_dup_stats": "1b8824f32218",
-    "supplier_balance": "332637c7e0bf",
-    "tfidf_keywords": "35135cf2accd",
-    "time_normalize": "67628408c0b0",
-    "time_shift": "bc4aae97b654",
-    "token_count": "53520182f820",
-    "topk_per_group": "332637c7e0bf",
-    "tpch_q1": "332637c7e0bf",
-    "tpch_q3": "332637c7e0bf",
-    "tpch_q5": "332637c7e0bf",
-    "tpch_q6": "1e54db3a40b3",
-    "union_all": "1e54db3a40b3",
-    "value_quantiles": "ae50a9a9c900",
-    "weighted_sample": "858640781c09",
-    "when_chain": "bc4aae97b654",
-    "window_running": "1e54db3a40b3",
-    "word_freq": "53520182f820",
+    "amp_profiles": "e7075c15031d",
+    "amp_transform": "e7075c15031d",
+    "ann_ivf_q": "dc311355ef98",
+    "ann_lsh": "dc311355ef98",
+    "ann_pq_q": "dc311355ef98",
+    "asof_latest_order": "f92a4157919c",
+    "asof_next_order": "f92a4157919c",
+    "attribution_last_touch": "f92a4157919c",
+    "balanced_shards": "e9d61ab0a9b7",
+    "bigram_lm_score": "1ce78a3f528f",
+    "bm25_topk": "a4e0e034a6b0",
+    "bpe_encode": "a692aa6115e6",
+    "bpe_merges": "a692aa6115e6",
+    "bpe_token_count": "a692aa6115e6",
+    "cagg_store_read": "9ebda52b47bb",
+    "chunk_by_bpe": "e632d052b9bf",
+    "chunk_documents": "1ce78a3f528f",
+    "cms_heavy_hitters": "1ce78a3f528f",
+    "coalesce_id": "0a0b7ccf4b82",
+    "containment_pairs": "f2cf6e506905",
+    "cosine_topk": "dc311355ef98",
+    "cosine_topk_partitioned": "dc311355ef98",
+    "count_agg": "0a0b7ccf4b82",
+    "csv_scan": "5454fed85e95",
+    "custom_dims": "e7075c15031d",
+    "decontam_overlap": "f2cf6e506905",
+    "dedup_by_key": "0a0b7ccf4b82",
+    "dedup_exact": "f2cf6e506905",
+    "dedup_index_probe": "9ebda52b47bb",
+    "dedup_keep_list": "f2cf6e506905",
+    "doc_fingerprint": "a4e0e034a6b0",
+    "dsir_weights": "a4e0e034a6b0",
+    "embedding_decontam": "dc311355ef98",
+    "embedding_keep_list": "dc311355ef98",
+    "embedding_neardup": "dc311355ef98",
+    "engage_reshape": "e7075c15031d",
+    "event_sequences": "696164988a02",
+    "explode_hits": "a4e0e034a6b0",
+    "filter_nonempty": "0a0b7ccf4b82",
+    "funnel": "696164988a02",
+    "ga_profiles": "e7075c15031d",
+    "ga_transform": "e7075c15031d",
+    "gopher_quality": "1ce78a3f528f",
+    "gopher_repetition": "1ce78a3f528f",
+    "hist_quantiles": "696164988a02",
+    "hypertable_rollup": "696164988a02",
+    "identity_components": "bbccf490f077",
+    "incremental_dedup": "f2cf6e506905",
+    "insert_id_md5": "0a0b7ccf4b82",
+    "kmv_distinct": "696164988a02",
+    "label_centroids": "dc311355ef98",
+    "lang_id": "a4e0e034a6b0",
+    "lsh_keep_list": "f2cf6e506905",
+    "map_merge": "0a0b7ccf4b82",
+    "media_audio_features": "eb116f755f9c",
+    "media_image_resize": "eb116f755f9c",
+    "media_meta": "eb116f755f9c",
+    "media_neardup": "eb116f755f9c",
+    "media_video_frames": "eb116f755f9c",
+    "merge_pairs": "0a0b7ccf4b82",
+    "minhash_lsh_pairs": "f2cf6e506905",
+    "minhash_signature": "f2cf6e506905",
+    "mixture_rebalance": "1ce78a3f528f",
+    "mixture_stats": "a4e0e034a6b0",
+    "multimodal_meta": "847ec580bd09",
+    "neardup_components": "f2cf6e506905",
+    "neardup_keep_best": "f2cf6e506905",
+    "ngram_jaccard_pairs": "f2cf6e506905",
+    "part_revenue": "957c7dea2a55",
+    "pii_redact": "1ce78a3f528f",
+    "pivot_status": "957c7dea2a55",
+    "project_drop": "957c7dea2a55",
+    "project_rename": "957c7dea2a55",
+    "pushdown_filter": "957c7dea2a55",
+    "quality_score": "1ce78a3f528f",
+    "range_join_active_windows": "dc8cbe128428",
+    "retention": "696164988a02",
+    "reverse_events": "e7075c15031d",
+    "rolling_active_users": "696164988a02",
+    "rollup_orders": "957c7dea2a55",
+    "salted_join_stats": "957c7dea2a55",
+    "schema_gate": "0a0b7ccf4b82",
+    "seeded_shuffle": "e9d61ab0a9b7",
+    "segment_dedup": "7f0d2717b66d",
+    "semi_join": "957c7dea2a55",
+    "session_bounds": "0a0b7ccf4b82",
+    "sessionize": "696164988a02",
+    "set_ops": "696164988a02",
+    "simhash": "f2cf6e506905",
+    "simhash_pairs": "f2cf6e506905",
+    "stratified_sample": "1ce78a3f528f",
+    "streaming_cagg_parity": "9ebda52b47bb",
+    "streaming_dedup_parity": "b4896824a160",
+    "streaming_incremental_parity": "b4896824a160",
+    "streaming_sketch_parity": "b4896824a160",
+    "streaming_stateful_parity": "b4896824a160",
+    "streaming_windowed_parity": "b4896824a160",
+    "substring_dedup_clean": "f2cf6e506905",
+    "substring_dup_spans": "f2cf6e506905",
+    "substring_dup_stats": "f2cf6e506905",
+    "supplier_balance": "957c7dea2a55",
+    "tfidf_keywords": "a4e0e034a6b0",
+    "time_normalize": "0a0b7ccf4b82",
+    "time_shift": "25c5b44db014",
+    "token_count": "7f0d2717b66d",
+    "topk_per_group": "957c7dea2a55",
+    "tpch_q1": "957c7dea2a55",
+    "tpch_q3": "957c7dea2a55",
+    "tpch_q5": "957c7dea2a55",
+    "tpch_q6": "8d5175527f64",
+    "union_all": "8d5175527f64",
+    "value_quantiles": "696164988a02",
+    "weighted_sample": "1ce78a3f528f",
+    "when_chain": "25c5b44db014",
+    "window_running": "8d5175527f64",
+    "word_freq": "7f0d2717b66d",
 }
 
 
@@ -322,8 +322,30 @@ def _collect() -> dict[str, QuerySpec]:
 _HASH_CACHE: dict[str, str] = {}
 
 
+def normalized_source(src: bytes) -> bytes:
+    """Source bytes -> the AST dump, so the rotation hash tracks CODE
+    changes, not comment edits. The byte-level hash treated a `#` comment
+    fix as a rewrite and bumped every query of the module ahead of
+    genuinely stale rows, evicting them from the 50-row external window
+    (observed in round 14: one advice-mandated comment correction flagged
+    14 freshly-greened queries as 'changed since green'). ast.dump drops
+    comments and formatting but keeps every literal — docstrings, oracle
+    SQL strings, thresholds — so any behavioral edit still flips the
+    hash. Unparseable sources (non-Python deps, syntax errors mid-edit)
+    fall back to raw bytes. Hashes are interpreter-version-dependent
+    (ast.dump format); they are regenerated per round on one machine and
+    never compared across interpreters."""
+    import ast
+
+    try:
+        return ast.dump(ast.parse(src.decode("utf-8"))).encode()
+    except (SyntaxError, UnicodeDecodeError):
+        return src
+
+
 def code_hash(modname: str) -> str:
-    """Current working-tree hash of a module file + its ROTATION_DEPS."""
+    """Current working-tree hash (comment-insensitive — see
+    normalized_source) of a module file + its ROTATION_DEPS."""
     h = _HASH_CACHE.get(modname)
     if h is None:
         import hashlib
@@ -333,7 +355,7 @@ def code_hash(modname: str) -> str:
             repo = _repo_root()
             try:
                 with open(f"{repo}/{rel}", "rb") as f:
-                    md5.update(f.read())
+                    md5.update(normalized_source(f.read()))
             except OSError:
                 pass
         h = _HASH_CACHE[modname] = md5.hexdigest()[:12]

@@ -112,7 +112,11 @@ def historical_hash(
                 f"git show failed for {commit}:{rel}: "
                 f"{p.stderr.decode(errors='replace').strip()}"
             )
-        md5.update(p.stdout)
+        # comment-insensitive, matching code_hash: both sides of the
+        # changed-since-green comparison must normalize identically
+        from tomixpanel_spark.operators import normalized_source
+
+        md5.update(normalized_source(p.stdout))
     return md5.hexdigest()[:12]
 
 
