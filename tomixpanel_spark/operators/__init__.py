@@ -17,6 +17,7 @@ from tomixpanel_spark.operators import (
     transform_parity,
     ranges,
     packing,
+    pipelines,
 )
 from tomixpanel_spark.operators.base import QuerySpec, collect_registry
 from tomixpanel_spark.sources import csv as csv_source
@@ -47,6 +48,11 @@ from tomixpanel_spark.sources import csv as csv_source
 # has local DuckDB parity in tests/test_oracle_parity.py every round.
 _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
+    # -- never externally checked (new r14: the pipeline verbs) -------
+    "corpus_clean": 0,
+    "dsir_select": 0,
+    "media_dedup_keep_list": 0,
+    "semdedup_prune": 0,
     # -- last green r11 ---------------------------------------------
     "event_sequences": 11,
     "funnel": 11,
@@ -316,6 +322,7 @@ def _collect() -> dict[str, QuerySpec]:
         ranges,
         packing,
         streaming_parity,
+        pipelines,
     )
 
 
