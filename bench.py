@@ -55,6 +55,9 @@ DISTRIBUTED_TIER = (
     "bpe_encode",
     "chunk_by_bpe",
     "seeded_shuffle",
+    # round 14 pipeline verbs whose CC stage is size-adaptive
+    "semdedup_prune",
+    "media_dedup_keep_list",
 )
 
 

@@ -78,12 +78,18 @@ PROBE_TEXT_NAMES = [
     "bigram_lm_score", "seeded_shuffle",
     "bpe_merges", "bpe_token_count", "bpe_encode", "chunk_by_bpe",
     "dsir_weights",
+    # pipeline verbs (round 14): the fused gate chain and the DSIR
+    # selection step ride the same 50k-doc corpus
+    "corpus_clean", "dsir_select",
 ]
 
 PROBE_EMB_NAMES = [
     "label_centroids", "cosine_topk", "cosine_topk_partitioned",
     "ann_lsh", "ann_ivf_q", "ann_pq_q", "embedding_decontam",
     "embedding_neardup",
+    # round 14: SemDeDup cluster-then-prune at the 100k-vector scale the
+    # verdict asked for (the 50x replica corpus)
+    "semdedup_prune",
 ]
 
 # Multimodal family (round-12 verdict #8 — the last extension family
@@ -96,6 +102,8 @@ PROBE_EMB_NAMES = [
 PROBE_MEDIA_NAMES = [
     "media_meta", "media_neardup", "media_image_resize",
     "multimodal_meta", "media_video_frames",
+    # round 14: perceptual dedup keep-best over the same 10x media corpus
+    "media_dedup_keep_list",
 ]
 
 

@@ -40,3 +40,30 @@ def duck():
         )
     yield con
     con.close()
+
+
+# Test tiers (round-14 verdict #8): the full suite is a ~20 min wall;
+# `pytest -m fast` is the pre-commit signal (<5 min) and the full run
+# stays the per-round gate. Module-level assignment, documented in
+# GATES.md §Test tiers and CI-enforced by
+# tests/test_plans.py::test_slow_tier_doc_matches_conftest. A module is
+# slow when its tests are end-to-end machines (the 120-query oracle
+# parity sweep, real Structured Streaming engines, persistent-store
+# merge paths) rather than operator/plan checks.
+SLOW_MODULES = {
+    "test_oracle_parity",
+    "test_streaming_dedup",
+    "test_windowed",
+    "test_cagg",
+    "test_dedup_index",
+    "test_scale_guards",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SLOW_MODULES or item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)

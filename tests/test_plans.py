@@ -581,6 +581,30 @@ def test_rotation_recorded_hashes_regenerate_cleanly():
     assert p.returncode == 0, f"rotation hash drift:\n{p.stdout}{p.stderr}"
 
 
+def test_slow_tier_doc_matches_conftest():
+    """GATES.md §Test tiers must list exactly the modules conftest marks
+    slow (and each must exist) — the tier doc is CI-greppable like the
+    env-gate table, so the fast signal can't silently drift."""
+    import os
+    import re
+
+    from tests.conftest import SLOW_MODULES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    doc = open(os.path.join(repo, "GATES.md")).read()
+    section = doc.split("## Test tiers", 1)
+    assert len(section) == 2, "GATES.md lost its Test tiers section"
+    documented = set(re.findall(r"\| `(test_[a-z_]+)` \|", section[1]))
+    assert documented == SLOW_MODULES, (
+        f"doc vs conftest drift: only-doc={documented - SLOW_MODULES} "
+        f"only-conftest={SLOW_MODULES - documented}"
+    )
+    for mod in SLOW_MODULES:
+        assert os.path.exists(
+            os.path.join(repo, "tests", f"{mod}.py")
+        ), f"{mod} listed slow but has no file"
+
+
 def test_rotation_hash_ignores_comments_tracks_code():
     """The rotation hash must be comment-insensitive: a `#` comment edit
     is not a rewrite and must not bump a module's queries ahead of
