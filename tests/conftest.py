@@ -51,6 +51,7 @@ def duck():
 # parity sweep, real Structured Streaming engines, persistent-store
 # merge paths) rather than operator/plan checks.
 SLOW_MODULES = {
+    "test_advanced",
     "test_oracle_parity",
     "test_streaming_dedup",
     "test_windowed",

@@ -5,6 +5,8 @@ partial aggregation)."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_ORACLE
 from tomixpanel_spark.operators import registry
 from tomixpanel_spark.plans.audit import (
@@ -140,6 +142,7 @@ def test_derived_artifact_gated_on_own_flag(spark, monkeypatch):
     base.clear_table_cache()
 
 
+@pytest.mark.slow
 def test_connected_components_local_matches_distributed(spark, monkeypatch):
     """The size-adaptive local union-find path and the distributed
     label-propagation loop must reach the identical fixed point."""
@@ -167,6 +170,7 @@ def test_connected_components_local_matches_distributed(spark, monkeypatch):
     assert idmod.LAST_DISTRIBUTED_ROUNDS is None
 
 
+@pytest.mark.slow
 def test_connected_components_deep_chain_converges(spark, monkeypatch):
     """Pointer jumping (round-10): a diameter-200 chain must converge
     inside MAX_ITERATIONS (plain neighbor-min needs diameter rounds and
@@ -1107,6 +1111,7 @@ def test_seeded_shuffle_paths_agree(spark, monkeypatch):
     assert fold == dist
 
 
+@pytest.mark.slow
 def test_bpe_paths_agree(spark, monkeypatch):
     """All THREE adaptive tiers — corpus-fold (Sennrich dict loop over
     collected docs), word-fold (distributed word-count + driver loop),
@@ -1125,6 +1130,7 @@ def test_bpe_paths_agree(spark, monkeypatch):
     assert sorted(map(tuple, fold)) == sorted(map(tuple, dist))
 
 
+@pytest.mark.slow
 def test_bpe_token_count_paths_agree(spark, monkeypatch):
     """Fold and distributed token accounting agree row-for-row, and the
     distributed vocab join broadcasts under the shared vocab gate."""
@@ -1140,6 +1146,7 @@ def test_bpe_token_count_paths_agree(spark, monkeypatch):
     assert sorted(map(tuple, fold)) == sorted(map(tuple, dist))
 
 
+@pytest.mark.slow
 def test_bpe_encode_paths_agree(spark, monkeypatch):
     """Fold and distributed piece emission agree cell-for-cell (including
     piece_idx — the running-offset window + inner posexplode against the
@@ -1171,6 +1178,7 @@ def test_bpe_encode_paths_agree(spark, monkeypatch):
     assert fold == dist
 
 
+@pytest.mark.slow
 def test_chunk_by_bpe_paths_agree(spark, monkeypatch):
     """All three adaptive tiers of the BPE-budget chunker produce
     identical chunk rows, and the Catalyst-fold pack obeys the contract:
@@ -1206,6 +1214,7 @@ def test_chunk_by_bpe_paths_agree(spark, monkeypatch):
     assert set(budgets) == {d for d, t in totals.items() if t > 0}
 
 
+@pytest.mark.slow
 def test_chunk_by_bpe_assembly_linear_on_book_length_doc(
     spark, monkeypatch, tmp_path
 ):

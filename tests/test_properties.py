@@ -5,6 +5,8 @@ paths rely on."""
 
 from __future__ import annotations
 
+import pytest
+
 from base64 import b64decode as _b64decode
 
 import json
@@ -303,6 +305,7 @@ class TestRewriteEquivalence:
         assert bad == 0
 
 
+@pytest.mark.slow
 class TestJoinOperatorsVsBruteForce:
     """asof_join and range_join re-express semantics engines ship natively;
     beyond the DuckDB oracle (one dataset), these pin them against a
