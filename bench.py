@@ -185,7 +185,9 @@ def main() -> None:
             exec_s = execute(df)
             timings[name] = min(timings[name], built + exec_s)
             handle = df
-        if handle is not None:
+        if handle is not None and (
+            time.perf_counter() - t_start <= second_pass_budget
+        ):
             prepared[name] = round(execute(handle), 4)
     timings = {k: round(v, 4) for k, v in timings.items()}
 

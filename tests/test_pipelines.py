@@ -221,6 +221,47 @@ def test_media_dedup_keep_list_one_per_pair(spark):
         assert not (a in kept and b in kept), (a, b)
 
 
+def test_semdedup_oracle_parity_with_nonfinite_vectors(spark, tmp_path):
+    """The oracle must apply the _finite_vecs policy everywhere the
+    Spark side does: with a NULL and a NaN vector present, the Spark
+    sample-step count uses the FINITE count while a naive COUNT(*)
+    oracle would diverge (and floor(NaN) would error) — review r14.
+    Both engines must agree on the keep-list, with the non-finite
+    vectors keeping themselves."""
+    import math
+
+    import duckdb
+
+    # enough vectors that step = max(2, n//1024) stays 2 but the corpus
+    # exercises clustering; vec 900/901 are the non-finite rows
+    rows = []
+    for i in range(40):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        base[4 + i % 4] = 0.25 + 0.01 * (i % 3)
+        rows.append((i, [float(x) for x in base], i % 4))
+    rows.append((900, None, 0))
+    rows.append((901, [float("nan")] + [0.0] * 7, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = sorted(
+        r["vec_id"] for r in REG["semdedup_prune"].fn(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    want = sorted(r[0] for r in con.execute(REG["semdedup_prune"].oracle).fetchall())
+    assert got == want
+    assert 900 in got and 901 in got  # non-candidates keep themselves
+    assert len(got) < 42  # and real pruning happened
+    assert not any(isinstance(v, float) and math.isnan(v) for v in got)
+
+
 def test_pipeline_outputs_are_driver_hashable(spark):
     """All four pipeline verbs emit scalar-only schemas (the external
     driver pandas-factorizes every column)."""

@@ -188,23 +188,44 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.col("words")
     n = F.size(words).cast("bigint")
 
-    # -- gopher_quality keep (features per textops.gopher_quality) --
-    mwl = (F.col("n_chars") - n + 1).cast("double") / n.cast("double")
-    dup_frac = (
-        F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / n.cast("double")
+    # -- per-doc feature row: one projection computing every fold once.
+    # tot = total word characters (gopher_repetition's denominator);
+    # t2/t3/t4 = (count, gram) of the top word n-gram — t2.c doubles as
+    # gopher_quality's max-bigram count, so the bigram array is sorted
+    # and folded exactly once per document.
+    tot_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w).cast("long")
     )
-    max_bg = F.nullif(_top_run(_word_ngrams(words, 2), with_gram=False), F.lit(0))
+    gated = base.select(
+        "doc_id",
+        "fp",
+        "lang_ok",
+        n.alias("n_words"),
+        F.col("n_chars"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct"),
+        tot_chars.alias("tot"),
+        _top_run(_word_ngrams(words, 2), with_gram=True).alias("t2"),
+        _top_run(_word_ngrams(words, 3), with_gram=True).alias("t3"),
+        _top_run(_word_ngrams(words, 4), with_gram=True).alias("t4"),
+    )
+
+    # -- gopher_quality keep (features per textops.gopher_quality) --
+    nw = F.col("n_words")
+    mwl = (F.col("n_chars") - nw + 1).cast("double") / nw.cast("double")
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / nw.cast("double")
     top_bg_frac = F.coalesce(
-        (max_bg * 2).cast("double") / n.cast("double"), F.lit(0.0)
+        (F.nullif(F.col("t2.c"), F.lit(0).cast("long")) * 2).cast("double")
+        / nw.cast("double"),
+        F.lit(0.0),
     )
     # zero-word guard: a doc with no tokens fails the word-count bound by
-    # definition, and the guard keeps the per-token divisions from ever
-    # evaluating on it (ANSI mode raises DIVIDE_BY_ZERO even for
+    # definition, and the CASE WHEN keeps the per-token divisions from
+    # ever evaluating on it (ANSI mode raises DIVIDE_BY_ZERO even for
     # doubles; the standalone gopher_quality never sees such docs in the
     # oracle corpora, so the fused verb defines the behavior explicitly)
     gq_ok = F.when(
-        n > 0,
-        (n >= GOPHER_MIN_WORDS)
+        nw > 0,
+        (nw >= GOPHER_MIN_WORDS)
         & (mwl >= GOPHER_MWL_LO)
         & (mwl <= GOPHER_MWL_HI)
         & (dup_frac <= GOPHER_MAX_DUP_WORD)
@@ -212,20 +233,6 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(False))
 
     # -- gopher_repetition keep (per textops.gopher_repetition) --
-    tot_chars = F.aggregate(
-        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w).cast("long")
-    )
-
-    gated = base.select(
-        "doc_id",
-        "fp",
-        "lang_ok",
-        gq_ok.alias("gq_ok"),
-        tot_chars.alias("tot"),
-        _top_run(_word_ngrams(words, 2), with_gram=True).alias("t2"),
-        _top_run(_word_ngrams(words, 3), with_gram=True).alias("t3"),
-        _top_run(_word_ngrams(words, 4), with_gram=True).alias("t4"),
-    )
     fr = lambda ng: F.expr(  # noqa: E731 — the primary's exact div expr
         f"coalesce((t{ng}.c * (length(t{ng}.g) - {ng - 1}) * 1000000L)"
         f" div nullif(tot, 0L), 0L)"
@@ -236,7 +243,7 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (fr(4) <= GOPHER_TOP4_MAX_E6)
     )
     narrow = gated.select(
-        "doc_id", "fp", "lang_ok", "gq_ok", gr_ok.alias("gr_ok")
+        "doc_id", "fp", "lang_ok", gq_ok.alias("gq_ok"), gr_ok.alias("gr_ok")
     )
 
     # -- exact-dup keep-first: one hash-width exchange on fp --
@@ -512,10 +519,20 @@ def _semdedup_sql() -> str:
     sq = (
         "SELECT vec_id, "
         "unnest(generate_series(1, len(embedding))) AS dim, embedding "
-        "FROM embeddings"
+        "FROM fe"
     )
+    # fe mirrors the Spark side's _finite_vecs policy EVERYWHERE the
+    # Spark side applies it: the sample-step count, training, assignment,
+    # centroid-dot and pairing all see finite vectors only, while the
+    # final keep-list ranges over RAW embeddings (non-candidates keep
+    # themselves). Without this the step = count//1024 arithmetic
+    # diverges as soon as a corpus has a null/NaN vector (review r14).
     parts = [
-        f"""WITH RECURSIVE p AS (SELECT greatest(2, COUNT(*) // 1024) AS step FROM embeddings),
+        f"""WITH RECURSIVE fe AS (
+  SELECT * FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+p AS (SELECT greatest(2, COUNT(*) // 1024) AS step FROM fe),
 bl0 AS ({sq}),
 bl AS (
   SELECT vec_id, dim,
@@ -615,6 +632,10 @@ def media_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = media_neardup(spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(pairs, a="doc_a", b="doc_b")
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    # the quality signal derives from the pixel spec, which is a pure
+    # function of doc_id — compute it on the component-node rows
+    # directly (orders of magnitude fewer than items at scale) instead
+    # of projecting 64 md5 calls over the whole corpus and joining
     px_sum = F.aggregate(
         F.transform(
             F.sequence(F.lit(0), F.lit(DHASH_ROWS * DHASH_COLS - 1)),
@@ -623,8 +644,13 @@ def media_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a + x.cast("long"),
     )
-    sized = docs.select(F.col("doc_id").alias("node"), px_sum.alias("px_sum"))
-    labeled = comp.join(sized, "node")
+    # _thumb_pixel resolves the literal column name doc_id internally,
+    # so alias the node column for the projection and drop it after
+    labeled = (
+        comp.withColumn("doc_id", F.col("node"))
+        .withColumn("px_sum", px_sum)
+        .drop("doc_id")
+    )
     winners = labeled.groupBy("component").agg(
         F.max(
             F.struct(F.col("px_sum").alias("s"), (-F.col("node")).alias("nid"))
