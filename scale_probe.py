@@ -80,7 +80,7 @@ PROBE_TEXT_NAMES = [
     "dsir_weights",
     # pipeline verbs (round 14): the fused gate chain and the DSIR
     # selection step ride the same 50k-doc corpus
-    "corpus_clean", "dsir_select",
+    "corpus_clean", "dsir_select", "dedup_cascade",
 ]
 
 PROBE_EMB_NAMES = [

@@ -50,6 +50,7 @@ _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
     # -- never externally checked (new r14: the pipeline verbs) -------
     "corpus_clean": 0,
+    "dedup_cascade": 0,
     "dsir_select": 0,
     "media_dedup_keep_list": 0,
     "semdedup_prune": 0,

@@ -699,6 +699,133 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_cascade — staged exact -> near-dup dedup with per-stage attribution
+# ---------------------------------------------------------------------------
+
+
+def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged dedup cascade a production corpus actually runs
+    (cheap-to-expensive, each stage only over the previous stage's
+    survivors): exact keep-first by canonical fingerprint, then verified
+    shingle-Jaccard near-dup with the keep-best policy
+    (most tokens, ties to the lowest doc_id — neardup_keep_best's
+    policy). Emits (doc_id, keep, dropped_by in
+    {'exact','near_dup','none'}) — the dedup twin of corpus_clean's
+    first_failed_gate attribution.
+
+    Scale shape: the exact stage is the corpus_clean fingerprint window
+    (one hash-width exchange); staging near-dup AFTER it means the
+    expensive shingle/postings machinery runs only over exact-unique
+    survivors (on web corpora exact dups are the bulk of duplication);
+    pair generation is the postings-list kernel (sum df^2, df_cap at
+    scale — dedup.near_dup_pairs), components are size-adaptive, and
+    every attribution join is keyed on doc_id with drop-list-sized
+    sides."""
+    from tomixpanel_spark.operators.dedup import near_dup_pairs
+    from tomixpanel_spark.operators.identity import connected_components
+
+    docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
+    fps = docs.select("doc_id", fingerprint("text").alias("fp"))
+    w = Window.partitionBy("fp")
+    exact_drops = (
+        fps.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    surv = docs.join(exact_drops, "doc_id", "left_anti")
+    pairs = near_dup_pairs(surv).select("doc_a", "doc_b")
+    comp = connected_components(pairs, a="doc_a", b="doc_b")
+    sized = surv.select(
+        F.col("doc_id").alias("node"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    labeled = comp.join(sized, "node")
+    winners = labeled.groupBy("component").agg(
+        F.max(
+            F.struct(F.col("n_tokens").alias("t"), (-F.col("node")).alias("nid"))
+        ).alias("w")
+    )
+    nd_drops = (
+        labeled.join(winners, "component")
+        .filter(F.col("node") != -F.col("w.nid"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    out = (
+        docs.select("doc_id")
+        .join(exact_drops.withColumn("g_exact", F.lit("exact")), "doc_id", "left")
+        .join(nd_drops.withColumn("g_nd", F.lit("near_dup")), "doc_id", "left")
+    )
+    dropped_by = F.coalesce(F.col("g_exact"), F.col("g_nd"), F.lit("none"))
+    return out.select(
+        "doc_id",
+        (dropped_by == "none").alias("keep"),
+        dropped_by.alias("dropped_by"),
+    )
+
+
+def _dedup_cascade_sql() -> str:
+    from tomixpanel_spark.operators.dedup import (
+        _SQL_SHINGLE_ROWS,
+        JACCARD_THRESHOLD,
+    )
+
+    # the shingle-row fragment is written against the documents view;
+    # re-aim it at the exact-survivor CTE (text column name unchanged)
+    sh_surv = _SQL_SHINGLE_ROWS.replace("FROM documents)", "FROM surv)")
+    return f"""
+WITH RECURSIVE f AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+k AS (SELECT fp, MIN(doc_id) AS keep_id FROM f GROUP BY fp),
+exact_drops AS (
+  SELECT f.doc_id FROM f JOIN k USING (fp) WHERE f.doc_id <> k.keep_id),
+surv AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM exact_drops)),
+sh AS ({sh_surv}),
+c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+p AS (
+  SELECT doc_a, doc_b FROM c
+  JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+  WHERE CAST(common AS DOUBLE) / CAST(na.n + nb.n - common AS DOUBLE)
+        >= {JACCARD_THRESHOLD}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION SELECT doc_b, doc_a FROM p),
+walk(node, reach) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+  UNION
+  SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
+comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
+sized AS (
+  SELECT doc_id AS node, CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+  FROM surv),
+winners AS (
+  SELECT c.component,
+         CAST(-(max(struct_pack(t := z.n_tokens, nid := -c.node))).nid AS BIGINT)
+           AS keep_id
+  FROM comp c JOIN sized z USING (node)
+  GROUP BY c.component),
+nd_drops AS (
+  SELECT c.node AS doc_id
+  FROM comp c JOIN winners w ON w.component = c.component
+  WHERE c.node <> w.keep_id),
+att AS (
+  SELECT d.doc_id,
+    CASE WHEN d.doc_id IN (SELECT doc_id FROM exact_drops) THEN 'exact'
+         WHEN d.doc_id IN (SELECT doc_id FROM nd_drops) THEN 'near_dup'
+         ELSE 'none' END AS dropped_by
+  FROM documents d)
+SELECT doc_id, (dropped_by = 'none') AS keep, dropped_by FROM att
+"""
+
+
 # Upstream modules whose changes must re-queue these composition rows
 # for external verification (rotation: changed-since-green outranks
 # staleness). One level deep, matching module_relpaths.
@@ -731,5 +858,10 @@ REGISTRY = {
         media_dedup_keep_list,
         _media_keep_list_sql(),
         "ext:pipeline perceptual media dedup keep-best",
+    ),
+    "dedup_cascade": QuerySpec(
+        dedup_cascade,
+        _dedup_cascade_sql(),
+        "ext:pipeline staged exact -> near-dup dedup with attribution",
     ),
 }
