@@ -58,6 +58,7 @@ DISTRIBUTED_TIER = (
     # round 14 pipeline verbs whose CC stage is size-adaptive
     "semdedup_prune",
     "media_dedup_keep_list",
+    "dedup_cascade",
 )
 
 

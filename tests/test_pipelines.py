@@ -324,3 +324,74 @@ def test_pipeline_outputs_are_driver_hashable(spark):
     for name in pipelines.REGISTRY:
         sdf = REG[name].fn(spark, SF_ORACLE)
         assert driver_hashable_violations(sdf.schema) == [], name
+
+
+def _canon(df):
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return sorted(
+        tuple(str(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+
+
+def test_cc_policy_tiers_agree(spark, monkeypatch):
+    """The five CC-consuming policy queries have a driver tier (CC's
+    collect gate holds the labels, the winner/drop fold runs in exact
+    integer Python) and a distributed DataFrame tier. Both must produce
+    identical rows — the same paths-agree discipline as every other
+    size-adaptive gate (also hash-checked per bench run in the
+    distributed tier)."""
+    names = (
+        "neardup_components",
+        "neardup_keep_best",
+        "dedup_cascade",
+        "media_dedup_keep_list",
+        "semdedup_prune",
+    )
+    local = {n: _canon(REG[n].fn(spark, SF_ORACLE)) for n in names}
+    monkeypatch.setenv("TOMIX_CC_LOCAL_MAX", "0")
+    for n in names:
+        assert _canon(REG[n].fn(spark, SF_ORACLE)) == local[n], n
+
+
+def test_media_px_sum_py_matches_spark(spark):
+    """The driver-tier px_sum (hashlib md5) must equal the Catalyst
+    _thumb_pixel fold for arbitrary doc ids — including ids around the
+    MEDIA_GROUP and noise-position boundaries."""
+    import hashlib
+
+    from tomixpanel_spark.operators.multimodal import (
+        DHASH_COLS,
+        DHASH_ROWS,
+        MEDIA_GROUP,
+        _thumb_pixel,
+    )
+
+    n_px = DHASH_ROWS * DHASH_COLS
+
+    def px_sum_py(doc_id: int) -> int:
+        g = doc_id // MEDIA_GROUP
+        noise = doc_id % n_px
+        return sum(
+            int(
+                hashlib.md5(
+                    (f"d:{doc_id}:{i}" if i == noise else f"g:{g}:{i}").encode()
+                ).hexdigest()[:2],
+                16,
+            )
+            for i in range(n_px)
+        )
+
+    ids = [0, 1, 19, 20, 63, 64, 65, 1279, 1280, 99999]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    px_sum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_px - 1)),
+            lambda i: _thumb_pixel(i, F.col("doc_id")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x.cast("long"),
+    )
+    got = {r["doc_id"]: r["s"] for r in df.select("doc_id", px_sum.alias("s")).collect()}
+    assert got == {i: px_sum_py(i) for i in ids}

@@ -1111,10 +1111,30 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     small and the pair set is sparse, so at corpus scale the edge list is
     orders of magnitude smaller than the corpus — the driver union-find
     path almost always applies; the distributed loop is the fallback."""
-    from tomixpanel_spark.operators.identity import connected_components
+    from tomixpanel_spark.operators.identity import connected_components_with_rows
 
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    comp = connected_components(pairs, a="doc_a", b="doc_b")
+    comp, rows = connected_components_with_rows(pairs, a="doc_a", b="doc_b")
+    if rows is not None:
+        # small-graph tier: the (node, component) labels are already on
+        # the driver (CC's own collect gate) — fold the per-component
+        # min/count there instead of re-planning a groupBy over a
+        # 1-partition parallelized frame (which only buys AQE
+        # stage-scheduling floors). Exact integer min/count, same fixed
+        # point as the aggregate below; paths-agree is hash-checked by
+        # the bench distributed tier (TOMIX_CC_LOCAL_MAX=0).
+        agg: dict = {}
+        for node, c in rows:
+            cur = agg.get(c)
+            if cur is None:
+                agg[c] = [node, 1]
+            else:
+                cur[0] = min(cur[0], node)
+                cur[1] += 1
+        return spark.createDataFrame(
+            [(v[0], v[1]) for v in agg.values()],
+            schema="keep_doc_id bigint, cluster_size bigint",
+        )
     return comp.groupBy("component").agg(
         F.min("node").alias("keep_doc_id"),
         F.count(F.lit(1)).alias("cluster_size"),
@@ -1150,12 +1170,48 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     named (n_tokens, -doc_id) struct — fieldwise lexicographic in both
     engines, overflow-free for any token count or 64-bit doc id — so
     the argmax is a single map-side-partial aggregate, no window sort."""
-    from tomixpanel_spark.operators.identity import connected_components
+    from tomixpanel_spark.operators.identity import connected_components_with_rows
 
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    comp = connected_components(pairs, a="doc_a", b="doc_b")
+    comp, rows = connected_components_with_rows(pairs, a="doc_a", b="doc_b")
     docs = table(spark, sf_dir, "documents")
-    sized = docs.select(
+    if rows is not None:
+        # small-graph tier: labels are already on the driver (CC's
+        # collect gate). ONE Spark job tokenizes just the member docs —
+        # the tokenize() semantics stay in Catalyst, Python only argmaxes
+        # exact integers — then the winner fold runs driver-side instead
+        # of a 4-stage join/aggregate chain over a tiny parallelized
+        # frame. Paths-agree with the distributed plan below is
+        # hash-checked by the bench distributed tier.
+        members = spark.createDataFrame(
+            [(n,) for n, _ in rows], schema="doc_id bigint"
+        )
+        sized = (
+            docs.join(F.broadcast(members), "doc_id", "left_semi")
+            .select(
+                "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+            )
+            .collect()
+        )
+        ntok = {r["doc_id"]: r["n_tokens"] for r in sized}
+        best: dict = {}
+        size: dict = {}
+        for node, c in rows:
+            key = (ntok[node], -node)  # max (n_tokens, -node) == the struct max
+            if c not in best or key > best[c]:
+                best[c] = key
+            size[c] = size.get(c, 0) + 1
+        return spark.createDataFrame(
+            [(-k[1], k[0], size[c]) for c, k in best.items()],
+            schema="keep_doc_id bigint, keep_n_tokens bigint, cluster_size bigint",
+        )
+    # distributed tier: tokenize ONLY component members — `labeled`
+    # inner-joins on node, so the quality signal is needed for member
+    # rows alone (orders of magnitude fewer than the corpus at scale).
+    # The semi-join prunes the doc scan BEFORE the tokenize runs
+    # (guide §2.3).
+    members = comp.select(F.col("node").alias("doc_id"))
+    sized = docs.join(members, "doc_id", "left_semi").select(
         F.col("doc_id").alias("node"),
         F.size(tokens("text")).cast("bigint").alias("n_tokens"),
     )

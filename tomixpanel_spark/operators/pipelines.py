@@ -482,11 +482,42 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     TOMIX_SCORE_CELLS_CAP per task, components reuse the size-adaptive
     CC engine, and the keep-best argmin is one map-side-partial
     aggregate. Everything after the pair stage carries ids only."""
-    from tomixpanel_spark.operators.identity import connected_components
+    from tomixpanel_spark.operators.identity import connected_components_with_rows
 
     assigned, pairs = semdedup_clusters(spark, sf_dir)
     emb = ensure_parallel(table(spark, sf_dir, "embeddings"), "vec_id")
-    comp = connected_components(pairs.select("vec_a", "vec_b"), a="vec_a", b="vec_b")
+    comp, rows = connected_components_with_rows(
+        pairs.select("vec_a", "vec_b"), a="vec_a", b="vec_b"
+    )
+    if rows is not None:
+        # small-graph tier: labels already on the driver (CC's collect
+        # gate). ONE Spark job reads the member centroid-dots off the
+        # checkpointed assignment, the keep-the-outlier argmin folds
+        # over exact int64s driver-side, and the drop list rejoins as a
+        # broadcast-sized local relation — replacing a 5-stage
+        # join/aggregate chain over a tiny parallelized frame.
+        members = spark.createDataFrame(
+            [(n,) for n, _ in rows], schema="vec_id bigint"
+        )
+        scored = (
+            assigned.join(F.broadcast(members), "vec_id", "left_semi")
+            .select("vec_id", "cdot")
+            .collect()
+        )
+        cdot = {r["vec_id"]: r["cdot"] for r in scored}
+        best: dict = {}
+        for node, c in rows:
+            key = (cdot[node], node)  # min (cdot, node) == struct min
+            if c not in best or key < best[c]:
+                best[c] = key
+        keep_ids = {k[1] for k in best.values()}
+        drops = F.broadcast(
+            spark.createDataFrame(
+                [(n,) for n, _ in rows if n not in keep_ids],
+                schema="vec_id bigint",
+            )
+        )
+        return emb.select("vec_id").join(drops, "vec_id", "left_anti")
     scored = comp.join(
         assigned.select(F.col("vec_id").alias("node"), "cdot"), "node"
     )
@@ -621,19 +652,56 @@ def media_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality join and argmax touch component-node rows only (orders of
     magnitude fewer than items); the final keep-list is one anti-join
     on doc_id."""
-    from tomixpanel_spark.operators.identity import connected_components
+    from tomixpanel_spark.operators.identity import connected_components_with_rows
     from tomixpanel_spark.operators.multimodal import (
         DHASH_COLS,
         DHASH_ROWS,
+        MEDIA_GROUP,
         _thumb_pixel,
         media_neardup,
     )
 
     pairs = media_neardup(spark, sf_dir).select("doc_a", "doc_b")
-    comp = connected_components(pairs, a="doc_a", b="doc_b")
+    comp, rows = connected_components_with_rows(pairs, a="doc_a", b="doc_b")
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
-    # the quality signal derives from the pixel spec, which is a pure
-    # function of doc_id — compute it on the component-node rows
+    if rows is not None:
+        # small-graph tier: the pixel spec is a pure function of doc_id
+        # (md5 first-two-hex-chars — identical bytes from hashlib), so
+        # with the labels already on the driver the ENTIRE keep-best
+        # policy folds locally with zero extra Spark stages; only the
+        # final anti-join runs as a plan, against a broadcast-sized
+        # local drop list. Spec parity with _thumb_pixel / the oracle's
+        # _media_px_sql is pinned by
+        # tests/test_pipelines.py::test_media_px_sum_py_matches_spark
+        # and the bench distributed tier's hash check.
+        import hashlib
+
+        n_px = DHASH_ROWS * DHASH_COLS
+
+        def px_sum_py(doc_id: int) -> int:
+            g = doc_id // MEDIA_GROUP
+            noise = doc_id % n_px
+            total = 0
+            for i in range(n_px):
+                key = f"d:{doc_id}:{i}" if i == noise else f"g:{g}:{i}"
+                total += int(hashlib.md5(key.encode()).hexdigest()[:2], 16)
+            return total
+
+        best: dict = {}
+        for node, c in rows:
+            key = (px_sum_py(node), -node)  # max (px_sum, -node) == struct max
+            if c not in best or key > best[c]:
+                best[c] = key
+        keep_ids = {-k[1] for k in best.values()}
+        drops = F.broadcast(
+            spark.createDataFrame(
+                [(n,) for n, _ in rows if n not in keep_ids],
+                schema="doc_id bigint",
+            )
+        )
+        return docs.select("doc_id").join(drops, "doc_id", "left_anti")
+    # distributed tier: the quality signal derives from the pixel spec,
+    # a pure function of doc_id — compute it on the component-node rows
     # directly (orders of magnitude fewer than items at scale) instead
     # of projecting 64 md5 calls over the whole corpus and joining
     px_sum = F.aggregate(
@@ -723,34 +791,74 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     every attribution join is keyed on doc_id with drop-list-sized
     sides."""
     from tomixpanel_spark.operators.dedup import near_dup_pairs
-    from tomixpanel_spark.operators.identity import connected_components
+    from tomixpanel_spark.operators.identity import connected_components_with_rows
 
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
     fps = docs.select("doc_id", fingerprint("text").alias("fp"))
     w = Window.partitionBy("fp")
-    exact_drops = (
+    # checkpoint the id-width drop list: it is consumed by both the
+    # survivor anti-join feeding the near-dup machinery AND the final
+    # attribution join; without a materialization point each consumer
+    # re-runs the full fingerprint + window lineage over the corpus.
+    # Lazy: the CC stage's first action materializes it. id-only rows,
+    # so the checkpoint is hash-width at any corpus size (guide §2.3/§5).
+    exact_drops = stage_checkpoint(
         fps.withColumn("keep_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id")
     )
     surv = docs.join(exact_drops, "doc_id", "left_anti")
     pairs = near_dup_pairs(surv).select("doc_a", "doc_b")
-    comp = connected_components(pairs, a="doc_a", b="doc_b")
-    sized = surv.select(
-        F.col("doc_id").alias("node"),
-        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
-    )
-    labeled = comp.join(sized, "node")
-    winners = labeled.groupBy("component").agg(
-        F.max(
-            F.struct(F.col("n_tokens").alias("t"), (-F.col("node")).alias("nid"))
-        ).alias("w")
-    )
-    nd_drops = (
-        labeled.join(winners, "component")
-        .filter(F.col("node") != -F.col("w.nid"))
-        .select(F.col("node").alias("doc_id"))
-    )
+    comp, rows = connected_components_with_rows(pairs, a="doc_a", b="doc_b")
+    if rows is not None:
+        # small-graph tier (CC's collect gate already holds the labels):
+        # ONE Spark job tokenizes just the member docs — tokenize()
+        # semantics stay in Catalyst — then the keep-best fold argmaxes
+        # exact integers driver-side, and the near-dup drop list rejoins
+        # the plan as a broadcast-sized local relation. This replaces a
+        # 6-stage join/aggregate chain over a tiny parallelized frame
+        # (~0.1 s of AQE stage floor per stage on idle local[32]).
+        members = spark.createDataFrame(
+            [(n,) for n, _ in rows], schema="doc_id bigint"
+        )
+        sized = (
+            docs.join(F.broadcast(members), "doc_id", "left_semi")
+            .select(
+                "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+            )
+            .collect()
+        )
+        ntok = {r["doc_id"]: r["n_tokens"] for r in sized}
+        best: dict = {}
+        for node, c in rows:
+            key = (ntok[node], -node)  # max (n_tokens, -node) == struct max
+            if c not in best or key > best[c]:
+                best[c] = key
+        keep_ids = {-k[1] for k in best.values()}
+        nd_drops = spark.createDataFrame(
+            [(n,) for n, _ in rows if n not in keep_ids], schema="doc_id bigint"
+        )
+        nd_drops = F.broadcast(nd_drops)
+    else:
+        # distributed tier: size ONLY component members (the semi-join
+        # prunes the doc scan before the tokenize — guide §2.3), then
+        # the same struct-max winner aggregate as neardup_keep_best.
+        members = comp.select(F.col("node").alias("doc_id"))
+        sized = docs.join(members, "doc_id", "left_semi").select(
+            F.col("doc_id").alias("node"),
+            F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        )
+        labeled = comp.join(sized, "node")
+        winners = labeled.groupBy("component").agg(
+            F.max(
+                F.struct(F.col("n_tokens").alias("t"), (-F.col("node")).alias("nid"))
+            ).alias("w")
+        )
+        nd_drops = (
+            labeled.join(winners, "component")
+            .filter(F.col("node") != -F.col("w.nid"))
+            .select(F.col("node").alias("doc_id"))
+        )
     out = (
         docs.select("doc_id")
         .join(exact_drops.withColumn("g_exact", F.lit("exact")), "doc_id", "left")
