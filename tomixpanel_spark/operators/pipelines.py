@@ -113,53 +113,6 @@ WHERE w.n_bigrams > 0
 CLEAN_GATES = ("lang", "gopher_quality", "gopher_repetition", "exact_dup")
 
 
-def _top_run(grams, with_gram: bool):
-    """max occurrence count of any element in a string-array column —
-    the longest equal-run in the SORTED array (ties resolve to the
-    lexicographically smallest element). Same fold as the primary
-    definitions inline in textops.gopher_quality / gopher_repetition
-    (textops.py:702/854), re-expressed here for the fused single-scan
-    plan and pinned to them by test_corpus_clean_matches_composed_gates."""
-    init = F.named_struct(
-        F.lit("prev"), F.lit(""),
-        F.lit("run"), F.lit(0).cast("long"),
-        F.lit("best"), F.lit(0).cast("long"),
-        F.lit("bestg"), F.lit(""),
-    )
-
-    def step(acc, x):
-        run2 = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long"))
-        return F.named_struct(
-            F.lit("prev"), x,
-            F.lit("run"), run2,
-            F.lit("best"), F.greatest(acc.best, run2),
-            F.lit("bestg"), F.when(run2 > acc.best, x).otherwise(acc.bestg),
-        )
-
-    fin = (
-        (lambda acc: F.named_struct(F.lit("c"), acc.best, F.lit("g"), acc.bestg))
-        if with_gram
-        else (lambda acc: acc.best)
-    )
-    return F.aggregate(F.array_sort(grams), init, step, fin)
-
-
-def _word_ngrams(words, n: int):
-    """Adjacent word n-grams ('w1 w2 ...' strings) with multiplicity,
-    empty below n words — the textops.gopher_repetition gram builder
-    (textops.py:820)."""
-    k = F.size(words)
-    return F.when(
-        k >= n,
-        F.transform(
-            F.sequence(F.lit(1), k - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fused corpus-cleaning pipeline: language gate, Gopher quality
     gate, Gopher repetition gate, and exact-dup keep-first — the chain a
@@ -192,10 +145,12 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tot = total word characters (gopher_repetition's denominator);
     # t2/t3/t4 = (count, gram) of the top word n-gram — t2.c doubles as
     # gopher_quality's max-bigram count, so the bigram array is sorted
-    # and folded exactly once per document.
-    tot_chars = F.aggregate(
-        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w).cast("long")
-    )
+    # and folded exactly once per document. The folds are the PRIMARY
+    # queries' shared SQL builders (textops._sql_top_ngram) — one
+    # F.expr parse each instead of hundreds of py4j Column calls, and
+    # the copy-drift pin now holds by construction.
+    from tomixpanel_spark.operators.textops import _SQL_TOT_CHARS, _sql_top_ngram
+
     gated = base.select(
         "doc_id",
         "fp",
@@ -203,10 +158,10 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_words"),
         F.col("n_chars"),
         F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct"),
-        tot_chars.alias("tot"),
-        _top_run(_word_ngrams(words, 2), with_gram=True).alias("t2"),
-        _top_run(_word_ngrams(words, 3), with_gram=True).alias("t3"),
-        _top_run(_word_ngrams(words, 4), with_gram=True).alias("t4"),
+        F.expr(_SQL_TOT_CHARS).alias("tot"),
+        F.expr(_sql_top_ngram(2)).alias("t2"),
+        F.expr(_sql_top_ngram(3)).alias("t3"),
+        F.expr(_sql_top_ngram(4)).alias("t4"),
     )
 
     # -- gopher_quality keep (features per textops.gopher_quality) --

@@ -22,7 +22,6 @@ if TYPE_CHECKING:  # typing only — pandas imports lazily inside UDF bodies
 from tomixpanel_spark.functions.text import (
     PII_PASSES,
     STOPWORDS,
-    bigrams,
     fingerprint,
     lang_guess,
     pii_counts,
@@ -672,6 +671,62 @@ GOPHER_MAX_DUP_WORD = 0.6
 GOPHER_MAX_TOP_BIGRAM = 0.15
 
 
+# -- SQL-string builders for the gopher folds ------------------------------
+# These produce the SAME Catalyst expressions the Column-API builders did
+# (parser output is identical function-for-function), but in ONE F.expr
+# py4j call instead of hundreds: each Python-side Column op is a ~1 ms
+# py4j round-trip, and the nested named_struct folds cost 0.3-0.8 s of
+# pure plan-CONSTRUCTION time per query build (measured; the bench pays
+# it three times per query). Guide §1.2 step 2: per-run fixed work.
+
+
+def _sql_ngrams(n: int, words: str = "words") -> str:
+    """Adjacent word n-grams ('w1 w2 ...'), multiplicity kept, empty
+    below n words — SQL form of the transform/sequence builder."""
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at({words}, i + {j})" for j in range(n)
+    ) + ")"
+    return (
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"transform(sequence(1, size({words}) - {n - 1}), i -> {gram}) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def _sql_top_ngram(n: int, words: str = "words") -> str:
+    """(c, g) struct of the top word n-gram: longest equal-run in the
+    SORTED n-gram array; strict > keeps the FIRST max in sort order =
+    the lexicographically smallest max-count gram (the declared tie
+    rule)."""
+    run2 = "CASE WHEN x = acc.prev THEN acc.run + 1L ELSE 1L END"
+    return (
+        f"aggregate(array_sort({_sql_ngrams(n, words)}), "
+        "named_struct('prev', '', 'run', 0L, 'best', 0L, 'bestg', ''), "
+        f"(acc, x) -> named_struct('prev', x, 'run', {run2}, "
+        f"'best', greatest(acc.best, {run2}), "
+        f"'bestg', CASE WHEN {run2} > acc.best THEN x ELSE acc.bestg END), "
+        "acc -> named_struct('c', acc.best, 'g', acc.bestg))"
+    )
+
+
+_SQL_TOT_CHARS = "aggregate(words, 0L, (a, w) -> a + CAST(length(w) AS BIGINT))"
+
+# max bigram occurrence count (int-typed fold, NULL when no bigrams) —
+# the gopher_quality top-bigram feature
+_SQL_MAX_BIGRAM = (
+    "nullif(aggregate(array_sort("
+    "CASE WHEN size(words) >= 2 THEN "
+    "zip_with(slice(words, 1, size(words) - 1), slice(words, 2, size(words) - 1), "
+    "(a, b) -> concat_ws(' ', a, b)) "
+    "ELSE CAST(array() AS array<string>) END), "
+    "named_struct('prev', '', 'run', 0, 'best', 0), "
+    "(acc, x) -> named_struct('prev', x, "
+    "'run', CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END, "
+    "'best', greatest(acc.best, CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END)), "
+    "acc -> acc.best), 0)"
+)
+
+
 def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style document quality filter: cheap narrow features
     (word count, mean word length, duplicate-word fraction) plus the
@@ -698,27 +753,10 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.size("words").cast("bigint")
     # longest equal-run in the sorted bigram array == max bigram count;
-    # nullif(0) reproduces the no-bigram case (single-word/empty docs)
-    max_bg = F.nullif(
-        F.aggregate(
-            F.array_sort(bigrams(F.col("words"))),
-            F.named_struct(
-                F.lit("prev"), F.lit(""), F.lit("run"), F.lit(0), F.lit("best"), F.lit(0)
-            ),
-            lambda acc, x: F.named_struct(
-                F.lit("prev"),
-                x,
-                F.lit("run"),
-                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
-                F.lit("best"),
-                F.greatest(
-                    acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
-                ),
-            ),
-            lambda acc: acc.best,
-        ),
-        F.lit(0),
-    )
+    # nullif(0) reproduces the no-bigram case (single-word/empty docs).
+    # One F.expr parse instead of ~60 py4j Column calls (see the SQL
+    # builders above) — the expression tree is unchanged.
+    max_bg = F.expr(_SQL_MAX_BIGRAM)
     feat = base.select(
         "doc_id",
         n.alias("n_words"),
@@ -809,64 +847,16 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses the wire but the 6-column feature row."""
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
     base = docs.select("doc_id", tokens("text").alias("words"))
-    k = F.size("words")
-    tot_chars = F.aggregate(
-        F.col("words"),
-        F.lit(0).cast("long"),
-        lambda a, w: a + F.length(w).cast("long"),
-    )
-
-    def top_ngram(n: int):
-        grams = F.when(
-            k >= n,
-            F.transform(
-                F.sequence(F.lit(1), k - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at(F.col("words"), i + j)
-                        for j in range(n)
-                    ],
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        init = F.named_struct(
-            F.lit("prev"), F.lit(""),
-            F.lit("run"), F.lit(0).cast("long"),
-            F.lit("best"), F.lit(0).cast("long"),
-            F.lit("bestg"), F.lit(""),
-        )
-
-        def step(acc, x):
-            run2 = F.when(x == acc.prev, acc.run + 1).otherwise(
-                F.lit(1).cast("long")
-            )
-            return F.named_struct(
-                F.lit("prev"), x,
-                F.lit("run"), run2,
-                F.lit("best"), F.greatest(acc.best, run2),
-                # strict > keeps the FIRST max in ascending sort order =
-                # the lexicographically smallest max-count gram (the
-                # oracle's ORDER BY c DESC, gram)
-                F.lit("bestg"), F.when(run2 > acc.best, x).otherwise(acc.bestg),
-            )
-
-        return F.aggregate(
-            F.array_sort(grams),
-            init,
-            step,
-            lambda acc: F.named_struct(
-                F.lit("c"), acc.best, F.lit("g"), acc.bestg
-            ),
-        )
-
+    # every fold below is ONE F.expr parse (the _sql_* builders above)
+    # instead of hundreds of py4j Column calls — the tree is identical,
+    # the plan-construction time drops from ~0.9 s to ~0.1 s per build
     sel = base.select(
         "doc_id",
-        k.cast("bigint").alias("n_words"),
-        tot_chars.alias("tot"),
-        top_ngram(2).alias("t2"),
-        top_ngram(3).alias("t3"),
-        top_ngram(4).alias("t4"),
+        F.size("words").cast("bigint").alias("n_words"),
+        F.expr(_SQL_TOT_CHARS).alias("tot"),
+        F.expr(_sql_top_ngram(2)).alias("t2"),
+        F.expr(_sql_top_ngram(3)).alias("t3"),
+        F.expr(_sql_top_ngram(4)).alias("t4"),
     )
     fr = lambda n: F.expr(  # noqa: E731
         f"coalesce((t{n}.c * (length(t{n}.g) - {n - 1}) * 1000000L)"
