@@ -133,10 +133,11 @@ def connected_components_with_rows(
             [StructField("node", id_type), StructField("component", id_type)]
         )
         spark = edges.sparkSession
-        # LocalRelation (list, not a parallelized RDD): downstream
-        # actions read the rows straight from the plan — no scan job,
-        # and joins see an exact size so broadcast is automatic. The
-        # size class is the collect gate's own bound.
+        # createDataFrame(rows) — still RDD-backed in classic PySpark
+        # (plans print Scan ExistingRDD), but single-slice and locally
+        # sourced, so downstream actions pay one trivial task and AQE
+        # sizes it exactly for broadcast. The size class is the collect
+        # gate's own bound.
         return spark.createDataFrame(rows, schema), rows
 
     sym = ded.unionByName(
