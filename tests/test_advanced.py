@@ -1035,6 +1035,22 @@ class TestAsofStrategies:
         )
         assert got == want
 
+    def test_broadcast_merge_chunking_is_result_invariant(self, spark, monkeypatch):
+        """The broadcast tier accumulates Arrow batches into bounded
+        chunks before each merge_asof (one O(right) pass per chunk, not
+        per batch). A pathological 7-row chunk bound must return the
+        identical result set as the default — chunk boundaries carry no
+        semantics because each left row's match depends only on that row
+        and the full broadcast right side."""
+        from tomixpanel_spark.operators import registry
+
+        sf = "/root/testdata/sf0.001"
+        reg = registry()
+        want = sorted(map(tuple, reg["asof_latest_order"].fn(spark, sf).collect()))
+        monkeypatch.setenv("TOMIX_ASOF_MERGE_ROWS", "7")
+        got = sorted(map(tuple, reg["asof_latest_order"].fn(spark, sf).collect()))
+        assert got == want
+
     def test_auto_gate_falls_back_to_window_above_cap(self, spark, monkeypatch):
         """strategy='auto' counts the right side: under the cap it takes
         the zero-left-shuffle broadcast plan (mapInPandas, no Exchange on

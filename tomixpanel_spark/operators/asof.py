@@ -317,6 +317,12 @@ def _bcast_cap() -> int:
     return int(os.environ.get("TOMIX_ASOF_BCAST_ROWS", "1000000"))
 
 
+def _merge_chunk_rows() -> int:
+    import os
+
+    return int(os.environ.get("TOMIX_ASOF_MERGE_ROWS", "262144"))
+
+
 def _asof_broadcast(
     left: DataFrame,
     right: DataFrame,
@@ -356,18 +362,20 @@ def _asof_broadcast(
     )
     bc = spark.sparkContext.broadcast(r_pdf)
 
+    chunk_rows = _merge_chunk_rows()
+
     def run(batches):
         r = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            l_sorted = pdf.sort_values(left_time, kind="stable")
+
+        def merge_chunk(chunk):
+            # each left row's match depends only on that row and the full
+            # right side, so chunking the left any way preserves results
+            l_sorted = chunk.sort_values(left_time, kind="stable")
             if not len(r):
                 out = l_sorted.copy()
                 for c in value_cols:
                     out[c] = None
-                yield out[out_cols]
-                continue
+                return out[out_cols]
             rr = r
             # Arrow batches and driver toPandas can disagree on exact
             # dtypes (datetime units, int widths) — merge_asof requires
@@ -389,7 +397,26 @@ def _asof_broadcast(
                 # NaN-poisoned int columns -> typed nulls for Arrow
                 if out[c].isna().any():
                     out[c] = out[c].astype(object).where(out[c].notna(), None)
-            yield out[out_cols]
+            return out[out_cols]
+
+        # every merge_asof(by=...) call pays a full O(len(right)) pass to
+        # factorize/scan the broadcast side, so merging per 10k-row Arrow
+        # batch multiplies the right-side work by batches-per-task (~15x
+        # overhead when the right is 150k rows). Accumulate batches into
+        # bounded chunks and pay the right-side pass once per chunk; the
+        # bound keeps task memory at O(chunk + right) instead of O(partition).
+        buf: list = []
+        nbuf = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            buf.append(pdf)
+            nbuf += len(pdf)
+            if nbuf >= chunk_rows:
+                yield merge_chunk(pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0])
+                buf, nbuf = [], 0
+        if buf:
+            yield merge_chunk(pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0])
 
     return left.mapInPandas(run, schema=out_schema)
 
