@@ -49,85 +49,85 @@ from tomixpanel_spark.sources import csv as csv_source
 _CANARIES = ("amp_transform", "ga_transform")
 _LAST_EXTERNAL = {
     # -- never externally checked (new r14: the pipeline verbs) -------
-    "corpus_clean": 0,
-    "dedup_cascade": 0,
-    "dsir_select": 0,
-    "media_dedup_keep_list": 0,
-    "semdedup_prune": 0,
+    "corpus_clean": 14,
+    "dedup_cascade": 14,
+    "dsir_select": 14,
+    "media_dedup_keep_list": 14,
+    "semdedup_prune": 14,
     # -- last green r11 ---------------------------------------------
     "event_sequences": 11,
     "funnel": 11,
     "hist_quantiles": 11,
     "hypertable_rollup": 11,
-    "identity_components": 11,
+    "identity_components": 14,
     "kmv_distinct": 11,
     "range_join_active_windows": 11,
     "retention": 11,
     "rolling_active_users": 11,
-    "segment_dedup": 11,
+    "segment_dedup": 14,
     "sessionize": 11,
     "set_ops": 11,
-    "time_shift": 11,
-    "token_count": 11,
-    "tpch_q6": 11,
-    "union_all": 11,
-    "when_chain": 11,
-    "window_running": 11,
-    "word_freq": 11,
+    "time_shift": 14,
+    "token_count": 14,
+    "tpch_q6": 14,
+    "union_all": 14,
+    "when_chain": 14,
+    "window_running": 14,
+    "word_freq": 14,
     # -- last green r12 ---------------------------------------------
     "amp_profiles": 12,
-    "ann_ivf_q": 12,
-    "ann_lsh": 12,
-    "ann_pq_q": 12,
-    "asof_latest_order": 12,
-    "asof_next_order": 12,
-    "attribution_last_touch": 12,
+    "ann_ivf_q": 14,
+    "ann_lsh": 14,
+    "ann_pq_q": 14,
+    "asof_latest_order": 14,
+    "asof_next_order": 14,
+    "attribution_last_touch": 14,
     "balanced_shards": 12,
-    "bm25_topk": 12,
-    "chunk_by_bpe": 12,
+    "bm25_topk": 14,
+    "chunk_by_bpe": 14,
     "coalesce_id": 12,
     "count_agg": 12,
     "csv_scan": 12,
     "dedup_by_key": 12,
-    "doc_fingerprint": 12,
-    "dsir_weights": 12,
+    "doc_fingerprint": 14,
+    "dsir_weights": 14,
     "engage_reshape": 12,
-    "explode_hits": 12,
+    "explode_hits": 14,
     "filter_nonempty": 12,
     "ga_profiles": 12,
-    "incremental_dedup": 12,
+    "incremental_dedup": 14,
     "insert_id_md5": 12,
-    "label_centroids": 12,
-    "lang_id": 12,
+    "label_centroids": 14,
+    "lang_id": 14,
     "map_merge": 12,
-    "media_audio_features": 12,
-    "media_image_resize": 12,
-    "media_meta": 12,
-    "media_neardup": 12,
-    "media_video_frames": 12,
+    "media_audio_features": 14,
+    "media_image_resize": 14,
+    "media_meta": 14,
+    "media_neardup": 14,
+    "media_video_frames": 14,
     "merge_pairs": 12,
-    "mixture_stats": 12,
+    "mixture_stats": 14,
     "part_revenue": 12,
     "pivot_status": 12,
-    "simhash": 12,
-    "simhash_pairs": 12,
-    "streaming_dedup_parity": 12,
-    "streaming_incremental_parity": 12,
-    "streaming_sketch_parity": 12,
-    "streaming_stateful_parity": 12,
-    "streaming_windowed_parity": 12,
-    "substring_dedup_clean": 12,
-    "substring_dup_spans": 12,
-    "tfidf_keywords": 12,
+    "simhash": 14,
+    "simhash_pairs": 14,
+    "streaming_dedup_parity": 14,
+    "streaming_incremental_parity": 14,
+    "streaming_sketch_parity": 14,
+    "streaming_stateful_parity": 14,
+    "streaming_windowed_parity": 14,
+    "substring_dedup_clean": 14,
+    "substring_dup_spans": 14,
+    "tfidf_keywords": 14,
     "topk_per_group": 12,
     "tpch_q1": 12,
     "tpch_q3": 12,
     # -- last green r13 ---------------------------------------------
-    "amp_transform": 13,
-    "bigram_lm_score": 13,
-    "bpe_encode": 13,
-    "bpe_merges": 13,
-    "bpe_token_count": 13,
+    "amp_transform": 14,
+    "bigram_lm_score": 14,
+    "bpe_encode": 14,
+    "bpe_merges": 14,
+    "bpe_token_count": 14,
     "cagg_store_read": 13,
     "chunk_documents": 13,
     "cms_heavy_hitters": 13,
@@ -142,7 +142,7 @@ _LAST_EXTERNAL = {
     "embedding_decontam": 13,
     "embedding_keep_list": 13,
     "embedding_neardup": 13,
-    "ga_transform": 13,
+    "ga_transform": 14,
     "gopher_quality": 13,
     "gopher_repetition": 13,
     "lsh_keep_list": 13,
@@ -189,24 +189,25 @@ WINDOW_SIZE = 50  # the driver samples this many leading registry entries
 _CHECKED_SRC: dict[str, str] = {
     "amp_profiles": "e7075c15031d",
     "amp_transform": "e7075c15031d",
-    "ann_ivf_q": "dc311355ef98",
-    "ann_lsh": "dc311355ef98",
-    "ann_pq_q": "dc311355ef98",
-    "asof_latest_order": "f92a4157919c",
-    "asof_next_order": "f92a4157919c",
-    "attribution_last_touch": "f92a4157919c",
+    "ann_ivf_q": "6507792931fc",
+    "ann_lsh": "6507792931fc",
+    "ann_pq_q": "6507792931fc",
+    "asof_latest_order": "3fb2d2184a4f",
+    "asof_next_order": "3fb2d2184a4f",
+    "attribution_last_touch": "3fb2d2184a4f",
     "balanced_shards": "e9d61ab0a9b7",
-    "bigram_lm_score": "1ce78a3f528f",
-    "bm25_topk": "a4e0e034a6b0",
-    "bpe_encode": "a692aa6115e6",
-    "bpe_merges": "a692aa6115e6",
-    "bpe_token_count": "a692aa6115e6",
+    "bigram_lm_score": "bd1562f6514d",
+    "bm25_topk": "bd1562f6514d",
+    "bpe_encode": "3fd0004a4b0a",
+    "bpe_merges": "3fd0004a4b0a",
+    "bpe_token_count": "3fd0004a4b0a",
     "cagg_store_read": "9ebda52b47bb",
-    "chunk_by_bpe": "e632d052b9bf",
+    "chunk_by_bpe": "3fd0004a4b0a",
     "chunk_documents": "1ce78a3f528f",
     "cms_heavy_hitters": "1ce78a3f528f",
     "coalesce_id": "0a0b7ccf4b82",
     "containment_pairs": "f2cf6e506905",
+    "corpus_clean": "85f8c76dd63b",
     "cosine_topk": "dc311355ef98",
     "cosine_topk_partitioned": "dc311355ef98",
     "count_agg": "0a0b7ccf4b82",
@@ -214,17 +215,19 @@ _CHECKED_SRC: dict[str, str] = {
     "custom_dims": "e7075c15031d",
     "decontam_overlap": "f2cf6e506905",
     "dedup_by_key": "0a0b7ccf4b82",
+    "dedup_cascade": "85f8c76dd63b",
     "dedup_exact": "f2cf6e506905",
     "dedup_index_probe": "9ebda52b47bb",
     "dedup_keep_list": "f2cf6e506905",
-    "doc_fingerprint": "a4e0e034a6b0",
-    "dsir_weights": "a4e0e034a6b0",
+    "doc_fingerprint": "bd1562f6514d",
+    "dsir_select": "85f8c76dd63b",
+    "dsir_weights": "bd1562f6514d",
     "embedding_decontam": "dc311355ef98",
     "embedding_keep_list": "dc311355ef98",
     "embedding_neardup": "dc311355ef98",
     "engage_reshape": "e7075c15031d",
     "event_sequences": "696164988a02",
-    "explode_hits": "a4e0e034a6b0",
+    "explode_hits": "bd1562f6514d",
     "filter_nonempty": "0a0b7ccf4b82",
     "funnel": "696164988a02",
     "ga_profiles": "e7075c15031d",
@@ -233,24 +236,25 @@ _CHECKED_SRC: dict[str, str] = {
     "gopher_repetition": "1ce78a3f528f",
     "hist_quantiles": "696164988a02",
     "hypertable_rollup": "696164988a02",
-    "identity_components": "bbccf490f077",
-    "incremental_dedup": "f2cf6e506905",
+    "identity_components": "c45687149fce",
+    "incremental_dedup": "3c15ce770114",
     "insert_id_md5": "0a0b7ccf4b82",
     "kmv_distinct": "696164988a02",
-    "label_centroids": "dc311355ef98",
-    "lang_id": "a4e0e034a6b0",
+    "label_centroids": "6507792931fc",
+    "lang_id": "bd1562f6514d",
     "lsh_keep_list": "f2cf6e506905",
     "map_merge": "0a0b7ccf4b82",
-    "media_audio_features": "eb116f755f9c",
-    "media_image_resize": "eb116f755f9c",
-    "media_meta": "eb116f755f9c",
-    "media_neardup": "eb116f755f9c",
-    "media_video_frames": "eb116f755f9c",
+    "media_audio_features": "47e026a445e1",
+    "media_dedup_keep_list": "85f8c76dd63b",
+    "media_image_resize": "47e026a445e1",
+    "media_meta": "47e026a445e1",
+    "media_neardup": "47e026a445e1",
+    "media_video_frames": "47e026a445e1",
     "merge_pairs": "0a0b7ccf4b82",
     "minhash_lsh_pairs": "f2cf6e506905",
     "minhash_signature": "f2cf6e506905",
     "mixture_rebalance": "1ce78a3f528f",
-    "mixture_stats": "a4e0e034a6b0",
+    "mixture_stats": "bd1562f6514d",
     "multimodal_meta": "847ec580bd09",
     "neardup_components": "f2cf6e506905",
     "neardup_keep_best": "f2cf6e506905",
@@ -270,39 +274,40 @@ _CHECKED_SRC: dict[str, str] = {
     "salted_join_stats": "957c7dea2a55",
     "schema_gate": "0a0b7ccf4b82",
     "seeded_shuffle": "e9d61ab0a9b7",
-    "segment_dedup": "7f0d2717b66d",
+    "segment_dedup": "bd1562f6514d",
+    "semdedup_prune": "85f8c76dd63b",
     "semi_join": "957c7dea2a55",
     "session_bounds": "0a0b7ccf4b82",
     "sessionize": "696164988a02",
     "set_ops": "696164988a02",
-    "simhash": "f2cf6e506905",
-    "simhash_pairs": "f2cf6e506905",
+    "simhash": "3c15ce770114",
+    "simhash_pairs": "3c15ce770114",
     "stratified_sample": "1ce78a3f528f",
     "streaming_cagg_parity": "9ebda52b47bb",
-    "streaming_dedup_parity": "b4896824a160",
-    "streaming_incremental_parity": "b4896824a160",
-    "streaming_sketch_parity": "b4896824a160",
-    "streaming_stateful_parity": "b4896824a160",
-    "streaming_windowed_parity": "b4896824a160",
-    "substring_dedup_clean": "f2cf6e506905",
-    "substring_dup_spans": "f2cf6e506905",
+    "streaming_dedup_parity": "9ebda52b47bb",
+    "streaming_incremental_parity": "9ebda52b47bb",
+    "streaming_sketch_parity": "9ebda52b47bb",
+    "streaming_stateful_parity": "9ebda52b47bb",
+    "streaming_windowed_parity": "9ebda52b47bb",
+    "substring_dedup_clean": "3c15ce770114",
+    "substring_dup_spans": "3c15ce770114",
     "substring_dup_stats": "f2cf6e506905",
     "supplier_balance": "957c7dea2a55",
-    "tfidf_keywords": "a4e0e034a6b0",
+    "tfidf_keywords": "bd1562f6514d",
     "time_normalize": "0a0b7ccf4b82",
-    "time_shift": "25c5b44db014",
-    "token_count": "7f0d2717b66d",
+    "time_shift": "0a0b7ccf4b82",
+    "token_count": "bd1562f6514d",
     "topk_per_group": "957c7dea2a55",
     "tpch_q1": "957c7dea2a55",
     "tpch_q3": "957c7dea2a55",
     "tpch_q5": "957c7dea2a55",
-    "tpch_q6": "8d5175527f64",
-    "union_all": "8d5175527f64",
+    "tpch_q6": "957c7dea2a55",
+    "union_all": "957c7dea2a55",
     "value_quantiles": "696164988a02",
     "weighted_sample": "1ce78a3f528f",
-    "when_chain": "25c5b44db014",
-    "window_running": "8d5175527f64",
-    "word_freq": "7f0d2717b66d",
+    "when_chain": "0a0b7ccf4b82",
+    "window_running": "957c7dea2a55",
+    "word_freq": "bd1562f6514d",
 }
 
 
