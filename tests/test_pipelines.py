@@ -336,7 +336,7 @@ def _canon(df):
 
 
 def test_cc_policy_tiers_agree(spark, monkeypatch):
-    """The five CC-consuming policy queries have a driver tier (CC's
+    """The six CC-consuming policy queries have a driver tier (CC's
     collect gate holds the labels, the winner/drop fold runs in exact
     integer Python) and a distributed DataFrame tier. Both must produce
     identical rows — the same paths-agree discipline as every other
@@ -348,6 +348,7 @@ def test_cc_policy_tiers_agree(spark, monkeypatch):
         "dedup_cascade",
         "media_dedup_keep_list",
         "semdedup_prune",
+        "embedding_keep_list",
     )
     local = {n: _canon(REG[n].fn(spark, SF_ORACLE)) for n in names}
     monkeypatch.setenv("TOMIX_CC_LOCAL_MAX", "0")

@@ -237,6 +237,27 @@ def derived(spark: SparkSession, key: tuple, builder, kind: str = "artifact") ->
     return hit
 
 
+def local_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Single-slice DataFrame from a driver-local row list.
+
+    ``spark.createDataFrame(rows)`` splits local data across
+    ``defaultParallelism`` slices — a 32-task stage per action for a
+    broadcast-sized list on local[32], and the task count GROWS with
+    core count (measured: a 500-row frame's count() is 0.69 s as 32
+    slices vs 0.36 s as one; the driver's 8-vs-32-core scaling block
+    showed the fold-tier queries inverting for exactly this reason).
+    Every caller here holds a size-gated small list (drop lists, CC
+    labels, sketch tops), so ONE task is the right partition count
+    (guide §2: partition counts sized to the data, not the cluster).
+    """
+    sc = spark.sparkContext
+    if not rows:
+        # parallelize([], 1) keeps one (empty) slice; schema must be
+        # explicit anyway since there is nothing to infer from
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(sc.parallelize(rows, numSlices=1), schema)
+
+
 def stage_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
     """In-query materialization point for a DataFrame with multiple
     consumers (tf tables, signature clusters, segment projections).

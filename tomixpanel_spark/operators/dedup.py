@@ -35,6 +35,7 @@ from tomixpanel_spark.operators.base import (
     QuerySpec,
     derived,
     ensure_parallel,
+    local_rows_df,
     stage_checkpoint,
     table,
 )
@@ -1131,9 +1132,10 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 cur[0] = min(cur[0], node)
                 cur[1] += 1
-        return spark.createDataFrame(
+        return local_rows_df(
+            spark,
             [(v[0], v[1]) for v in agg.values()],
-            schema="keep_doc_id bigint, cluster_size bigint",
+            "keep_doc_id bigint, cluster_size bigint",
         )
     return comp.groupBy("component").agg(
         F.min("node").alias("keep_doc_id"),
@@ -1183,8 +1185,8 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         # of a 4-stage join/aggregate chain over a tiny parallelized
         # frame. Paths-agree with the distributed plan below is
         # hash-checked by the bench distributed tier.
-        members = spark.createDataFrame(
-            [(n,) for n, _ in rows], schema="doc_id bigint"
+        members = local_rows_df(
+            spark, [(n,) for n, _ in rows], "doc_id bigint"
         )
         sized = (
             docs.join(F.broadcast(members), "doc_id", "left_semi")
@@ -1197,13 +1199,19 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         best: dict = {}
         size: dict = {}
         for node, c in rows:
-            key = (ntok[node], -node)  # max (n_tokens, -node) == the struct max
-            if c not in best or key > best[c]:
-                best[c] = key
+            # max (n_tokens, -node) == the struct max. A NULL quality
+            # signal (null text -> size(tokens) null) sorts SMALLEST in
+            # Spark's struct ordering; -inf reproduces that instead of
+            # raising TypeError on a None tuple compare (round-14 advice)
+            t = ntok[node]
+            key = ((t if t is not None else float("-inf")), -node)
+            if c not in best or key > best[c][0]:
+                best[c] = (key, t)
             size[c] = size.get(c, 0) + 1
-        return spark.createDataFrame(
-            [(-k[1], k[0], size[c]) for c, k in best.items()],
-            schema="keep_doc_id bigint, keep_n_tokens bigint, cluster_size bigint",
+        return local_rows_df(
+            spark,
+            [(-k[1], t, size[c]) for c, (k, t) in best.items()],
+            "keep_doc_id bigint, keep_n_tokens bigint, cluster_size bigint",
         )
     # distributed tier: tokenize ONLY component members — `labeled`
     # inner-joins on node, so the quality signal is needed for member

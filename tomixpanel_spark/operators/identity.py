@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from tomixpanel_spark.operators.base import QuerySpec, stage_checkpoint, table
+from tomixpanel_spark.operators.base import (
+    QuerySpec,
+    local_rows_df,
+    stage_checkpoint,
+    table,
+)
 
 MAX_ITERATIONS = 20
 # ops introspection (scale_probe reads it): number of label-propagation
@@ -133,12 +138,12 @@ def connected_components_with_rows(
             [StructField("node", id_type), StructField("component", id_type)]
         )
         spark = edges.sparkSession
-        # createDataFrame(rows) — still RDD-backed in classic PySpark
-        # (plans print Scan ExistingRDD), but single-slice and locally
-        # sourced, so downstream actions pay one trivial task and AQE
-        # sizes it exactly for broadcast. The size class is the collect
-        # gate's own bound.
-        return spark.createDataFrame(rows, schema), rows
+        # single-slice RDD-backed frame (base.local_rows_df):
+        # createDataFrame(rows) would split this gate-bounded list into
+        # defaultParallelism slices — 32 near-empty tasks per downstream
+        # action on local[32], scaling WITH core count (round-14 advice;
+        # the r14 scaling block showed the fold consumers inverting).
+        return local_rows_df(spark, rows, schema), rows
 
     sym = ded.unionByName(
         ded.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -39,6 +39,7 @@ from tomixpanel_spark.functions.text import fingerprint, lang_guess, tokens
 from tomixpanel_spark.operators.base import (
     QuerySpec,
     ensure_parallel,
+    local_rows_df,
     stage_checkpoint,
     table,
 )
@@ -451,8 +452,8 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         # over exact int64s driver-side, and the drop list rejoins as a
         # broadcast-sized local relation — replacing a 5-stage
         # join/aggregate chain over a tiny parallelized frame.
-        members = spark.createDataFrame(
-            [(n,) for n, _ in rows], schema="vec_id bigint"
+        members = local_rows_df(
+            spark, [(n,) for n, _ in rows], "vec_id bigint"
         )
         scored = (
             assigned.join(F.broadcast(members), "vec_id", "left_semi")
@@ -462,14 +463,19 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdot = {r["vec_id"]: r["cdot"] for r in scored}
         best: dict = {}
         for node, c in rows:
-            key = (cdot[node], node)  # min (cdot, node) == struct min
+            # min (cdot, node) == struct min. NULL sorts smallest in
+            # Spark struct ordering, so a None signal folds as -inf
+            # (wins the min) instead of raising TypeError (r14 advice)
+            d = cdot[node]
+            key = ((d if d is not None else float("-inf")), node)
             if c not in best or key < best[c]:
                 best[c] = key
         keep_ids = {k[1] for k in best.values()}
         drops = F.broadcast(
-            spark.createDataFrame(
+            local_rows_df(
+                spark,
                 [(n,) for n, _ in rows if n not in keep_ids],
-                schema="vec_id bigint",
+                "vec_id bigint",
             )
         )
         return emb.select("vec_id").join(drops, "vec_id", "left_anti")
@@ -649,9 +655,10 @@ def media_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best[c] = key
         keep_ids = {-k[1] for k in best.values()}
         drops = F.broadcast(
-            spark.createDataFrame(
+            local_rows_df(
+                spark,
                 [(n,) for n, _ in rows if n not in keep_ids],
-                schema="doc_id bigint",
+                "doc_id bigint",
             )
         )
         return docs.select("doc_id").join(drops, "doc_id", "left_anti")
@@ -773,8 +780,8 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the plan as a broadcast-sized local relation. This replaces a
         # 6-stage join/aggregate chain over a tiny parallelized frame
         # (~0.1 s of AQE stage floor per stage on idle local[32]).
-        members = spark.createDataFrame(
-            [(n,) for n, _ in rows], schema="doc_id bigint"
+        members = local_rows_df(
+            spark, [(n,) for n, _ in rows], "doc_id bigint"
         )
         sized = (
             docs.join(F.broadcast(members), "doc_id", "left_semi")
@@ -786,12 +793,17 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntok = {r["doc_id"]: r["n_tokens"] for r in sized}
         best: dict = {}
         for node, c in rows:
-            key = (ntok[node], -node)  # max (n_tokens, -node) == struct max
+            # max (n_tokens, -node) == struct max; None folds as -inf to
+            # match Spark's null-smallest struct ordering (r14 advice)
+            t = ntok[node]
+            key = ((t if t is not None else float("-inf")), -node)
             if c not in best or key > best[c]:
                 best[c] = key
         keep_ids = {-k[1] for k in best.values()}
-        nd_drops = spark.createDataFrame(
-            [(n,) for n, _ in rows if n not in keep_ids], schema="doc_id bigint"
+        nd_drops = local_rows_df(
+            spark,
+            [(n,) for n, _ in rows if n not in keep_ids],
+            "doc_id bigint",
         )
         nd_drops = F.broadcast(nd_drops)
     else:

@@ -41,7 +41,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tomixpanel_spark.operators.base import QuerySpec, ensure_parallel, fresh_attrs, table
+from tomixpanel_spark.operators.base import (
+    QuerySpec,
+    ensure_parallel,
+    fresh_attrs,
+    local_rows_df,
+    table,
+)
 from tomixpanel_spark.session import ship_package
 
 N_QUERIES = 10
@@ -1328,8 +1334,10 @@ def embedding_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parallelized frame. Paths-agree hash-checked by the bench
         # distributed tier (TOMIX_CC_LOCAL_MAX=0).
         drops = F.broadcast(
-            emb.sparkSession.createDataFrame(
-                [(n,) for n, c in rows if n != c], schema="vec_id bigint"
+            local_rows_df(
+                emb.sparkSession,
+                [(n,) for n, c in rows if n != c],
+                "vec_id bigint",
             )
         )
         return emb.select("vec_id").join(drops, "vec_id", "left_anti")

@@ -32,6 +32,7 @@ from tomixpanel_spark.functions.text import (
 from tomixpanel_spark.operators.base import (
     QuerySpec,
     ensure_parallel,
+    local_rows_df,
     stage_checkpoint,
     table,
 )
@@ -581,8 +582,11 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r_arr[r["bucket"]] = (
                     (r["pc"] * 1_000_000_000 // np_) * 1_000_000 // denom
                 )
+    # single-slice: createDataFrame would split even this ONE row into
+    # defaultParallelism near-empty slices — a 32-task broadcast build
+    # per run on local[32] (base.local_rows_df)
     rdf = F.broadcast(
-        spark.createDataFrame([(r_arr,)], schema="ra array<bigint>")
+        local_rows_df(spark, [(r_arr,)], "ra array<bigint>")
     )
     scored = base.crossJoin(rdf).select(
         "doc_id",
