@@ -80,6 +80,28 @@ class TestReverseEtl:
             s.stop()
 
 
+def _await_rows(q, out, ready, limit_s=110, grace_s=1.0):
+    """Wait until `ready(out)` (or query death), then stop the query.
+
+    applyInPandasWithState with ProcessingTimeTimeout keeps reporting
+    isDataAvailable=true for its pending state timers, so an
+    availableNow query never self-terminates and a bare
+    awaitTermination(120) burns the full timeout (both stateful tests
+    sat at exactly 120 s). The rows these tests assert on are produced
+    by the DATA batches, so: poll for them, then a short grace window
+    so any unexpected extra row still lands before the asserts, then
+    stop. Worst case (bug: rows never appear) still bounded by limit_s.
+    """
+    import time as _time
+
+    deadline = _time.time() + limit_s
+    while _time.time() < deadline and q.isActive and not ready(out):
+        _time.sleep(0.2)
+    _time.sleep(grace_s)
+    q.stop()
+    q.awaitTermination(30)
+
+
 class TestStatefulSessionize:
     def test_batch_semantics_match_relational_sessionize(self, spark, tmp_path):
         from tomixpanel_spark.streaming.stateful import sessionize_with_state
@@ -103,7 +125,12 @@ class TestStatefulSessionize:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _await_rows(
+            q,
+            out,
+            lambda o: sum(r["closed"] for r in o) >= 3
+            and sum(not r["closed"] for r in o) >= 3,
+        )
         closed = [r for r in out if r["closed"]]
         open_ = [r for r in out if not r["closed"]]
         assert len(closed) == 3  # first session of each user closed by gap
@@ -141,7 +168,11 @@ class TestStatefulSessionize:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _await_rows(
+            q,
+            collected,
+            lambda o: any(r["n_events"] == 6 for r in o),
+        )
         # both batches emit a live snapshot of session 1 (never rolled over)
         assert collected, "no stateful output"
         assert all(r["session_num"] == 1 for r in collected)
