@@ -58,6 +58,22 @@ _SQL_SHINGLE_ROWS = f"""
 """
 
 
+# SQL-string form of the shingle zip_with chain (reads column `toks`).
+# Same Catalyst tree as the Column-API construction it replaces, but ONE
+# F.expr parse instead of ~20 py4j round-trips with three nested lambda
+# builds — the gopher-fold treatment (guide §1.2 step 2: per-build fixed
+# work; measured 0.4 s of pure plan construction per staged_shingles
+# call, paid by every query in the near-dup family, 3x per bench row).
+_SPARK_SHINGLE_EXPR = (
+    "array_distinct(zip_with(zip_with("
+    "slice(toks, 1, greatest(size(toks) - 2, 0)), "
+    "slice(toks, 2, greatest(size(toks) - 2, 0)), "
+    "(x, y) -> concat(x, ' ', y)), "
+    "slice(toks, 3, greatest(size(toks) - 2, 0)), "
+    "(xy, z) -> concat(xy, ' ', z)))"
+)
+
+
 def staged_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, sh_arr) distinct-3-gram projection WITHOUT the parallelism
     guard — the pure narrow stage, also legal on STREAMING DataFrames
@@ -66,17 +82,7 @@ def staged_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     projection: inlining the split() into every slice makes Catalyst
     re-evaluate it per slice."""
     d1 = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
-    n = F.size("toks")
-    s1 = F.slice("toks", 1, F.greatest(n - 2, F.lit(0)))
-    s2 = F.slice("toks", 2, F.greatest(n - 2, F.lit(0)))
-    s3 = F.slice("toks", 3, F.greatest(n - 2, F.lit(0)))
-    sh = F.array_distinct(
-        F.zip_with(
-            F.zip_with(s1, s2, lambda x, y: F.concat(x, F.lit(" "), y)),
-            s3,
-            lambda xy, z: F.concat(xy, F.lit(" "), z),
-        )
-    )
+    sh = F.expr(_SPARK_SHINGLE_EXPR)
     return d1.select("doc_id", sh.alias("sh_arr")).filter(F.size("sh_arr") > 0)
 
 
@@ -89,10 +95,11 @@ def shingle_arrays_for(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def minhash_columns() -> list:
     """The 8 seeded min-of-md5 fold columns over ``sh_arr`` — a pure
     narrow projection shared by the batch signature query and the
-    streaming signature path."""
+    streaming signature path. One F.expr parse per column instead of a
+    lambda build (~8x fewer py4j round-trips; same Catalyst tree)."""
     return [
-        F.array_min(
-            F.transform("sh_arr", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        F.expr(
+            f"array_min(transform(sh_arr, s -> md5(concat('{i}:', s))))"
         ).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
@@ -288,28 +295,24 @@ def _pairs_from_postings(grouped: DataFrame, threshold: float | None = None) -> 
     jaccard evaluates to at ``common == min`` so float rounding agrees.
     """
 
-    def emit(x, y):
-        return F.struct(
-            x["doc_id"].alias("doc_a"),
-            y["doc_id"].alias("doc_b"),
-            x["n"].alias("n_a"),
-            y["n"].alias("n_b"),
+    # single F.expr parse (the gopher-fold treatment): the nested
+    # transform/filter lambdas cost ~0.8 s of py4j plan construction per
+    # build via the Column API; the SQL string is the identical tree
+    rest = "slice(ds, i + 2, size(ds))"
+    if threshold is not None:
+        rest = (
+            f"filter({rest}, y -> "
+            "CAST(least(x.n, y.n) AS DOUBLE) / "
+            "CAST(greatest(x.n, y.n) AS DOUBLE) >= "
+            f"{threshold!r}D)"
         )
-
-    def partners(x, i):
-        rest = F.slice("ds", i + 2, F.size("ds"))
-        if threshold is not None:
-            rest = F.filter(
-                rest,
-                lambda y: F.least(x["n"], y["n"]).cast("double")
-                / F.greatest(x["n"], y["n"]).cast("double")
-                >= F.lit(threshold),
-            )
-        return F.transform(rest, lambda y: emit(x, y))
-
-    return grouped.select(
-        F.explode(F.flatten(F.transform("ds", partners))).alias("p")
-    ).select("p.*")
+    pair_expr = (
+        "explode(flatten(transform(ds, (x, i) -> "
+        f"transform({rest}, y -> named_struct("
+        "'doc_a', x.doc_id, 'doc_b', y.doc_id, "
+        "'n_a', x.n, 'n_b', y.n)))))"
+    )
+    return grouped.select(F.expr(pair_expr).alias("p")).select("p.*")
 
 
 def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
