@@ -519,6 +519,12 @@ def _semdedup_sql() -> str:
     # final keep-list ranges over RAW embeddings (non-candidates keep
     # themselves). Without this the step = count//1024 arithmetic
     # diverges as soon as a corpus has a null/NaN vector (review r14).
+    # Every CTE a later CTE references TWICE is MATERIALIZED: DuckDB
+    # inlines plain CTEs, so the unrolled Lloyd chain (c{i} reads c{i-1}
+    # both via d{i} and directly as pc) otherwise re-evaluates
+    # exponentially — 2^ITER expansions of the scan+rank; measured 45 s
+    # at sf0.01 with `cdot` alone 44.5 s, vs the Spark leg's 2-9 s.
+    # MATERIALIZED is an evaluation-strategy fence only (same rows).
     parts = [
         f"""WITH RECURSIVE fe AS (
   SELECT * FROM embeddings
@@ -526,12 +532,12 @@ def _semdedup_sql() -> str:
     AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
 p AS (SELECT greatest(2, COUNT(*) // 1024) AS step FROM fe),
 bl0 AS ({sq}),
-bl AS (
+bl AS MATERIALIZED (
   SELECT vec_id, dim,
          CAST(floor(CAST(embedding[dim] AS DOUBLE) * {IVFQ_SCALE}) AS BIGINT) AS val
   FROM bl0),
-sl AS (SELECT vec_id, dim, val FROM bl WHERE vec_id % (SELECT step FROM p) = 0),
-c0 AS (
+sl AS MATERIALIZED (SELECT vec_id, dim, val FROM bl WHERE vec_id % (SELECT step FROM p) = 0),
+c0 AS MATERIALIZED (
   SELECT CAST(r - 1 AS BIGINT) AS cell, dim, val
   FROM (SELECT dim, val, dense_rank() OVER (ORDER BY vec_id) AS r FROM sl)
   WHERE r <= {IVFQ_CELLS})"""
@@ -547,7 +553,7 @@ a{i} AS (
 m{i} AS (
   SELECT a.cell, s.dim, SUM(s.val) AS sv, COUNT(*) AS cnt
   FROM a{i} a JOIN sl s USING (vec_id) GROUP BY 1, 2),
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT pc.cell, pc.dim, CAST(COALESCE(m.sv // m.cnt, pc.val) AS BIGINT) AS val
   FROM c{i - 1} pc LEFT JOIN m{i} m ON pc.cell = m.cell AND pc.dim = m.dim)"""
         )
@@ -556,10 +562,10 @@ c{i} AS (
         f"""ad AS (
   SELECT b.vec_id, c.cell, SUM((b.val - c.val) * (b.val - c.val)) AS dist
   FROM bl b JOIN {cn} c USING (dim) GROUP BY 1, 2),
-assign AS (
+assign AS MATERIALIZED (
   SELECT vec_id, (min(struct_pack(d := dist, c := cell))).c AS cell
   FROM ad GROUP BY vec_id),
-cdot AS (
+cdot AS MATERIALIZED (
   SELECT b.vec_id, CAST(SUM(b.val * c.val) AS BIGINT) AS cd
   FROM bl b JOIN assign a USING (vec_id)
   JOIN {cn} c ON c.cell = a.cell AND c.dim = b.dim
@@ -577,7 +583,7 @@ walk(node, reach) AS (
   SELECT src, src FROM (SELECT DISTINCT src FROM sym)
   UNION
   SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
-comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
+comp AS MATERIALIZED (SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
 winners AS (
   SELECT c.component,
          (min(struct_pack(d := cd.cd, nid := c.node))).nid AS keep_id

@@ -964,12 +964,12 @@ def _ivfq_sql() -> str:
     parts = [
         f"""WITH p AS (SELECT greatest(2, COUNT(*) // 1024) AS step FROM embeddings),
 bl0 AS ({sq}),
-bl AS (
+bl AS MATERIALIZED (
   SELECT vec_id, dim,
          CAST(floor(CAST(embedding[dim] AS DOUBLE) * {IVFQ_SCALE}) AS BIGINT) AS val
   FROM bl0),
-sl AS (SELECT vec_id, dim, val FROM bl WHERE vec_id % (SELECT step FROM p) = 0),
-c0 AS (
+sl AS MATERIALIZED (SELECT vec_id, dim, val FROM bl WHERE vec_id % (SELECT step FROM p) = 0),
+c0 AS MATERIALIZED (
   SELECT CAST(r - 1 AS BIGINT) AS cell, dim, val
   FROM (SELECT dim, val, dense_rank() OVER (ORDER BY vec_id) AS r FROM sl)
   WHERE r <= {IVFQ_CELLS})"""
@@ -985,7 +985,7 @@ a{i} AS (
 m{i} AS (
   SELECT a.cell, s.dim, SUM(s.val) AS sv, COUNT(*) AS cnt
   FROM a{i} a JOIN sl s USING (vec_id) GROUP BY 1, 2),
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT pc.cell, pc.dim, CAST(COALESCE(m.sv // m.cnt, pc.val) AS BIGINT) AS val
   FROM c{i - 1} pc LEFT JOIN m{i} m ON pc.cell = m.cell AND pc.dim = m.dim)"""
         )
@@ -1196,12 +1196,12 @@ bl0 AS (
   SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
          len(embedding) // {PQ_SUBS} AS sub_d, embedding
   FROM embeddings),
-bl AS (
+bl AS MATERIALIZED (
   SELECT vec_id, {sub_case} AS sub, dim,
          CAST(floor(CAST(embedding[dim] AS DOUBLE) * {IVFQ_SCALE}) AS BIGINT) AS val
   FROM bl0),
-sl AS (SELECT vec_id, sub, dim, val FROM bl WHERE vec_id % (SELECT step FROM p) = 0),
-c0 AS (
+sl AS MATERIALIZED (SELECT vec_id, sub, dim, val FROM bl WHERE vec_id % (SELECT step FROM p) = 0),
+c0 AS MATERIALIZED (
   SELECT sub, CAST(r - 1 AS BIGINT) AS cell, dim, val
   FROM (SELECT sub, dim, val, dense_rank() OVER (PARTITION BY sub ORDER BY vec_id) AS r
         FROM sl)
@@ -1219,7 +1219,7 @@ m{i} AS (
   SELECT a.sub, a.cell, s.dim, SUM(s.val) AS sv, COUNT(*) AS cnt
   FROM a{i} a JOIN sl s ON a.vec_id = s.vec_id AND a.sub = s.sub
   GROUP BY 1, 2, 3),
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT pc.sub, pc.cell, pc.dim, CAST(COALESCE(m.sv // m.cnt, pc.val) AS BIGINT) AS val
   FROM c{i - 1} pc
   LEFT JOIN m{i} m ON pc.sub = m.sub AND pc.cell = m.cell AND pc.dim = m.dim)"""
