@@ -313,11 +313,13 @@ def ga_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real transforms.ga.ga_events over synthesized nested sessions —
     oracle-checks the explode, boundary synthesis, 0-offset bump, naming
     chain, default-prop tables, and custom-dimension naming end-to-end."""
-    from tomixpanel_spark.schemas import GA_SESSION_SCHEMA
     from tomixpanel_spark.transforms.ga import ga_events
 
+    # the synth fixture is built to GA_SESSION_SCHEMA already and
+    # ga_events resolves columns by NAME — the old reorder-select to the
+    # schema's field order changed nothing downstream while costing one
+    # full analyzer pass over the (deep) synth plan per build
     sessions = _synth_ga_sessions(spark, sf_dir)
-    sessions = sessions.select(*[F.col(f.name) for f in GA_SESSION_SCHEMA.fields])
     out = ga_events(sessions)
     return out.select(*_ga_output_columns())
 
@@ -435,11 +437,11 @@ def ga_profiles_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution pair tables, INCLUDING the lat/long hoist (both-present
     gate; reference transform/gaToMixpanel.js:101-127,119-122) — projected
     to scalars."""
-    from tomixpanel_spark.schemas import GA_SESSION_SCHEMA
     from tomixpanel_spark.transforms.ga import ga_profiles
 
+    # same by-name resolution as ga_transform: the schema reorder-select
+    # was a no-op projection costing an analyzer pass per build
     sessions = _synth_ga_sessions(spark, sf_dir)
-    sessions = sessions.select(*[F.col(f.name) for f in GA_SESSION_SCHEMA.fields])
     out = ga_profiles(sessions)
     return out.select(*_ga_profiles_columns())
 

@@ -356,6 +356,33 @@ def _event_output_columns() -> tuple:
     )
 
 
+@lru_cache(maxsize=1)
+def _event_final_columns() -> tuple:
+    """Final event projection built directly off the exploded ``ev``
+    attribute in ONE select. The previous rename-select -> withColumn ->
+    reorder-select chain analyzed the (very deep) event-array plan three
+    more times per build — each DataFrame method runs the analyzer
+    eagerly, and after the explode every reference here is a shallow
+    GetStructField off the resolved ``ev`` attribute, so folding the
+    three projections into one loses nothing and skips two full analyzer
+    passes. ``insert_id`` reads the PRE-shift time_ms exactly like the
+    old withColumn did (move_to_present shifts afterwards)."""
+    ev = F.col("ev")
+    insert_id = canonical_insert_id(
+        ev["event"],
+        F.col("distinct_id"),
+        ev["time_ms"],
+        F.md5(F.to_json(F.sort_array(F.map_entries(ev["props"])))),
+    )
+    return (
+        ev["event"].alias("event"),
+        F.col("distinct_id"),
+        ev["time_ms"].alias("time_ms"),
+        insert_id.alias("insert_id"),
+        ev["props"].alias("props"),
+    )
+
+
 def ga_events(
     df: DataFrame,
     move_to_present: bool = False,
@@ -381,11 +408,7 @@ def ga_events(
         from tomixpanel_spark.operators.base import stage_checkpoint
 
         base = stage_checkpoint(base, eager=True)
-    events = (
-        base.select(*_exploded_event_columns())
-        .select(*_event_output_columns())
-        .withColumn("insert_id", _insert_id_col())
-    )
+    events = base.select(*_exploded_event_columns()).select(*_event_final_columns())
     if move_to_present:
         if anchor_now_ms is None:
             raise ValueError("anchor_now_ms required for deterministic move_to_present")
@@ -394,17 +417,8 @@ def ga_events(
             "time_ms",
             F.col("time_ms") + F.lit(anchor_now_ms) - F.col("max_ms") - F.lit(FOUR_DAYS_MS),
         ).drop("max_ms")
-    return events.select("event", "distinct_id", "time_ms", "insert_id", "props")
-
-
-@lru_cache(maxsize=1)
-def _insert_id_col() -> Column:
-    return canonical_insert_id(
-        F.col("event"),
-        F.col("distinct_id"),
-        F.col("time_ms"),
-        F.md5(F.to_json(F.sort_array(F.map_entries("props")))),
-    )
+        return events.select("event", "distinct_id", "time_ms", "insert_id", "props")
+    return events
 
 
 def ga_profiles(df: DataFrame, token: str | None = None) -> DataFrame:
