@@ -7,6 +7,8 @@ codegen and scale linearly with executors.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -31,8 +33,23 @@ def tokens(text: Column | str) -> Column:
     space and filter empties. The DuckDB oracles declare the identical
     ``translate`` + ``string_split`` pipeline, so multi-line corpora
     tokenize correctly in both engines rather than the engine being bent
-    to a single-space oracle (round-7 advice)."""
-    c = F.col(text) if isinstance(text, str) else text
+    to a single-space oracle (round-7 advice).
+
+    The by-name form memoizes: the returned Column is a constant
+    unresolved tree over the column name (the ga.py lru_cache pattern),
+    and rebuilding it is ~45 ms of py4j round-trips paid by every
+    text-family plan build."""
+    if isinstance(text, str):
+        return _tokens_by_name(text)
+    return _tokens_col(text)
+
+
+@lru_cache(maxsize=8)
+def _tokens_by_name(name: str) -> Column:
+    return _tokens_col(F.col(name))
+
+
+def _tokens_col(c: Column) -> Column:
     return F.filter(
         F.split(F.translate(c, WHITESPACE_CHARS, " " * len(WHITESPACE_CHARS)), " "),
         lambda t: t != "",
@@ -182,6 +199,12 @@ def fingerprint(text: Column | str) -> Column:
 
     Rolling-hash-equivalent canonical fingerprint used by exact dedup;
     whitespace runs collapse to single spaces, case-folded, trimmed.
-    """
-    c = F.col(text) if isinstance(text, str) else text
-    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+    Memoized by column name (constant unresolved tree, see tokens)."""
+    if isinstance(text, str):
+        return _fingerprint_by_name(text)
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+@lru_cache(maxsize=8)
+def _fingerprint_by_name(name: str) -> Column:
+    return F.md5(F.trim(F.regexp_replace(F.lower(F.col(name)), r"\s+", " ")))

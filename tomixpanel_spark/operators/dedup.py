@@ -82,8 +82,16 @@ def staged_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     projection: inlining the split() into every slice makes Catalyst
     re-evaluate it per slice."""
     d1 = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
-    sh = F.expr(_SPARK_SHINGLE_EXPR)
-    return d1.select("doc_id", sh.alias("sh_arr")).filter(F.size("sh_arr") > 0)
+    return d1.select("doc_id", _shingle_col().alias("sh_arr")).filter(
+        F.size("sh_arr") > 0
+    )
+
+
+@lru_cache(maxsize=1)
+def _shingle_col() -> F.Column:
+    """Constant unresolved tree over the `toks` column — memoized so the
+    F.expr parse is paid once per process (ga.py lru_cache pattern)."""
+    return F.expr(_SPARK_SHINGLE_EXPR)
 
 
 def shingle_arrays_for(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -96,13 +104,19 @@ def minhash_columns() -> list:
     """The 8 seeded min-of-md5 fold columns over ``sh_arr`` — a pure
     narrow projection shared by the batch signature query and the
     streaming signature path. One F.expr parse per column instead of a
-    lambda build (~8x fewer py4j round-trips; same Catalyst tree)."""
-    return [
+    lambda build (~8x fewer py4j round-trips; same Catalyst tree), and
+    the parsed constant trees memoize across builds."""
+    return list(_minhash_columns_cached())
+
+
+@lru_cache(maxsize=1)
+def _minhash_columns_cached() -> tuple:
+    return tuple(
         F.expr(
             f"array_min(transform(sh_arr, s -> md5(concat('{i}:', s))))"
         ).alias(f"mh{i}")
         for i in range(N_MINHASH)
-    ]
+    )
 
 
 def near_dup_pairs(
@@ -137,13 +151,15 @@ def _jaccard_pairs_from_shingles(
     shared shingles are hot ones (the standard, documented LSH-style
     recall trade), never misscore a generated candidate.
     """
-    rows = sa.select("doc_id", F.size("sh_arr").alias("n"), F.explode("sh_arr").alias("sh"))
-    grouped = (
-        rows.groupBy("sh")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
     if df_cap is not None:
+        rows = sa.select(
+            "doc_id", F.size("sh_arr").alias("n"), F.explode("sh_arr").alias("sh")
+        )
+        grouped = (
+            rows.groupBy("sh")
+            .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+            .filter(F.size("ds") > 1)
+        )
         grouped = grouped.filter(F.size("ds") <= df_cap)
         cand = (
             _pairs_from_postings(grouped, threshold)
@@ -151,19 +167,47 @@ def _jaccard_pairs_from_shingles(
             .distinct()
         )
         return verify_pairs_exact(cand, sa, threshold)
-    pairs = _pairs_from_postings(grouped, threshold)
-    common = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
-        F.count(F.lit(1)).alias("common")
-    )
-    return (
-        common.withColumn(
-            "jaccard",
-            F.col("common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    # Uncapped path: ONE spark.sql over the shingle frame. The chain of 8
+    # DataFrame ops it replaces paid an eager analyzer pass per op over
+    # an ever-deeper tree (~0.3 s of construction per build, 3x per bench
+    # row across the near-dup family); the single SQL parse+analyze is
+    # ~0.15 s and the optimized plan is operator-identical modulo
+    # `inline` fusing the pair-struct expansion into its Generate (one
+    # fewer Project; the {sa} placeholder binds through a per-call uuid
+    # temp view the formatter drops before returning). Same expression
+    # trees, same two exchanges, same results — oracle-checked.
+    return sa.sparkSession.sql(_jaccard_pairs_sql(threshold), sa=sa)
+
+
+@lru_cache(maxsize=4)
+def _jaccard_pairs_sql(threshold: float) -> str:
+    """Spark-side SQL of the uncapped postings->pairs->jaccard chain (the
+    {sa} placeholder is bound by spark.sql templating). Expressions mirror
+    the Column-API construction verbatim; the length-ratio prefilter and
+    the final jaccard use the same least/greatest double division."""
+    return f"""
+WITH rows_ AS (
+  SELECT doc_id, size(sh_arr) AS n, explode(sh_arr) AS sh FROM {{sa}}),
+grouped AS (
+  SELECT sh, array_sort(collect_list(struct(doc_id, n))) AS ds
+  FROM rows_ GROUP BY sh HAVING size(ds) > 1),
+pairs AS (
+  SELECT inline(flatten(transform(ds, (x, i) ->
+    transform(filter(slice(ds, i + 2, size(ds)), y ->
+        CAST(least(x.n, y.n) AS DOUBLE) / CAST(greatest(x.n, y.n) AS DOUBLE)
+          >= {threshold!r}D),
+      y -> named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id,
+                        'n_a', x.n, 'n_b', y.n)))))
+  FROM grouped),
+common AS (
+  SELECT doc_a, doc_b, n_a, n_b, count(1) AS common
+  FROM pairs GROUP BY doc_a, doc_b, n_a, n_b)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) AS jaccard
+  FROM common)
+WHERE jaccard >= {threshold!r}D
+"""
 
 
 CONTAINMENT_E6 = 900_000  # inner's shingles >= 90% covered by outer
@@ -194,42 +238,73 @@ def containment_pairs(
     shingles; production callers wanting exact scores verify survivors
     against full shingle arrays like ``verify_pairs_exact`` does."""
     sa = _shingle_arrays(spark, sf_dir)
-    rows = sa.select(
-        "doc_id", F.size("sh_arr").alias("n"), F.explode("sh_arr").alias("sh")
-    )
-    grouped = (
-        rows.groupBy("sh")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
     if df_cap is not None:
-        grouped = grouped.filter(F.size("ds") <= df_cap)
-    common = (
-        _pairs_from_postings(grouped, None)
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    # both directions from ONE pass over the aggregate: a union of two
-    # projections re-executes the post-shuffle final aggregate per
-    # branch (exchange reuse only shares the shuffle files), while a
-    # 2-element array explode stays inside the same codegen stage
-    both = common.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("doc_a").alias("inner_doc"),
-                    F.col("doc_b").alias("outer_doc"),
-                    F.expr("common * 1000000L div n_a").alias("containment_e6"),
-                ),
-                F.struct(
-                    F.col("doc_b").alias("inner_doc"),
-                    F.col("doc_a").alias("outer_doc"),
-                    F.expr("common * 1000000L div n_b").alias("containment_e6"),
-                ),
-            )
-        ).alias("d")
-    )
-    return both.select("d.*").filter(F.col("containment_e6") >= CONTAINMENT_E6)
+        rows = sa.select(
+            "doc_id", F.size("sh_arr").alias("n"), F.explode("sh_arr").alias("sh")
+        )
+        grouped = (
+            rows.groupBy("sh")
+            .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+            .filter(F.size("ds") > 1)
+        ).filter(F.size("ds") <= df_cap)
+        common = (
+            _pairs_from_postings(grouped, None)
+            .groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        # both directions from ONE pass over the aggregate: a union of two
+        # projections re-executes the post-shuffle final aggregate per
+        # branch (exchange reuse only shares the shuffle files), while a
+        # 2-element array explode stays inside the same codegen stage
+        both = common.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("inner_doc"),
+                        F.col("doc_b").alias("outer_doc"),
+                        F.expr("common * 1000000L div n_a").alias("containment_e6"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("inner_doc"),
+                        F.col("doc_a").alias("outer_doc"),
+                        F.expr("common * 1000000L div n_b").alias("containment_e6"),
+                    ),
+                )
+            ).alias("d")
+        )
+        return both.select("d.*").filter(F.col("containment_e6") >= CONTAINMENT_E6)
+    # uncapped (registered) path: ONE spark.sql — the same eager-analyzer
+    # fold as _jaccard_pairs_from_shingles, same expressions, same plan
+    # operators (inline fuses the two-direction struct expansion exactly
+    # like the explode(array(...)) + select("d.*") pair it replaces)
+    return spark.sql(_CONTAINMENT_PAIRS_SQL, sa=sa)
+
+
+_CONTAINMENT_PAIRS_SQL = f"""
+WITH rows_ AS (
+  SELECT doc_id, size(sh_arr) AS n, explode(sh_arr) AS sh FROM {{sa}}),
+grouped AS (
+  SELECT sh, array_sort(collect_list(struct(doc_id, n))) AS ds
+  FROM rows_ GROUP BY sh HAVING size(ds) > 1),
+pairs AS (
+  SELECT inline(flatten(transform(ds, (x, i) ->
+    transform(slice(ds, i + 2, size(ds)),
+      y -> named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id,
+                        'n_a', x.n, 'n_b', y.n)))))
+  FROM grouped),
+common AS (
+  SELECT doc_a, doc_b, n_a, n_b, count(1) AS common
+  FROM pairs GROUP BY doc_a, doc_b, n_a, n_b),
+both AS (
+  SELECT inline(array(
+    named_struct('inner_doc', doc_a, 'outer_doc', doc_b,
+                 'containment_e6', common * 1000000L div n_a),
+    named_struct('inner_doc', doc_b, 'outer_doc', doc_a,
+                 'containment_e6', common * 1000000L div n_b)))
+  FROM common)
+SELECT inner_doc, outer_doc, containment_e6 FROM both
+WHERE containment_e6 >= {CONTAINMENT_E6}
+"""
 
 
 _CONTAINMENT_SQL = f"""
@@ -295,9 +370,15 @@ def _pairs_from_postings(grouped: DataFrame, threshold: float | None = None) -> 
     jaccard evaluates to at ``common == min`` so float rounding agrees.
     """
 
+    return grouped.select(_pair_col(threshold).alias("p")).select("p.*")
+
+
+@lru_cache(maxsize=4)
+def _pair_col(threshold: float | None) -> F.Column:
     # single F.expr parse (the gopher-fold treatment): the nested
     # transform/filter lambdas cost ~0.8 s of py4j plan construction per
-    # build via the Column API; the SQL string is the identical tree
+    # build via the Column API; the SQL string is the identical tree,
+    # and the parsed constant tree memoizes per threshold
     rest = "slice(ds, i + 2, size(ds))"
     if threshold is not None:
         rest = (
@@ -312,7 +393,7 @@ def _pairs_from_postings(grouped: DataFrame, threshold: float | None = None) -> 
         "'doc_a', x.doc_id, 'doc_b', y.doc_id, "
         "'n_a', x.n, 'n_b', y.n)))))"
     )
-    return grouped.select(F.expr(pair_expr).alias("p")).select("p.*")
+    return F.expr(pair_expr)
 
 
 def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
