@@ -130,10 +130,21 @@ def connected_components_with_rows(
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .distinct()
     )
-    ded = stage_checkpoint(ded, eager=True)  # reused by count + (either) path
-    if ded.count() <= _local_edge_threshold():
+    # ONE bounded probe job decides the tier AND (under the gate) IS the
+    # collect: limit(thr+1) can return at most one row over the gate, so
+    # len(probe) <= thr proves the whole distinct edge set was collected.
+    # This replaces the r14 shape's three serial actions (eager
+    # localCheckpoint + count + toPandas — each a scheduling floor on the
+    # small graphs the gate exists for; guide §1.2 step 1). The lazy
+    # checkpoint still truncates lineage: partitions the probe computes
+    # persist as a side effect, and the distributed branch below forces
+    # full materialization before its iterative consumers re-read.
+    thr = _local_edge_threshold()
+    ded = stage_checkpoint(ded, eager=False)
+    probe = ded.limit(thr + 1).toPandas()
+    if len(probe) <= thr:
         LAST_DISTRIBUTED_ROUNDS = None  # the local path ran
-        rows = _local_components(ded.toPandas())
+        rows = _local_components(probe)
         schema = StructType(
             [StructField("node", id_type), StructField("component", id_type)]
         )
@@ -145,6 +156,11 @@ def connected_components_with_rows(
         # the r14 scaling block showed the fold consumers inverting).
         return local_rows_df(spark, rows, schema), rows
 
+    # big-graph path: materialize the checkpoint ONCE (same cost the old
+    # eager checkpoint paid) so the per-round re-reads below never
+    # recompute the upstream pair machinery. The probe above cost one
+    # bounded CollectLimit over the first partitions — O(thr) rows.
+    ded.count()
     sym = ded.unionByName(
         ded.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
