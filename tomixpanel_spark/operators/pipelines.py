@@ -645,14 +645,32 @@ def media_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         n_px = DHASH_ROWS * DHASH_COLS
 
+        # docs in one MEDIA_GROUP share every group-keyed pixel, and a doc
+        # overrides exactly ONE position with its doc-keyed noise pixel —
+        # so cache (pixels, sum) per GROUP and derive each member's sum
+        # with a single extra md5 instead of 64 (n_px*|members| ->
+        # n_px*|groups| + |members| digests; same integers, spec parity
+        # stays pinned by test_media_px_sum_py_matches_spark).
+        g_cache: dict = {}
+
+        def g_pixels(g: int) -> tuple:
+            hit = g_cache.get(g)
+            if hit is None:
+                px = [
+                    int(hashlib.md5(f"g:{g}:{i}".encode()).hexdigest()[:2], 16)
+                    for i in range(n_px)
+                ]
+                hit = g_cache[g] = (px, sum(px))
+            return hit
+
         def px_sum_py(doc_id: int) -> int:
             g = doc_id // MEDIA_GROUP
             noise = doc_id % n_px
-            total = 0
-            for i in range(n_px):
-                key = f"d:{doc_id}:{i}" if i == noise else f"g:{g}:{i}"
-                total += int(hashlib.md5(key.encode()).hexdigest()[:2], 16)
-            return total
+            px, total = g_pixels(g)
+            d = int(
+                hashlib.md5(f"d:{doc_id}:{noise}".encode()).hexdigest()[:2], 16
+            )
+            return total - px[noise] + d
 
         best: dict = {}
         for node, c in rows:
