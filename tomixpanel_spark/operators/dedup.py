@@ -74,15 +74,28 @@ _SPARK_SHINGLE_EXPR = (
 )
 
 
-def staged_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def staged_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_ntoks: bool = False,
+) -> DataFrame:
     """(doc_id, sh_arr) distinct-3-gram projection WITHOUT the parallelism
     guard — the pure narrow stage, also legal on STREAMING DataFrames
     (where partitioning comes from the source and ``.rdd`` inspection is
     not allowed). Tokens materialize as a named column in a separate
     projection: inlining the split() into every slice makes Catalyst
-    re-evaluate it per slice."""
+    re-evaluate it per slice.
+
+    ``with_ntoks`` additionally emits ``n_toks`` = size(tokens) — free
+    here (the tokens array is already materialized), and callers whose
+    downstream policy ranks by token count can then carry it through the
+    pair kernel instead of re-scanning the corpus for it (guide §8)."""
     d1 = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
-    return d1.select("doc_id", _shingle_col().alias("sh_arr")).filter(
+    cols = ["doc_id"]
+    if with_ntoks:
+        cols.append(F.size("toks").cast("bigint").alias("n_toks"))
+    return d1.select(*cols, _shingle_col().alias("sh_arr")).filter(
         F.size("sh_arr") > 0
     )
 
@@ -94,10 +107,15 @@ def _shingle_col() -> F.Column:
     return F.expr(_SPARK_SHINGLE_EXPR)
 
 
-def shingle_arrays_for(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def shingle_arrays_for(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_ntoks: bool = False,
+) -> DataFrame:
     """Public API: id + distinct-3-gram array over ANY documents DataFrame
     (same staged-projection construction as the fixture query)."""
-    return staged_shingles(ensure_parallel(df, id_col), id_col, text_col)
+    return staged_shingles(ensure_parallel(df, id_col), id_col, text_col, with_ntoks)
 
 
 def minhash_columns() -> list:
@@ -125,6 +143,7 @@ def near_dup_pairs(
     text_col: str = "text",
     threshold: float = JACCARD_THRESHOLD,
     df_cap: int | None = None,
+    carry_ntoks: bool = False,
 ) -> DataFrame:
     """Public API: Jaccard>=threshold near-dup pairs over ANY documents
     DataFrame. ``df_cap`` drops postings lists longer than the cap (hot
@@ -132,13 +151,23 @@ def near_dup_pairs(
     standard bound on quadratic pair blowup at corpus scale; generated
     candidates are then verified exactly on the full shingle arrays, so
     capping can only lose pairs whose every shared shingle is hot, never
-    misscore a pair. None keeps fully exact semantics."""
-    sa = shingle_arrays_for(df, id_col, text_col)
-    return _jaccard_pairs_from_shingles(sa, threshold, df_cap)
+    misscore a pair. None keeps fully exact semantics.
+
+    ``carry_ntoks`` (uncapped path only) additionally emits
+    ``nt_a``/``nt_b`` — each side's token count, computed in the shingle
+    projection where the tokens array already exists and carried through
+    the postings structs. Keep-best consumers then rank winners from the
+    pair set itself instead of re-scanning the corpus for token counts
+    (a full second pass at 100 TB; guide §8 — decide with small rows)."""
+    sa = shingle_arrays_for(df, id_col, text_col, with_ntoks=carry_ntoks)
+    return _jaccard_pairs_from_shingles(sa, threshold, df_cap, carry_ntoks)
 
 
 def _jaccard_pairs_from_shingles(
-    sa: DataFrame, threshold: float, df_cap: int | None = None
+    sa: DataFrame,
+    threshold: float,
+    df_cap: int | None = None,
+    carry_ntoks: bool = False,
 ) -> DataFrame:
     """Jaccard pairs from a (doc_id, sh_arr) shingle-array DataFrame.
 
@@ -152,6 +181,7 @@ def _jaccard_pairs_from_shingles(
     recall trade), never misscore a generated candidate.
     """
     if df_cap is not None:
+        assert not carry_ntoks, "carry_ntoks is an uncapped-path feature"
         rows = sa.select(
             "doc_id", F.size("sh_arr").alias("n"), F.explode("sh_arr").alias("sh")
         )
@@ -176,20 +206,32 @@ def _jaccard_pairs_from_shingles(
     # fewer Project; the {sa} placeholder binds through a per-call uuid
     # temp view the formatter drops before returning). Same expression
     # trees, same two exchanges, same results — oracle-checked.
-    return sa.sparkSession.sql(_jaccard_pairs_sql(threshold), sa=sa)
+    return sa.sparkSession.sql(_jaccard_pairs_sql(threshold, carry_ntoks), sa=sa)
 
 
-@lru_cache(maxsize=4)
-def _jaccard_pairs_sql(threshold: float) -> str:
+@lru_cache(maxsize=8)
+def _jaccard_pairs_sql(threshold: float, carry_ntoks: bool = False) -> str:
     """Spark-side SQL of the uncapped postings->pairs->jaccard chain (the
     {sa} placeholder is bound by spark.sql templating). Expressions mirror
     the Column-API construction verbatim; the length-ratio prefilter and
-    the final jaccard use the same least/greatest double division."""
+    the final jaccard use the same least/greatest double division.
+
+    With ``carry_ntoks`` the per-doc token count rides the postings
+    structs and comes back out as nt_a/nt_b — grouping on them changes
+    nothing (they are functional on the doc ids) and the widened struct
+    costs 8 bytes per posting row where it saves keep-best consumers a
+    full corpus re-scan for the same numbers."""
+    nt_sel, nt_struct, nt_pair, nt_out = "", "", "", ""
+    if carry_ntoks:
+        nt_sel = ", n_toks"
+        nt_struct = ", n_toks"
+        nt_pair = ", 'nt_a', x.n_toks, 'nt_b', y.n_toks"
+        nt_out = ", nt_a, nt_b"
     return f"""
 WITH rows_ AS (
-  SELECT doc_id, size(sh_arr) AS n, explode(sh_arr) AS sh FROM {{sa}}),
+  SELECT doc_id{nt_sel}, size(sh_arr) AS n, explode(sh_arr) AS sh FROM {{sa}}),
 grouped AS (
-  SELECT sh, array_sort(collect_list(struct(doc_id, n))) AS ds
+  SELECT sh, array_sort(collect_list(struct(doc_id, n{nt_struct}))) AS ds
   FROM rows_ GROUP BY sh HAVING size(ds) > 1),
 pairs AS (
   SELECT inline(flatten(transform(ds, (x, i) ->
@@ -197,13 +239,13 @@ pairs AS (
         CAST(least(x.n, y.n) AS DOUBLE) / CAST(greatest(x.n, y.n) AS DOUBLE)
           >= {threshold!r}D),
       y -> named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id,
-                        'n_a', x.n, 'n_b', y.n)))))
+                        'n_a', x.n, 'n_b', y.n{nt_pair})))))
   FROM grouped),
 common AS (
-  SELECT doc_a, doc_b, n_a, n_b, count(1) AS common
-  FROM pairs GROUP BY doc_a, doc_b, n_a, n_b)
-SELECT doc_a, doc_b, jaccard FROM (
-  SELECT doc_a, doc_b,
+  SELECT doc_a, doc_b, n_a, n_b{nt_out}, count(1) AS common
+  FROM pairs GROUP BY doc_a, doc_b, n_a, n_b{nt_out})
+SELECT doc_a, doc_b, jaccard{nt_out} FROM (
+  SELECT doc_a, doc_b{nt_out},
          CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE) AS jaccard
   FROM common)
 WHERE jaccard >= {threshold!r}D
@@ -1249,37 +1291,39 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the most tokens, ties to the lowest doc_id.
 
     Shape: the same verified pair graph + size-adaptive connected
-    components as ``neardup_components``; the quality signal then joins
-    onto the (node, component) labels — a node-count-sized join, orders
-    of magnitude smaller than the corpus — and one ``max_by`` hash
-    aggregate picks each cluster's winner. The winner is MAX over a
-    named (n_tokens, -doc_id) struct — fieldwise lexicographic in both
-    engines, overflow-free for any token count or 64-bit doc id — so
-    the argmax is a single map-side-partial aggregate, no window sort."""
-    from tomixpanel_spark.operators.identity import connected_components_with_rows
+    components as ``neardup_components``; the quality signal RIDES THE
+    PAIRS themselves (``near_dup_pairs(carry_ntoks=True)`` stamps each
+    side's token count onto the edge in the shingle projection, where
+    the tokens array already exists), so no second corpus scan ever
+    fetches it — member signals derive from edge-sized data (guide §8).
+    One ``max_by`` hash aggregate picks each cluster's winner: MAX over
+    a named (n_tokens, -doc_id) struct — fieldwise lexicographic in
+    both engines, overflow-free for any token count or 64-bit doc id —
+    a single map-side-partial aggregate, no window sort."""
+    import pandas as pd
 
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    comp, rows = connected_components_with_rows(pairs, a="doc_a", b="doc_b")
-    docs = table(spark, sf_dir, "documents")
+    from tomixpanel_spark.operators.identity import (
+        connected_components_with_edges,
+        edge_node_attrs,
+    )
+
+    pairs = near_dup_pairs(
+        table(spark, sf_dir, "documents"), carry_ntoks=True
+    ).select("doc_a", "doc_b", "nt_a", "nt_b")
+    comp, rows, edges = connected_components_with_edges(
+        pairs, a="doc_a", b="doc_b", attrs=("nt_a", "nt_b")
+    )
     if rows is not None:
-        # small-graph tier: labels are already on the driver (CC's
-        # collect gate). ONE Spark job tokenizes just the member docs —
-        # the tokenize() semantics stay in Catalyst, Python only argmaxes
-        # exact integers — then the winner fold runs driver-side instead
-        # of a 4-stage join/aggregate chain over a tiny parallelized
-        # frame. Paths-agree with the distributed plan below is
-        # hash-checked by the bench distributed tier.
-        members = local_rows_df(
-            spark, [(n,) for n, _ in rows], "doc_id bigint"
-        )
-        sized = (
-            docs.join(F.broadcast(members), "doc_id", "left_semi")
-            .select(
-                "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
-            )
-            .collect()
-        )
-        ntok = {r["doc_id"]: r["n_tokens"] for r in sized}
+        # small-graph tier: labels AND the token counts are already on
+        # the driver (the CC probe collected the edges, which carry
+        # them) — the old member-tokenize job is gone entirely; Python
+        # only argmaxes exact integers.
+        ntok: dict = {}
+        for s, d, na, nb in edges[["src", "dst", "nt_a", "nt_b"]].itertuples(
+            index=False
+        ):
+            ntok[s] = None if pd.isna(na) else int(na)
+            ntok[d] = None if pd.isna(nb) else int(nb)
         best: dict = {}
         size: dict = {}
         for node, c in rows:
@@ -1297,16 +1341,12 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(-k[1], t, size[c]) for c, (k, t) in best.items()],
             "keep_doc_id bigint, keep_n_tokens bigint, cluster_size bigint",
         )
-    # distributed tier: tokenize ONLY component members — `labeled`
-    # inner-joins on node, so the quality signal is needed for member
-    # rows alone (orders of magnitude fewer than the corpus at scale).
-    # The semi-join prunes the doc scan BEFORE the tokenize runs
-    # (guide §2.3).
-    members = comp.select(F.col("node").alias("doc_id"))
-    sized = docs.join(members, "doc_id", "left_semi").select(
-        F.col("doc_id").alias("node"),
-        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
-    )
+    # distributed tier: member token counts come off the CHECKPOINTED
+    # edge set (explode both endpoints + distinct) — edge-sized data
+    # instead of the old corpus re-scan + semi-join + tokenize (at
+    # 100 TB that second full pass dwarfed everything downstream of the
+    # pair stage).
+    sized = edge_node_attrs(edges, "nt_a", "nt_b", "n_tokens")
     labeled = comp.join(sized, "node")
     return (
         labeled.groupBy("component")

@@ -88,6 +88,54 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> 
     return connected_components_with_rows(edges, a, b)[0]
 
 
+def connected_components_with_edges(
+    edges: DataFrame, a: str = "id_a", b: str = "id_b", attrs: tuple = ()
+) -> "tuple[DataFrame, list[tuple] | None, object]":
+    """``connected_components_with_rows`` plus the deduplicated edge set
+    itself, for consumers whose per-component policy needs a per-NODE
+    signal that already rides on the edges (keep-best token counts,
+    centroid dots). ``attrs`` are extra edge columns carried through —
+    they MUST be functional on the (a, b) endpoints (a pure per-node
+    signal stamped onto each edge), or the distinct edge count changes.
+
+    Returns (labels_df, local_rows, edge_set):
+      * local tier — ``edge_set`` is the collected pandas frame
+        (src, dst, *attrs): the policy signal is already on the driver,
+        so no extra corpus-scan job is needed to fetch it.
+      * distributed tier — ``local_rows`` is None and ``edge_set`` is
+        the CHECKPOINTED distinct-edge DataFrame: deriving member
+        signals from it (explode endpoints + distinct) touches
+        edge-sized data instead of re-scanning the corpus (guide §8:
+        decide with small rows)."""
+    return _cc_impl(edges, a, b, attrs)
+
+
+def edge_node_attrs(
+    edges: DataFrame, attr_a: str, attr_b: str, out: str
+) -> DataFrame:
+    """(node, out) from a distinct edge set whose rows carry a per-node
+    signal for BOTH endpoints (``connected_components_with_edges``
+    attrs): explode the two (endpoint, signal) pairs and dedup. Data
+    touched is edge-sized — orders of magnitude under the corpus the
+    signal would otherwise be re-scanned from."""
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("node"), F.col(attr_a).alias(out)
+                    ),
+                    F.struct(
+                        F.col("dst").alias("node"), F.col(attr_b).alias(out)
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .distinct()
+    )
+
+
 def connected_components_with_rows(
     edges: DataFrame, a: str = "id_a", b: str = "id_b"
 ) -> "tuple[DataFrame, list[tuple] | None]":
@@ -124,10 +172,21 @@ def connected_components_with_rows(
         row) — so "did anything change" is a trivial filter-count on the
         round's checkpointed output, not a join of two label generations.
     """
+    labels, rows, _ = _cc_impl(edges, a, b, ())
+    return labels, rows
+
+
+def _cc_impl(
+    edges: DataFrame, a: str, b: str, attrs: tuple
+) -> "tuple[DataFrame, list[tuple] | None, object]":
     global LAST_DISTRIBUTED_ROUNDS
     id_type = edges.schema[a].dataType
     ded = (
-        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        edges.select(
+            F.col(a).alias("src"),
+            F.col(b).alias("dst"),
+            *[F.col(c) for c in attrs],
+        )
         .distinct()
     )
     # ONE bounded probe job decides the tier AND (under the gate) IS the
@@ -154,15 +213,16 @@ def connected_components_with_rows(
         # defaultParallelism slices — 32 near-empty tasks per downstream
         # action on local[32], scaling WITH core count (round-14 advice;
         # the r14 scaling block showed the fold consumers inverting).
-        return local_rows_df(spark, rows, schema), rows
+        return local_rows_df(spark, rows, schema), rows, probe
 
     # big-graph path: materialize the checkpoint ONCE (same cost the old
     # eager checkpoint paid) so the per-round re-reads below never
     # recompute the upstream pair machinery. The probe above cost one
     # bounded CollectLimit over the first partitions — O(thr) rows.
     ded.count()
-    sym = ded.unionByName(
-        ded.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e2 = ded.select("src", "dst")
+    sym = e2.unionByName(
+        e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     nodes = sym.select(F.col("src").alias("node")).distinct()
     adj = stage_checkpoint(
@@ -181,7 +241,7 @@ def connected_components_with_rows(
     )
     if labels.filter(F.col("component") != F.col("node")).limit(1).count() == 0:
         LAST_DISTRIBUTED_ROUNDS = 1
-        return labels, None
+        return labels, None, ded
     for _round in range(MAX_ITERATIONS - 1):
         nm = (
             adj.join(labels, adj.dst == labels.node)
@@ -221,7 +281,7 @@ def connected_components_with_rows(
         labels = updated.select("node", "component")
         if changed == 0:
             LAST_DISTRIBUTED_ROUNDS = _round + 2
-            return labels, None
+            return labels, None, ded
     raise RuntimeError(
         f"connected_components did not converge in {MAX_ITERATIONS} "
         "iterations — with path doubling this needs diameter > ~2^"

@@ -382,7 +382,9 @@ def semdedup_clusters(
     )
 
     cells_cap = _score_cells_cap()
-    empty = pd.DataFrame({"vec_a": [], "vec_b": [], "sim_e6": []})
+    empty = pd.DataFrame(
+        {"vec_a": [], "vec_b": [], "sim_e6": [], "cdot_a": [], "cdot_b": []}
+    )
 
     def cell_pairs(key, pdf):
         import numpy as np
@@ -391,6 +393,10 @@ def semdedup_clusters(
             return empty
         m = _mat(pdf)
         ids = pdf["vec_id"].to_numpy(dtype="int64")
+        # each side's centroid-dot rides the pair edge: the keep-the-
+        # outlier policy downstream then never re-reads the assignment
+        # table for it (guide §8 — the signal is already in this task)
+        cds = pdf["cdot"].to_numpy(dtype="int64")
         rows_cap = max(1, cells_cap // len(pdf))
         frames = []
         for c0 in range(0, len(pdf), rows_cap):
@@ -408,15 +414,22 @@ def semdedup_clusters(
                             "vec_a": ids[c0 : c0 + rows_cap][ai],
                             "vec_b": ids[bj],
                             "sim_e6": sub[ai, bj],
+                            "cdot_a": cds[c0 : c0 + rows_cap][ai],
+                            "cdot_b": cds[bj],
                         }
                     )
                 )
         return pd.concat(frames, ignore_index=True) if frames else empty
 
     pairs = (
-        assigned.select("cell", "vec_id", "embedding")
+        assigned.select("cell", "vec_id", "cdot", "embedding")
         .groupBy("cell")
-        .applyInPandas(cell_pairs, schema="vec_a long, vec_b long, sim_e6 long")
+        .applyInPandas(
+            cell_pairs,
+            schema=(
+                "vec_a long, vec_b long, sim_e6 long, cdot_a long, cdot_b long"
+            ),
+        )
     )
     return assigned, pairs
 
@@ -438,29 +451,31 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     TOMIX_SCORE_CELLS_CAP per task, components reuse the size-adaptive
     CC engine, and the keep-best argmin is one map-side-partial
     aggregate. Everything after the pair stage carries ids only."""
-    from tomixpanel_spark.operators.identity import connected_components_with_rows
+    from tomixpanel_spark.operators.identity import (
+        connected_components_with_edges,
+        edge_node_attrs,
+    )
 
     assigned, pairs = semdedup_clusters(spark, sf_dir)
     emb = ensure_parallel(table(spark, sf_dir, "embeddings"), "vec_id")
-    comp, rows = connected_components_with_rows(
-        pairs.select("vec_a", "vec_b"), a="vec_a", b="vec_b"
+    comp, rows, edges = connected_components_with_edges(
+        pairs.select("vec_a", "vec_b", "cdot_a", "cdot_b"),
+        a="vec_a",
+        b="vec_b",
+        attrs=("cdot_a", "cdot_b"),
     )
     if rows is not None:
-        # small-graph tier: labels already on the driver (CC's collect
-        # gate). ONE Spark job reads the member centroid-dots off the
-        # checkpointed assignment, the keep-the-outlier argmin folds
-        # over exact int64s driver-side, and the drop list rejoins as a
-        # broadcast-sized local relation — replacing a 5-stage
-        # join/aggregate chain over a tiny parallelized frame.
-        members = local_rows_df(
-            spark, [(n,) for n, _ in rows], "vec_id bigint"
-        )
-        scored = (
-            assigned.join(F.broadcast(members), "vec_id", "left_semi")
-            .select("vec_id", "cdot")
-            .collect()
-        )
-        cdot = {r["vec_id"]: r["cdot"] for r in scored}
+        # small-graph tier: labels AND the edge-carried centroid-dots are
+        # already on the driver (the CC probe collected the edges) — the
+        # old member-scored collect job is gone; the keep-the-outlier
+        # argmin folds over exact int64s driver-side and the drop list
+        # rejoins as a broadcast-sized local relation.
+        cdot: dict = {}
+        for s, d, ca, cb in edges[
+            ["src", "dst", "cdot_a", "cdot_b"]
+        ].itertuples(index=False):
+            cdot[s] = None if pd.isna(ca) else int(ca)
+            cdot[d] = None if pd.isna(cb) else int(cb)
         best: dict = {}
         for node, c in rows:
             # min (cdot, node) == struct min. NULL sorts smallest in
@@ -479,9 +494,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return emb.select("vec_id").join(drops, "vec_id", "left_anti")
-    scored = comp.join(
-        assigned.select(F.col("vec_id").alias("node"), "cdot"), "node"
-    )
+    # distributed tier: member centroid-dots off the CHECKPOINTED edge
+    # set (edge-sized explode+distinct) instead of joining the
+    # corpus-sized assignment table
+    scored = comp.join(edge_node_attrs(edges, "cdot_a", "cdot_b", "cdot"), "node")
     winners = scored.groupBy("component").agg(
         F.min(F.struct(F.col("cdot").alias("d"), F.col("node").alias("nid"))).alias(
             "w"
@@ -777,7 +793,10 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     every attribution join is keyed on doc_id with drop-list-sized
     sides."""
     from tomixpanel_spark.operators.dedup import near_dup_pairs
-    from tomixpanel_spark.operators.identity import connected_components_with_rows
+    from tomixpanel_spark.operators.identity import (
+        connected_components_with_edges,
+        edge_node_attrs,
+    )
 
     docs = ensure_parallel(table(spark, sf_dir, "documents"), "doc_id")
     fps = docs.select("doc_id", fingerprint("text").alias("fp"))
@@ -794,27 +813,27 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     surv = docs.join(exact_drops, "doc_id", "left_anti")
-    pairs = near_dup_pairs(surv).select("doc_a", "doc_b")
-    comp, rows = connected_components_with_rows(pairs, a="doc_a", b="doc_b")
+    # token counts ride the pair edges (stamped in the shingle projection
+    # where the tokens array already exists), so the keep-best signal
+    # never needs a second corpus scan (guide §8)
+    pairs = near_dup_pairs(surv, carry_ntoks=True).select(
+        "doc_a", "doc_b", "nt_a", "nt_b"
+    )
+    comp, rows, edges = connected_components_with_edges(
+        pairs, a="doc_a", b="doc_b", attrs=("nt_a", "nt_b")
+    )
     if rows is not None:
-        # small-graph tier (CC's collect gate already holds the labels):
-        # ONE Spark job tokenizes just the member docs — tokenize()
-        # semantics stay in Catalyst — then the keep-best fold argmaxes
-        # exact integers driver-side, and the near-dup drop list rejoins
-        # the plan as a broadcast-sized local relation. This replaces a
-        # 6-stage join/aggregate chain over a tiny parallelized frame
-        # (~0.1 s of AQE stage floor per stage on idle local[32]).
-        members = local_rows_df(
-            spark, [(n,) for n, _ in rows], "doc_id bigint"
-        )
-        sized = (
-            docs.join(F.broadcast(members), "doc_id", "left_semi")
-            .select(
-                "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
-            )
-            .collect()
-        )
-        ntok = {r["doc_id"]: r["n_tokens"] for r in sized}
+        # small-graph tier (CC's collect gate already holds the labels
+        # AND the edge-carried token counts): the keep-best fold argmaxes
+        # exact integers driver-side with zero extra Spark jobs, and the
+        # near-dup drop list rejoins the plan as a broadcast-sized local
+        # relation.
+        ntok: dict = {}
+        for s, d, na, nb in edges[["src", "dst", "nt_a", "nt_b"]].itertuples(
+            index=False
+        ):
+            ntok[s] = None if pd.isna(na) else int(na)
+            ntok[d] = None if pd.isna(nb) else int(nb)
         best: dict = {}
         for node, c in rows:
             # max (n_tokens, -node) == struct max; None folds as -inf to
@@ -831,14 +850,11 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         nd_drops = F.broadcast(nd_drops)
     else:
-        # distributed tier: size ONLY component members (the semi-join
-        # prunes the doc scan before the tokenize — guide §2.3), then
-        # the same struct-max winner aggregate as neardup_keep_best.
-        members = comp.select(F.col("node").alias("doc_id"))
-        sized = docs.join(members, "doc_id", "left_semi").select(
-            F.col("doc_id").alias("node"),
-            F.size(tokens("text")).cast("bigint").alias("n_tokens"),
-        )
+        # distributed tier: member token counts come off the CHECKPOINTED
+        # edge set (explode endpoints + distinct — edge-sized data, no
+        # corpus re-scan), then the same struct-max winner aggregate as
+        # neardup_keep_best.
+        sized = edge_node_attrs(edges, "nt_a", "nt_b", "n_tokens")
         labeled = comp.join(sized, "node")
         winners = labeled.groupBy("component").agg(
             F.max(
