@@ -318,7 +318,7 @@ def semdedup_clusters(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup stages 1-2, exposed for plan-locking: (assigned, pairs).
-    ``assigned`` is the checkpointed per-vector cluster assignment
+    ``assigned`` is the per-vector cluster assignment
     (vec_id, cell, cdot, embedding); ``pairs`` the within-cluster cosine
     near-dup pairs — its plan must exchange on the cluster id only
     (tests/test_pipelines.py asserts hashpartitioning(cell) and no
@@ -369,16 +369,14 @@ def semdedup_clusters(
             )
 
     ship_package(spark)
-    # materialize the assignment once (the real pipeline's "cluster
-    # assignment" artifact): three consumers below — pair generation,
-    # the centroid-similarity lookup, and nothing else re-runs the
-    # Arrow pass. eager via count happens at first action; the slim
-    # projection keeps the checkpoint id-width where possible.
-    assigned = stage_checkpoint(
-        fin.mapInPandas(
-            assign,
-            schema="vec_id long, cell int, cdot long, embedding array<float>",
-        )
+    # NOT checkpointed since the centroid-dots started riding the pair
+    # edges: pair generation is the assignment's ONLY remaining consumer
+    # in the query plan, so a materialization point would cost a
+    # block-store write/read for nothing (the keep-policy signal comes
+    # off the collected/checkpointed edge set downstream).
+    assigned = fin.mapInPandas(
+        assign,
+        schema="vec_id long, cell int, cdot long, embedding array<float>",
     )
 
     cells_cap = _score_cells_cap()
