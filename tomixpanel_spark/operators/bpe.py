@@ -288,21 +288,23 @@ def _train_distributed(
     # cap (true web-scale vocabularies), the distributed iteration below
     # runs unchanged. m>1 batching stays distributed — it exists to
     # measure the batched fold, not to win the toy sizes.
-    # FULL count, not the bounded limit(cap+1) idiom: the count doubles
-    # as the EAGER materialization of the lazy localCheckpoint. A
-    # limit() probe evaluates only one partition, which leaves the
-    # checkpoint unmaterialized and every later step re-deriving the
-    # corpus lineage (measured 26 s vs 6 s at the 50k probe). Training
-    # scans the words table every step, so the full count is work the
-    # next job needed anyway — and it is the post-aggregate VOCAB size,
-    # not the corpus.
-    n_words = cur.count()
     global LAST_TIER
+    cap = _bpe_local_words_cap()
     if merges_per_round == 1:
-        if n_words <= _bpe_local_words_cap():
+        # ONE bounded probe job decides the tier AND (under the cap) IS
+        # the collect — limit(cap+1) can return at most one extra row
+        # over the gate, so a short result proves the whole vocab is on
+        # the driver (the CC-probe idiom). The word-fold path never
+        # re-reads `cur` after this, so the old count job existed only
+        # to size the gate there. The DISTRIBUTED path still pays the
+        # full count below: it doubles as the EAGER materialization of
+        # the lazy localCheckpoint, without which every merge step
+        # re-derives the corpus lineage (measured 26 s vs 6 s at the
+        # 50k probe).
+        probe = cur.select("word", "freq").limit(cap + 1).toPandas()
+        if len(probe) <= cap:
             LAST_TIER = "word-fold"
-            wc = {r["word"]: r["freq"] for r in
-                  cur.select("word", "freq").collect()}
+            wc = dict(zip(probe["word"].tolist(), probe["freq"].tolist()))
             rows, vocab = _sennrich_loop(wc, n_merges)
             final = None
             if need_final:
@@ -312,6 +314,7 @@ def _train_distributed(
                 )
             return rows, final
     LAST_TIER = "distributed"
+    cur.count()  # materialize the checkpoint before the merge loop re-reads
     rows: list[tuple] = []
     while len(rows) < n_merges:
         m = min(merges_per_round, n_merges - len(rows))

@@ -469,11 +469,20 @@ def embedding_decontam_pairs(
     # fails every predicate) — drop them before gating and collecting
     train = _finite_vecs(train, vec_col)
     held_out = _finite_vecs(held_out, vec_col)
-    if held_out.count() > _emb_bcast_cap():
+    # ONE bounded probe job decides the tier AND (under the gate) IS the
+    # collect (the CC-probe idiom): limit(cap+1) can return at most one
+    # row over the gate, so a short result proves the whole held-out set
+    # is already on the driver — the old shape paid a separate count job
+    # before an identical toPandas. Over the gate the wasted transfer is
+    # bounded by the cap (~25 MB at the default) and the blocked cogroup
+    # runs unchanged.
+    cap = _emb_bcast_cap()
+    pdf = held_out.select(id_col, vec_col).limit(cap + 1).toPandas()
+    if len(pdf) > cap:
         return _cross_blocked_pairs(
             train, held_out, threshold_e6, id_col=id_col, vec_col=vec_col
         )
-    pdf = held_out.select(id_col, vec_col).toPandas().sort_values(id_col)
+    pdf = pdf.sort_values(id_col)
     ids = pdf[id_col].to_numpy(dtype="int64")
     mat = _mat(pdf, col=vec_col)
     cand = train.select(
