@@ -126,6 +126,28 @@ def _collect_queries(emb: DataFrame, with_label: bool = False):
     return ids, mat
 
 
+def _sample_and_queries_pdf(emb: DataFrame, step: int):
+    """ONE collect serves both the training sample (vec_id % step == 0)
+    and the query set (vec_id < N_QUERIES): they were two separate
+    serial driver actions over the same table (the CC-probe discipline —
+    fewer jobs, identical rows to the two filters this replaces; the
+    union filter is deterministic on vec_id so the split-back is exact,
+    and pmod == 0 agrees with pandas % == 0 for any sign of vec_id)."""
+    both = (
+        emb.filter(
+            (F.pmod(F.col("vec_id"), F.lit(step)) == 0)
+            | (F.col("vec_id") < N_QUERIES)
+        )
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    sample = both[(both["vec_id"] % step) == 0].reset_index(drop=True)
+    queries = both[both["vec_id"] < N_QUERIES].reset_index(drop=True)
+    return sample, queries
+
+
 def _scored_pairs(
     cand: DataFrame, q_ids, q_mat, local_k: int | None, threshold_e6: int | None,
     q_labels=None, exclude_self: bool = True,
@@ -877,12 +899,7 @@ def ann_ivf_quantized(
     emb = _finite_vecs(emb)  # null/NaN/Inf vecs score nothing
     n = emb.count()
     step = max(2, n // 1024)
-    sample_pdf = (
-        emb.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0)
-        .select("vec_id", "embedding")
-        .toPandas()
-        .sort_values("vec_id")
-    )
+    sample_pdf, q_pdf = _sample_and_queries_pdf(emb, step)
     if not len(sample_pdf):
         raise ValueError("ann_ivf_quantized: empty training sample")
     sm = _quant(np.array(list(sample_pdf["embedding"]), dtype="float64"))
@@ -896,12 +913,6 @@ def ann_ivf_quantized(
             if len(members):
                 cent[ci] = _trunc_div(members.sum(axis=0), len(members))
 
-    q_pdf = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .toPandas()
-        .sort_values("vec_id")
-    )
     q_ids = q_pdf["vec_id"].to_numpy(dtype="int64")
     qm = _quant(np.array(list(q_pdf["embedding"]), dtype="float64"))
     qd = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)  # (Q, K)
@@ -1080,12 +1091,7 @@ def ann_pq_quantized(emb: DataFrame, k: int = TOP_K) -> DataFrame:
     emb = _finite_vecs(emb)  # null/NaN/Inf vecs score nothing
     n = emb.count()
     step = max(2, n // 1024)
-    sample_pdf = (
-        emb.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0)
-        .select("vec_id", "embedding")
-        .toPandas()
-        .sort_values("vec_id")
-    )
+    sample_pdf, q_pdf = _sample_and_queries_pdf(emb, step)
     if not len(sample_pdf):
         raise ValueError("ann_pq_quantized: empty training sample")
     sm = _quant(np.array(list(sample_pdf["embedding"]), dtype="float64"))
@@ -1109,12 +1115,6 @@ def ann_pq_quantized(emb: DataFrame, k: int = TOP_K) -> DataFrame:
 
     books = [train(m) for m in range(PQ_SUBS)]
 
-    q_pdf = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .toPandas()
-        .sort_values("vec_id")
-    )
     q_ids = q_pdf["vec_id"].to_numpy(dtype="int64")
     qm = _quant(np.array(list(q_pdf["embedding"]), dtype="float64"))
     # ADC lookup tables: luts[m] is (Q, K*) exact subspace distances
