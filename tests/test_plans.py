@@ -187,6 +187,67 @@ def test_connected_components_deep_chain_converges(spark, monkeypatch):
     assert out == {(f"n{i:04d}", "n0000") for i in range(201)}
 
 
+def test_cc_probe_is_single_bounded_collect(spark, monkeypatch):
+    """The r15 tier probe: limit(thr+1) both decides the tier and IS the
+    collect. Exactly AT the gate the local path must still run (<=), one
+    edge over it the distributed path must (the probe can return at most
+    thr+1 rows, so equality proves completeness)."""
+    from tomixpanel_spark.operators import identity as idmod
+
+    edges = spark.createDataFrame(
+        [(f"a{i}", f"b{i}") for i in range(5)], "id_a string, id_b string"
+    )
+    monkeypatch.setattr(idmod, "LOCAL_EDGE_THRESHOLD", 5)  # == distinct count
+    _, rows = idmod.connected_components_with_rows(edges)
+    assert rows is not None and len(rows) == 10  # 5 edges -> 10 nodes
+    monkeypatch.setattr(idmod, "LOCAL_EDGE_THRESHOLD", 4)  # one under
+    _, rows = idmod.connected_components_with_rows(edges)
+    assert rows is None  # distributed path
+
+
+def test_carry_ntoks_rides_the_pair_edges(spark):
+    """near_dup_pairs(carry_ntoks=True) must (1) keep the pair set and
+    jaccard scores bit-identical to the plain kernel and (2) stamp each
+    side with exactly size(tokens(text)) of that doc — the signal the
+    keep-best fold consumes instead of re-scanning the corpus."""
+    from pyspark.sql import functions as F
+
+    from tomixpanel_spark.functions.text import tokens as tok
+    from tomixpanel_spark.operators.base import table
+    from tomixpanel_spark.operators.dedup import near_dup_pairs
+
+    docs = table(spark, SF_ORACLE, "documents")
+    plain = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in near_dup_pairs(docs).collect()
+    }
+    carried = near_dup_pairs(docs, carry_ntoks=True).collect()
+    assert {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in carried} == plain
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(tok("text")).cast("bigint").alias("n")
+        ).collect()
+    }
+    for r in carried:
+        assert r["nt_a"] == ntok[r["doc_a"]] and r["nt_b"] == ntok[r["doc_b"]]
+
+
+def test_edge_node_attrs_dedups_to_one_signal_per_node(spark):
+    """The distributed-tier member-signal derivation: a node appearing in
+    many edges must come out once, with its own signal from either
+    endpoint position."""
+    from tomixpanel_spark.operators.identity import edge_node_attrs
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10, 20), (1, 3, 10, 30), (2, 3, 20, 30)],
+        "src long, dst long, nt_a long, nt_b long",
+    )
+    out = {(r["node"], r["n_tokens"]) for r in
+           edge_node_attrs(edges, "nt_a", "nt_b", "n_tokens").collect()}
+    assert out == {(1, 10), (2, 20), (3, 30)}
+
+
 def test_decontam_broadcasts_eval_side(spark):
     """The held-out set is ~1% of shingle rows — it must broadcast, or at
     corpus scale contamination becomes a full shuffle join."""
